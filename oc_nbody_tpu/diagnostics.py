@@ -1,0 +1,191 @@
+"""On-device diagnostics: energies, angular momentum, Lagrangian radii,
+density centre, bound mass (energy cut and iterative tidal-radius cut).
+
+Capability parity: SURVEY.md §2.11 — BASELINE.json:5 "on-device diagnostics
+(energy, angular momentum, Lagrangian radii, bound-mass via iterative
+tidal-radius cut)". Everything here is a pure jnp function (jit-safe,
+fixed shapes, fori/while loops only); accumulations are float64.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from oc_nbody_tpu.forces import ForceModel
+from oc_nbody_tpu.state import ParticleState
+
+
+def kinetic_energy(state: ParticleState) -> jax.Array:
+    m = state.mass.astype(jnp.float64)
+    v2 = jnp.sum(state.vel.astype(jnp.float64) ** 2, axis=1)
+    return 0.5 * jnp.sum(m * v2)
+
+
+def energies(state: ParticleState, force: ForceModel) -> dict:
+    """KE, pairwise PE, external potential energy, total. All f64 scalars."""
+    m = state.mass.astype(jnp.float64)
+    _, phi_pair, phi_ext = force.accel_potential(state.pos, state.mass)
+    ke = kinetic_energy(state)
+    pe_pair = 0.5 * jnp.sum(m * phi_pair.astype(jnp.float64))
+    e_ext = jnp.sum(m * phi_ext.astype(jnp.float64))
+    return {
+        "KE": ke,
+        "PE_pair": pe_pair,
+        "E_ext": e_ext,
+        "E_tot": ke + pe_pair + e_ext,
+    }
+
+
+def angular_momentum(state: ParticleState, center=None, center_vel=None) -> jax.Array:
+    """Total L = sum m (r - c) x (v - vc), (3,) float64."""
+    pos = state.pos.astype(jnp.float64)
+    vel = state.vel.astype(jnp.float64)
+    if center is not None:
+        pos = pos - center
+    if center_vel is not None:
+        vel = vel - center_vel
+    m = state.mass.astype(jnp.float64)
+    return jnp.sum(m[:, None] * jnp.cross(pos, vel), axis=0)
+
+
+def density_center(state: ParticleState, n_iter: int = 24,
+                   shrink: float = 0.9, min_frac: float = 0.05) -> jax.Array:
+    """Shrinking-sphere density centre (Casertano–Hut-style), branch-free.
+
+    Iteratively recentres on the mass inside a shrinking sphere; stops
+    shrinking (keeps the last good centre) once the enclosed mass fraction
+    drops below ``min_frac``.
+    """
+    pos = state.pos.astype(jnp.float64)
+    m = state.mass.astype(jnp.float64)
+    m_tot = jnp.sum(m)
+
+    c0 = jnp.sum(pos * m[:, None], axis=0) / m_tot
+    r0 = jnp.max(jnp.linalg.norm(pos - c0, axis=1))
+
+    def body(_, carry):
+        c, r = carry
+        d = jnp.linalg.norm(pos - c, axis=1)
+        w = m * (d < r)
+        wsum = jnp.sum(w)
+        ok = wsum > min_frac * m_tot
+        c_new = jnp.where(
+            ok, jnp.sum(pos * w[:, None], axis=0) / jnp.maximum(wsum, 1e-300), c
+        )
+        r_new = jnp.where(ok, r * shrink, r)
+        return (c_new, r_new)
+
+    c, _ = jax.lax.fori_loop(0, n_iter, body, (c0, r0))
+    return c
+
+
+def lagrangian_radii(state: ParticleState, fractions=(0.1, 0.25, 0.5, 0.75, 0.9),
+                     center=None, mask=None) -> jax.Array:
+    """Radii enclosing the given mass fractions, about ``center``
+    (default: density centre). ``mask`` restricts to a subset (e.g. bound
+    stars) without changing shapes."""
+    if center is None:
+        center = density_center(state)
+    pos = state.pos.astype(jnp.float64)
+    m = state.mass.astype(jnp.float64)
+    if mask is not None:
+        m = m * mask
+    r = jnp.linalg.norm(pos - center, axis=1)
+    order = jnp.argsort(r)
+    r_sorted = r[order]
+    csum = jnp.cumsum(m[order])
+    targets = jnp.asarray(fractions, jnp.float64) * csum[-1]
+    idx = jnp.clip(jnp.searchsorted(csum, targets), 0, r.shape[0] - 1)
+    return r_sorted[idx]
+
+
+def bound_mass_energy(state: ParticleState, force: ForceModel,
+                      n_iter: int = 8):
+    """Bound mass via iterated energy cut in the cluster frame.
+
+    A star is bound if 0.5 |v - v_b|^2 + phi_pair(x) < 0, where v_b is the
+    mean velocity of currently-bound stars; iterate to a fixpoint (shapes
+    fixed, mask-based). Returns (M_bound, N_bound, mask).
+    """
+    m = state.mass.astype(jnp.float64)
+    _, phi_pair, _ = force.accel_potential(state.pos, state.mass)
+    phi_pair = phi_pair.astype(jnp.float64)
+    vel = state.vel.astype(jnp.float64)
+
+    def body(_, mask):
+        w = m * mask
+        vb = jnp.sum(vel * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1e-300)
+        ke = 0.5 * jnp.sum((vel - vb) ** 2, axis=1)
+        return (ke + phi_pair < 0).astype(jnp.float64)
+
+    mask = jax.lax.fori_loop(0, n_iter, body, jnp.ones_like(m))
+    return jnp.sum(m * mask), jnp.sum(mask).astype(jnp.int64), mask
+
+
+def tidal_radius(m_bound, tidal_coeff, G):
+    """King tidal radius r_t = (G M_b / (Ω² − ∂²Φ/∂R²))^{1/3}."""
+    lam = jnp.maximum(tidal_coeff, 1e-300)
+    return (G * m_bound / lam) ** (1.0 / 3.0)
+
+
+def bound_mass_tidal(state: ParticleState, force: ForceModel,
+                     n_iter: int = 20, center=None):
+    """Bound mass via the iterative tidal-radius cut (SURVEY.md §2.11).
+
+    Uses the external potential's tidal coefficient at the cluster centre's
+    galactocentric cylindrical radius; iterates
+      r_t = (G M_b / (Ω² − ∂²Φ/∂R²))^{1/3},  M_b = mass inside r_t
+    to a fixpoint. Returns (M_bound, N_bound, r_t, mask).
+    """
+    if force.external is None:
+        m_tot = jnp.sum(state.mass.astype(jnp.float64))
+        n = state.mass.shape[0]
+        return (m_tot, jnp.asarray(n, jnp.int64), jnp.asarray(jnp.inf),
+                jnp.ones((n,), jnp.float64))
+    if center is None:
+        center = density_center(state)
+    pos = state.pos.astype(jnp.float64)
+    m = state.mass.astype(jnp.float64)
+    d = jnp.linalg.norm(pos - center, axis=1)
+    R_gal = jnp.sqrt(center[0] ** 2 + center[1] ** 2)
+    lam = force.external.tidal_coefficient(R_gal)
+    m_tot = jnp.sum(m)
+
+    def body(_, m_b):
+        r_t = tidal_radius(m_b, lam, force.G)
+        return jnp.sum(m * (d < r_t))
+
+    m_b = jax.lax.fori_loop(0, n_iter, body, m_tot)
+    r_t = tidal_radius(m_b, lam, force.G)
+    mask = (d < r_t).astype(jnp.float64)
+    return m_b, jnp.sum(mask).astype(jnp.int64), r_t, mask
+
+
+def compute_all(state: ParticleState, force: ForceModel,
+                fractions=(0.1, 0.25, 0.5, 0.75, 0.9)) -> dict:
+    """The full diagnostics row (SURVEY.md §5 metrics list); all scalars
+    except lagrangian radii. One jit-able call."""
+    e = energies(state, force)
+    center = density_center(state)
+    L = angular_momentum(state)
+    if force.external is not None:
+        m_b, n_b, r_t, mask = bound_mass_tidal(state, force, center=center)
+    else:
+        m_b, n_b, mask = bound_mass_energy(state, force)
+        r_t = jnp.asarray(jnp.inf)
+    rl = lagrangian_radii(state, fractions, center=center, mask=mask)
+    out = dict(e)
+    out.update({
+        "time": state.time,
+        "Lx": L[0], "Ly": L[1], "Lz": L[2],
+        "L_norm": jnp.linalg.norm(L),
+        "M_bound": m_b,
+        "N_bound": n_b,
+        "r_tidal": r_t,
+        "cx": center[0], "cy": center[1], "cz": center[2],
+    })
+    for f, r in zip(fractions, rl):
+        out[f"r_lagr_{int(round(f * 100))}"] = r
+    return out

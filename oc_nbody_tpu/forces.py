@@ -1,0 +1,105 @@
+"""ForceModel: the total force engine (pairwise self-gravity + external field).
+
+Capability parity: SURVEY.md §3.2 — `forces.total_accel` combines the hot
+O(N^2) pairwise kernel with the O(N) analytic external potential. The
+pairwise backend is selectable: "jnp" (blocked lax.map, runs anywhere) or
+"pallas" (MXU/VPU production kernel, TPU only); "auto" picks Pallas on TPU.
+
+External-field jerk is the convective derivative (v·∇)a_ext, computed with a
+single jvp — exact, no finite differencing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from oc_nbody_tpu.models.potentials import Potential
+from oc_nbody_tpu.ops import gravity
+
+
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    except Exception:
+        return "jnp"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForceModel:
+    """Bundles softening, G, external potential and kernel backend.
+
+    ``eps`` and ``G`` are pytree leaves (can change without recompiles);
+    ``backend`` and ``chunk`` are static metadata.
+    """
+
+    eps: jax.Array
+    G: jax.Array
+    external: Optional[Potential] = None
+    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    chunk: int = dataclasses.field(default=1024, metadata=dict(static=True))
+
+    def _resolve(self) -> str:
+        b = self.backend
+        return _default_backend() if b == "auto" else b
+
+    # ---- pairwise dispatch --------------------------------------------
+    def _pair_accel(self, pos, mass):
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            return pallas_gravity.accel(pos, mass, self.eps, self.G)
+        return gravity.accel(pos, mass, self.eps, self.G, chunk=self.chunk)
+
+    def _pair_accel_potential(self, pos, mass):
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            return pallas_gravity.accel_potential(pos, mass, self.eps, self.G)
+        return gravity.accel_potential(pos, mass, self.eps, self.G, chunk=self.chunk)
+
+    def _pair_accel_jerk(self, pos, vel, mass):
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            return pallas_gravity.accel_jerk(pos, vel, mass, self.eps, self.G)
+        return gravity.accel_jerk(pos, vel, mass, self.eps, self.G, chunk=self.chunk)
+
+    # ---- public API ----------------------------------------------------
+    def accel(self, pos, mass):
+        """Total acceleration: pairwise + external. (N, 3) in pos.dtype."""
+        acc = self._pair_accel(pos, mass)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+        return acc
+
+    def accel_potential(self, pos, mass):
+        """(accel, phi_pair, phi_ext); potentials are per-particle."""
+        acc, phi_pair = self._pair_accel_potential(pos, mass)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+            phi_ext = self.external.phi(pos)
+        else:
+            phi_ext = jnp.zeros_like(phi_pair)
+        return acc, phi_pair, phi_ext
+
+    def accel_jerk(self, pos, vel, mass):
+        """(accel, jerk) including the external field's (v·∇)a_ext term."""
+        acc, jerk = self._pair_accel_jerk(pos, vel, mass)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
+
+def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
+                     backend: str = "auto", chunk: int = 1024) -> ForceModel:
+    return ForceModel(
+        eps=jnp.asarray(eps, jnp.float64),
+        G=jnp.asarray(G, jnp.float64),
+        external=external,
+        backend=backend,
+        chunk=chunk,
+    )

@@ -1,0 +1,155 @@
+"""4th-order Hermite predictor–corrector with shared adaptive timestep.
+
+Capability parity: SURVEY.md §2.9b / §3.3 — the reference's Hermite-4
+stepper with shared adaptive dt (BASELINE.json:5, :9). Scheme is the
+classic Makino–Aarseth (1992) two-point Hermite method:
+
+  predict : x_p = x + v dt + a dt²/2 + j dt³/6 ;  v_p = v + a dt + j dt²/2
+  evaluate: (a1, j1) at (x_p, v_p)                [the O(N²) hot call]
+  correct : v1 = v + dt/2 (a0+a1) + dt²/12 (j0−j1)
+            x1 = x + dt/2 (v+v1)  + dt²/12 (a0−a1)
+  dt      : Aarseth criterion from the interpolated 2nd/3rd derivatives,
+            shared = min over particles, growth-limited, optionally
+            quantized to dt_max/2^k.
+
+Everything is branch-free under jit; `advance_to` runs a lax.while_loop on
+device and lands exactly on t_end by clipping the final step
+(SURVEY.md §7 hard part #5).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from oc_nbody_tpu.forces import ForceModel
+from oc_nbody_tpu.state import ParticleState
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.sum(x * x, axis=-1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HermiteCarry:
+    state: ParticleState
+    acc: jax.Array       # (N, 3) at state.time
+    jerk: jax.Array      # (N, 3) at state.time
+    dt: jax.Array        # scalar shared timestep (next step size)
+    n_steps: jax.Array   # int64
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class Hermite4:
+    """Shared-adaptive-dt Hermite-4 stepper."""
+
+    force: ForceModel
+    eta: float = 0.02          # Aarseth accuracy parameter
+    eta_init: float = 0.01     # startup criterion scale
+    dt_max: float = jnp.inf    # upper clamp
+    dt_min: float = 0.0        # lower clamp (safety)
+    quantize: bool = False     # snap dt to dt_max / 2^k
+
+    def init(self, state: ParticleState) -> HermiteCarry:
+        acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
+        acc = acc.astype(state.pos.dtype)
+        jerk = jerk.astype(state.pos.dtype)
+        a = _norm(acc)
+        j = _norm(jerk)
+        dt0 = self.eta_init * jnp.min(
+            jnp.where(j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny), jnp.inf)
+        )
+        dt0 = jnp.minimum(dt0, self.dt_max)
+        dt0 = jnp.where(jnp.isfinite(dt0), dt0, jnp.asarray(self.dt_max))
+        return HermiteCarry(state=state, acc=acc, jerk=jerk,
+                            dt=self._shape_dt(dt0),
+                            n_steps=jnp.asarray(0, jnp.int64))
+
+    # ---- helpers ------------------------------------------------------
+    def _shape_dt(self, dt):
+        dt = jnp.clip(dt, self.dt_min, self.dt_max)
+        if self.quantize:
+            # largest dt_max/2^k <= dt, k >= 0
+            k = jnp.ceil(jnp.log2(self.dt_max / jnp.maximum(dt, 1e-300)))
+            k = jnp.maximum(k, 0.0)
+            dt = self.dt_max * 2.0 ** (-k)
+        return dt
+
+    def _aarseth_dt(self, a1, j1, a2_1, a3):
+        na, nj = _norm(a1), _norm(j1)
+        n2, n3 = _norm(a2_1), _norm(a3)
+        tiny = jnp.finfo(na.dtype).tiny
+        num = na * n2 + nj * nj
+        den = nj * n3 + n2 * n2
+        dt2 = self.eta * num / jnp.maximum(den, tiny)
+        dt_i = jnp.sqrt(dt2)
+        return jnp.min(jnp.where(den > 0, dt_i, jnp.inf))
+
+    def _step_with_dt(self, carry: HermiteCarry, dt):
+        s, a0, j0 = carry.state, carry.acc, carry.jerk
+        dt = jnp.asarray(dt, s.pos.dtype)
+        dt2, dt3 = dt * dt, dt * dt * dt
+
+        xp = s.pos + dt * s.vel + (dt2 / 2) * a0 + (dt3 / 6) * j0
+        vp = s.vel + dt * a0 + (dt2 / 2) * j0
+
+        a1, j1 = self.force.accel_jerk(xp, vp, s.mass)
+        a1 = a1.astype(s.pos.dtype)
+        j1 = j1.astype(s.pos.dtype)
+
+        v1 = s.vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
+        x1 = s.pos + (dt / 2) * (s.vel + v1) + (dt2 / 12) * (a0 - a1)
+
+        # interpolated higher derivatives (at t0), then shift to t1
+        inv_dt2 = 1.0 / jnp.maximum(dt2, jnp.finfo(dt.dtype).tiny)
+        inv_dt3 = 1.0 / jnp.maximum(dt3, jnp.finfo(dt.dtype).tiny)
+        a2_0 = (-6.0 * (a0 - a1) - dt * (4.0 * j0 + 2.0 * j1)) * inv_dt2
+        a3 = (12.0 * (a0 - a1) + 6.0 * dt * (j0 + j1)) * inv_dt3
+        a2_1 = a2_0 + dt * a3
+
+        dt_new = self._aarseth_dt(a1, j1, a2_1, a3)
+        dt_new = jnp.minimum(dt_new, 2.0 * dt)      # growth limiter
+        dt_new = self._shape_dt(dt_new)
+
+        state_new = s.replace(pos=x1, vel=v1, time=s.time + dt)
+        return HermiteCarry(state=state_new, acc=a1, jerk=j1, dt=dt_new,
+                            n_steps=carry.n_steps + 1)
+
+    # ---- public -------------------------------------------------------
+    def step(self, carry: HermiteCarry) -> HermiteCarry:
+        return self._step_with_dt(carry, carry.dt)
+
+    def advance(self, carry: HermiteCarry, n: int) -> HermiteCarry:
+        return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
+
+    def advance_to(self, carry: HermiteCarry, t_end) -> HermiteCarry:
+        t_end = jnp.asarray(t_end, jnp.float64)
+
+        def cond(c):
+            return c.state.time < t_end * (1 - jnp.sign(t_end) * 1e-14) - 1e-300
+
+        def body(c):
+            dt = jnp.minimum(c.dt, t_end - c.state.time)
+            return self._step_with_dt(c, dt)
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    def checkpoint_aux(self, carry: HermiteCarry) -> dict:
+        return {"acc": carry.acc, "jerk": carry.jerk, "dt": carry.dt,
+                "n_steps": carry.n_steps}
+
+    def restore(self, state: ParticleState, aux: dict) -> HermiteCarry:
+        if "acc" in aux and "jerk" in aux and "dt" in aux:
+            return HermiteCarry(
+                state=state,
+                acc=jnp.asarray(aux["acc"]),
+                jerk=jnp.asarray(aux["jerk"]),
+                dt=jnp.asarray(aux["dt"]),
+                n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
+            )
+        return self.init(state)

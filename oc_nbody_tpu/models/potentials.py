@@ -1,0 +1,217 @@
+"""Analytic external (Milky Way) potentials, evaluated on device.
+
+Capability parity: SURVEY.md §2.4 — the reference evaluates an analytic
+Milky Way tidal potential (BASELINE.json:5, :8). Components: Hernquist
+bulge + Miyamoto–Nagai disk + NFW halo, composable; defaults follow the
+widely used Bovy/gala-style three-component Milky Way model.
+
+Design: each potential is a frozen dataclass registered as a pytree, so a
+`CompositePotential` flows through jit/shard_map as parameters, not Python
+state. Φ is hand-written; accelerations are hand-written closed forms
+(O(N), not hot, but cheap); radial derivatives for tidal diagnostics come
+from autodiff of Φ — exact, no finite differencing (SURVEY.md §2.11).
+
+All quantities are in *code units*: pass G explicitly at construction time
+(the scene builder converts physical parameters with a UnitSystem).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _r(xyz):
+    return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Potential:
+    """Base class. Subclasses implement phi(xyz) and accel(xyz).
+
+    xyz has shape (..., 3); phi returns (...,); accel returns (..., 3).
+    """
+
+    def phi(self, xyz):
+        raise NotImplementedError
+
+    def accel(self, xyz):
+        raise NotImplementedError
+
+    # ---- generic derived quantities (autodiff of phi) -----------------
+    def phi_R(self, R):
+        """Φ in the z=0 midplane as a function of cylindrical radius."""
+        R = jnp.asarray(R)
+        xyz = jnp.stack([R, jnp.zeros_like(R), jnp.zeros_like(R)], axis=-1)
+        return self.phi(xyz)
+
+    def dphi_dR(self, R):
+        g = jax.grad(lambda r: jnp.sum(self.phi_R(r)))
+        return g(jnp.asarray(R, jnp.result_type(float)))
+
+    def d2phi_dR2(self, R):
+        R = jnp.asarray(R, jnp.result_type(float))
+        g = jax.grad(lambda r: jnp.sum(self.dphi_dR(r)))
+        return g(R)
+
+    def vcirc(self, R):
+        """Circular speed at midplane radius R: v_c^2 = R dΦ/dR."""
+        R = jnp.asarray(R, jnp.result_type(float))
+        return jnp.sqrt(jnp.maximum(R * self.dphi_dR(R), 0.0))
+
+    def omega2(self, R):
+        """Squared circular angular frequency Ω² = v_c²/R²."""
+        R = jnp.asarray(R, jnp.result_type(float))
+        return self.dphi_dR(R) / R
+
+    def tidal_coefficient(self, R):
+        """Ω² − d²Φ/dR², the denominator of the King tidal radius
+        r_t = (G M_cl / (Ω² − ∂²Φ/∂R²) ... )^{1/3} — SURVEY.md §2.11."""
+        return self.omega2(R) - self.d2phi_dR2(R)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NullPotential(Potential):
+    """No external field (isolated cluster)."""
+
+    def phi(self, xyz):
+        return jnp.zeros(xyz.shape[:-1], xyz.dtype)
+
+    def accel(self, xyz):
+        return jnp.zeros_like(xyz)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointMass(Potential):
+    GM: jax.Array
+    softening: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0))
+
+    def phi(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1) + self.softening**2
+        return -self.GM / jnp.sqrt(r2)
+
+    def accel(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1) + self.softening**2
+        return -self.GM * xyz / jnp.sqrt(r2)[..., None] ** 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Hernquist(Potential):
+    """Hernquist (1990) sphere: Φ = −GM/(r+a)."""
+
+    GM: jax.Array
+    a: jax.Array
+
+    def phi(self, xyz):
+        return -self.GM / (_r(xyz) + self.a)
+
+    def accel(self, xyz):
+        r = _r(xyz)
+        safe_r = jnp.maximum(r, jnp.finfo(xyz.dtype).tiny)
+        mag = self.GM / (r + self.a) ** 2 / safe_r
+        return -mag[..., None] * xyz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MiyamotoNagai(Potential):
+    """Miyamoto–Nagai (1975) disk: Φ = −GM / sqrt(R² + (a + sqrt(z²+b²))²)."""
+
+    GM: jax.Array
+    a: jax.Array
+    b: jax.Array
+
+    def _parts(self, xyz):
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        zb = jnp.sqrt(z * z + self.b * self.b)
+        s = self.a + zb
+        denom = jnp.sqrt(x * x + y * y + s * s)
+        return x, y, z, zb, s, denom
+
+    def phi(self, xyz):
+        *_, denom = self._parts(xyz)
+        return -self.GM / denom
+
+    def accel(self, xyz):
+        x, y, z, zb, s, denom = self._parts(xyz)
+        inv_d3 = self.GM / denom**3
+        ax = -inv_d3 * x
+        ay = -inv_d3 * y
+        az = -inv_d3 * z * s / jnp.maximum(zb, jnp.finfo(xyz.dtype).tiny)
+        return jnp.stack([ax, ay, az], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NFW(Potential):
+    """NFW (1996) halo: Φ = −G M_s ln(1 + r/r_s) / r, M_s = 4πρ₀r_s³."""
+
+    GMs: jax.Array
+    rs: jax.Array
+
+    def phi(self, xyz):
+        r = _r(xyz)
+        safe_r = jnp.maximum(r, jnp.finfo(xyz.dtype).tiny)
+        # limit r->0: -GMs/rs
+        return jnp.where(
+            r > 0, -self.GMs * jnp.log1p(r / self.rs) / safe_r, -self.GMs / self.rs
+        )
+
+    def accel(self, xyz):
+        r = _r(xyz)
+        safe_r = jnp.maximum(r, jnp.finfo(xyz.dtype).tiny)
+        x = r / self.rs
+        menc = jnp.log1p(x) - x / (1.0 + x)  # M(<r)/M_s
+        mag = self.GMs * menc / safe_r**3
+        return -mag[..., None] * xyz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Composite(Potential):
+    components: tuple
+
+    def phi(self, xyz):
+        return sum(c.phi(xyz) for c in self.components)
+
+    def accel(self, xyz):
+        return sum(c.accel(xyz) for c in self.components)
+
+
+def composite(components: Sequence[Potential]) -> Composite:
+    return Composite(components=tuple(components))
+
+
+# -- Milky Way defaults (physical: pc, Msun, Myr) ---------------------------
+# Bovy (2015) / gala MilkyWayPotential-style 3-component model.
+MW_BULGE_M = 5.00e9       # Msun
+MW_BULGE_A = 1.00e3       # pc
+MW_DISK_M = 6.80e10       # Msun
+MW_DISK_A = 3.00e3        # pc
+MW_DISK_B = 0.28e3        # pc
+MW_HALO_MS = 5.40e11      # Msun
+MW_HALO_RS = 15.62e3      # pc
+
+
+def milky_way(G: float, mass_scale: float = 1.0, length_scale: float = 1.0) -> Composite:
+    """Three-component Milky Way in code units.
+
+    Args:
+      G: gravitational constant in code units.
+      mass_scale: code mass units per Msun (i.e. multiply Msun values by this).
+      length_scale: code length units per pc.
+    """
+    m, L = mass_scale, length_scale
+    return composite([
+        Hernquist(GM=jnp.asarray(G * MW_BULGE_M * m), a=jnp.asarray(MW_BULGE_A * L)),
+        MiyamotoNagai(GM=jnp.asarray(G * MW_DISK_M * m), a=jnp.asarray(MW_DISK_A * L),
+                      b=jnp.asarray(MW_DISK_B * L)),
+        NFW(GMs=jnp.asarray(G * MW_HALO_MS * m), rs=jnp.asarray(MW_HALO_RS * L)),
+    ])

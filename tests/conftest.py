@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 emulated devices (SURVEY.md §4.3): the standard JAX
+technique for exercising multi-chip `shard_map` paths without a pod. The same
+distributed tests run unchanged on a real v5e-8 mesh.
+
+Must run before the first `import jax` anywhere in the test process.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Compiles are slow in this environment (remote-compile relay) even on CPU;
+# a persistent on-disk cache makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
