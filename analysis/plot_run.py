@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Plot the diagnostics time series of a run directory.
+
+Capability parity: SURVEY.md §2.14 — analysis scripts that read the snapshot
+/ diagnostics outputs (schema: docs/SNAPSHOT_SCHEMA.md).
+
+Usage: python analysis/plot_run.py out/c1_plummer_1k [--out plots.png]
+"""
+import argparse
+import os
+import sys
+
+import h5py
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def load_diagnostics(run_dir):
+    path = os.path.join(run_dir, "diagnostics.h5")
+    with h5py.File(path, "r") as f:
+        return {k: np.asarray(f[k]) for k in f.keys()}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--out", default=None, help="output PNG path")
+    args = ap.parse_args(argv)
+
+    d = load_diagnostics(args.run_dir)
+    t = d["time"]
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8), constrained_layout=True)
+
+    ax = axes[0, 0]
+    ax.plot(t, d["dE_over_E"], lw=1)
+    ax.set_xlabel("t [code]")
+    ax.set_ylabel("dE/E")
+    ax.set_title("energy drift")
+
+    ax = axes[0, 1]
+    for frac in (10, 25, 50, 75, 90):
+        key = f"r_lagr_{frac}"
+        if key in d:
+            ax.plot(t, d[key], lw=1, label=f"{frac}%")
+    ax.set_yscale("log")
+    ax.set_xlabel("t [code]")
+    ax.set_ylabel("r [code]")
+    ax.set_title("Lagrangian radii")
+    ax.legend(fontsize=8)
+
+    ax = axes[1, 0]
+    if "M_bound" in d:
+        ax.plot(t, d["M_bound"] / d["M_bound"][0], lw=1)
+    ax.set_xlabel("t [code]")
+    ax.set_ylabel("M_bound / M_bound(0)")
+    ax.set_title("bound mass (tidal stripping)")
+
+    ax = axes[1, 1]
+    ax.plot(t, d["KE"], label="KE", lw=1)
+    ax.plot(t, d["PE_pair"], label="PE_pair", lw=1)
+    if "E_ext" in d:
+        ax.plot(t, d["E_ext"], label="E_ext", lw=1)
+    ax.plot(t, d["E_tot"], label="E_tot", lw=1.5, color="k")
+    ax.set_xlabel("t [code]")
+    ax.set_ylabel("E [code]")
+    ax.set_title("energy budget")
+    ax.legend(fontsize=8)
+
+    out = args.out or os.path.join(args.run_dir, "diagnostics.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Benchmark: pairwise interactions/sec/chip at N=65536 (BASELINE.json:2).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the 1e10 interactions/s/chip target
+(BASELINE.md — the reference publishes no numbers of its own).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from oc_nbody_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = 65536
+EPS = 1.0 / 256
+TARGET = 1.0e10
+REPEATS = 10
+
+
+def main():
+    from oc_nbody_tpu.forces import make_force_model
+    from oc_nbody_tpu.models.plummer import plummer
+
+    state = plummer(N, jax.random.PRNGKey(0))
+    backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    try:
+        from oc_nbody_tpu.ops import pallas_gravity  # noqa: F401
+    except Exception:
+        backend = "jnp"
+    force = make_force_model(eps=EPS, backend=backend)
+
+    fn = jax.jit(lambda p, m: force.accel(p, m))
+    out = fn(state.pos, state.mass)
+    out.block_until_ready()  # compile + warm-up
+    fn(state.pos, state.mass).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out = fn(state.pos, state.mass)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / REPEATS
+
+    rate = N * N / dt
+    print(json.dumps({
+        "metric": "pairwise_interactions_per_sec_per_chip",
+        "value": rate,
+        "unit": "interactions/s",
+        "vs_baseline": rate / TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Throughput sweep: pairwise interactions/s vs N for each backend/kernel.
+
+Writes bench/results.json and prints a table (SURVEY.md §2.15).
+Usage: python bench/perf_sweep.py [--ns 8192 32768 65536 131072]
+"""
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from oc_nbody_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from oc_nbody_tpu.models.plummer import plummer  # noqa: E402
+
+
+def timeit(fn, *args, repeats=10):
+    out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    return (time.perf_counter() - t0) / repeats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", nargs="*", type=int,
+                    default=[8192, 32768, 65536, 131072])
+    ap.add_argument("--repeats", type=int, default=10)
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() != "cpu"
+    results = {"device": str(jax.devices()[0]), "rows": []}
+    eps = 1.0 / 256
+
+    for n in args.ns:
+        state = plummer(n, jax.random.PRNGKey(0))
+        row = {"N": n}
+        kernels = {}
+        from oc_nbody_tpu.ops import gravity
+        kernels["jnp_accel"] = jax.jit(
+            lambda p, m: gravity.accel(p, m, eps, 1.0))
+        if on_tpu:
+            from oc_nbody_tpu.ops import pallas_gravity
+            kernels["pallas_accel"] = jax.jit(
+                lambda p, m: pallas_gravity.accel(p, m, eps, 1.0))
+            kernels["pallas_accel_jerk"] = jax.jit(
+                lambda p, v, m: pallas_gravity.accel_jerk(p, v, m, eps, 1.0))
+        for name, fn in kernels.items():
+            if "jerk" in name:
+                dt = timeit(fn, state.pos, state.vel, state.mass,
+                            repeats=args.repeats)
+            else:
+                dt = timeit(fn, state.pos, state.mass, repeats=args.repeats)
+            rate = n * n / dt
+            row[name] = {"ms": dt * 1e3, "ints_per_s": rate}
+            print(f"N={n:7d} {name:18s} {dt*1e3:9.2f} ms  {rate:.3e} int/s")
+        results["rows"].append(row)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

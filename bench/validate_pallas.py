@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Validate the Pallas kernels against the f64 oracle on real TPU hardware.
+
+(The pytest suite runs on emulated CPU devices where Pallas TPU kernels
+cannot execute, so kernel/oracle equivalence is checked here and by the
+driver's bench runs. SURVEY.md §4.1 "Pallas output ≡ pure-jnp oracle".)
+
+Usage: python bench/validate_pallas.py
+"""
+import sys
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from oc_nbody_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from oc_nbody_tpu.ops import gravity, pallas_gravity  # noqa: E402
+
+TOL = 5e-6
+
+
+def main():
+    if jax.default_backend() == "cpu":
+        print("needs a TPU backend; skipping")
+        return 0
+    key = jax.random.PRNGKey(0)
+    failures = []
+    for n in (100, 1000, 3000):
+        kp, kv = jax.random.split(jax.random.fold_in(key, n))
+        pos = jax.random.normal(kp, (n, 3), jnp.float64)
+        vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+        mass = jnp.ones(n) / n
+
+        ref = gravity.accel_direct(pos, mass, eps=0.05)
+        out = pallas_gravity.accel(pos, mass, eps=0.05)
+        scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+        err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+        print(f"N={n:6d} accel   rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("accel", n, err))
+
+        _, phi_ref = gravity.accel_potential_direct(pos, mass, eps=0.05)
+        _, phi = pallas_gravity.accel_potential(pos, mass, eps=0.05)
+        err = float(jnp.max(jnp.abs(phi - phi_ref) / jnp.abs(phi_ref)))
+        print(f"N={n:6d} phi     rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("phi", n, err))
+
+        a_ref, j_ref = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+        a, j = pallas_gravity.accel_jerk(pos, vel, mass, eps=0.05)
+        jscale = float(jnp.max(jnp.linalg.norm(j_ref, axis=1)))
+        err = float(jnp.max(jnp.linalg.norm(j - j_ref, axis=1))) / jscale
+        print(f"N={n:6d} jerk    rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("jerk", n, err))
+
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all pallas kernels match the f64 oracle within", TOL)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

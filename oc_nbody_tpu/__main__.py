@@ -1,0 +1,50 @@
+"""CLI entry point: ``python -m oc_nbody_tpu run configs/plummer_1k.toml``.
+
+Capability parity: SURVEY.md §2.13 — driver/CLI with dot-overrides
+(``--set integrator.eta=0.01``) and resume-from-checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="oc_nbody_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run a simulation from a config file")
+    p_run.add_argument("config", help="TOML or JSON config path")
+    p_run.add_argument("--set", dest="overrides", action="append", default=[],
+                       metavar="a.b=v", help="override a config value")
+    p_run.add_argument("--resume", action="store_true",
+                       help="resume from the latest snapshot in out_dir")
+
+    p_info = sub.add_parser("info", help="print a resolved config")
+    p_info.add_argument("config")
+    p_info.add_argument("--set", dest="overrides", action="append", default=[])
+
+    args = parser.parse_args(argv)
+
+    from oc_nbody_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from oc_nbody_tpu.config import apply_overrides, load_config
+
+    cfg = apply_overrides(load_config(args.config), args.overrides)
+
+    if args.command == "info":
+        print(cfg.to_json())
+        return 0
+
+    from oc_nbody_tpu.run import run
+
+    result = run(cfg, resume=args.resume)
+    print(f"done: t={float(result.state.time):.6g} steps={result.n_steps} "
+          f"wall={result.wall_time_s:.1f}s out={result.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""Typed configuration tree: JSON/TOML loadable, CLI dot-overrides.
+
+Capability parity: SURVEY.md §2.13 / §5 "config/flag system" — a typed
+``SimConfig`` dataclass tree (ic / units / potential / orbit / integrator /
+output / mesh sections). The five acceptance configs (BASELINE.json:6-12)
+ship as committed TOML files under configs/.
+
+Times/lengths are in *code units* (Hénon units when units.kind == "henon");
+fields suffixed ``_pc`` / ``_myr`` / ``_msun`` are physical and are
+converted by the scene builder.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+__all__ = ["SimConfig", "load_config", "apply_overrides"]
+
+
+@dataclasses.dataclass
+class UnitsConfig:
+    kind: str = "henon"          # henon | physical (pc/Myr/Msun)
+    mass_msun: float = 1000.0    # physical cluster mass (henon scaling)
+    length_pc: float = 1.0       # physical virial radius (henon scaling)
+
+
+@dataclasses.dataclass
+class ICConfig:
+    kind: str = "plummer"        # plummer | king | file
+    n: int = 1024
+    a: Optional[float] = None    # plummer scale radius (code units)
+    w0: float = 6.0              # king concentration parameter
+    total_mass: float = 1.0      # code units
+    imf: str = "equal"           # equal | kroupa | salpeter
+    m_min_msun: float = 0.08
+    m_max_msun: float = 100.0
+    seed: int = 0
+    file: Optional[str] = None   # snapshot path when kind == "file"
+
+
+@dataclasses.dataclass
+class PotentialConfig:
+    kind: str = "none"           # none | milky_way | point_mass
+    # point_mass params (physical)
+    mass_msun: float = 1.0e11
+    softening_pc: float = 0.0
+
+
+@dataclasses.dataclass
+class OrbitConfig:
+    kind: str = "none"           # none | circular | eccentric
+    R0_pc: float = 8000.0        # circular orbit radius
+    r_apo_pc: float = 8000.0     # eccentric orbit apocentre
+    r_peri_pc: float = 4000.0    # eccentric orbit pericentre
+    inclination_deg: float = 0.0  # tilt of the orbital plane (disk crossing)
+
+
+@dataclasses.dataclass
+class IntegratorConfig:
+    kind: str = "kdk"            # kdk | hermite | block
+    dt: float = 1.0 / 1024.0     # kdk fixed step (code units)
+    eps: float = 1.0 / 256.0     # softening length (code units)
+    eta: float = 0.02            # hermite/block accuracy parameter
+    eta_init: float = 0.01
+    dt_max: float = 1.0 / 16.0   # hermite/block upper clamp
+    quantize: bool = False       # hermite: snap shared dt to dt_max/2^k
+    n_levels: int = 8            # block: number of power-of-two rungs
+
+
+@dataclasses.dataclass
+class OutputConfig:
+    out_dir: str = "out/run"
+    t_end: float = 10.0          # code units
+    diag_every: float = 0.25     # diagnostics cadence (code units)
+    snap_every: float = 1.0      # snapshot cadence (code units)
+    fractions: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
+    stdout: bool = True
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    n_devices: int = 1           # 0 = all visible devices
+    mode: str = "auto"           # auto | allgather | ring
+
+
+@dataclasses.dataclass
+class SimConfig:
+    units: UnitsConfig = dataclasses.field(default_factory=UnitsConfig)
+    ic: ICConfig = dataclasses.field(default_factory=ICConfig)
+    potential: PotentialConfig = dataclasses.field(default_factory=PotentialConfig)
+    orbit: OrbitConfig = dataclasses.field(default_factory=OrbitConfig)
+    integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)
+    output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    backend: str = "auto"        # force kernel backend: auto | jnp | pallas
+
+    # ---- (de)serialisation -------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        d = self.to_dict()
+        d["output"]["fractions"] = list(d["output"]["fractions"])
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SimConfig":
+        cfg = cls()
+        for section, value in d.items():
+            if not hasattr(cfg, section):
+                raise KeyError(f"unknown config section {section!r}")
+            current = getattr(cfg, section)
+            if dataclasses.is_dataclass(current):
+                names = {f.name: f for f in dataclasses.fields(current)}
+                for k, v in value.items():
+                    if k not in names:
+                        raise KeyError(f"unknown key {section}.{k}")
+                    setattr(current, k, _coerce(v, names[k].type))
+            else:
+                setattr(cfg, section, value)
+        return cfg
+
+
+def _coerce(value, type_str):
+    if isinstance(type_str, str):
+        if type_str.startswith("Optional"):
+            if value is None:
+                return None
+            type_str = type_str[len("Optional["):-1]
+        if type_str == "float":
+            return float(value)
+        if type_str == "int":
+            return int(value)
+        if type_str == "bool":
+            if isinstance(value, str):
+                return value.lower() in ("1", "true", "yes", "on")
+            return bool(value)
+        if type_str == "tuple":
+            return tuple(value) if not isinstance(value, tuple) else value
+    return value
+
+
+def load_config(path: str) -> SimConfig:
+    if path.endswith((".toml", ".tml")):
+        import tomllib
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+    else:
+        with open(path) as f:
+            d = json.load(f)
+    return SimConfig.from_dict(d)
+
+
+def apply_overrides(cfg: SimConfig, overrides: list[str]) -> SimConfig:
+    """Apply ``section.key=value`` CLI overrides in place."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form a.b=v")
+        dotted, raw = item.split("=", 1)
+        parts = dotted.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        field = {f.name: f for f in dataclasses.fields(obj)}.get(leaf)
+        if field is None:
+            raise KeyError(f"unknown config key {dotted!r}")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        setattr(obj, leaf, _coerce(value, field.type))
+    return cfg

@@ -93,6 +93,35 @@ class ForceModel:
             jerk = jerk + da_ext
         return acc, jerk
 
+    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel, src_mass):
+        """(accel, jerk) on a row subset against the full source set — the
+        block-timestep active-set evaluation (SURVEY.md §3.4). Sources and
+        rows are centred on the source mean before the f32 cast; the
+        external field acts on the raw row positions."""
+        center = jnp.mean(src_pos, axis=0)
+        vcenter = jnp.mean(src_vel, axis=0)
+        rows_c = (pos_rows - center).astype(jnp.float32)
+        vrows_c = (vel_rows - vcenter).astype(jnp.float32)
+        src_c = (src_pos - center).astype(jnp.float32)
+        svel_c = (src_vel - vcenter).astype(jnp.float32)
+        mass_c = jnp.asarray(src_mass, jnp.float32)
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            acc, jerk = pallas_gravity.accel_jerk_rows(
+                rows_c, vrows_c, src_c, svel_c, mass_c, eps32, G32)
+        else:
+            acc, jerk = gravity.accel_jerk_rows(
+                rows_c, vrows_c, src_c, svel_c, mass_c, eps32, G32, self.chunk)
+        acc = acc.astype(pos_rows.dtype)
+        jerk = jerk.astype(pos_rows.dtype)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,), (vel_rows,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
 
 def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
                      backend: str = "auto", chunk: int = 1024) -> ForceModel:

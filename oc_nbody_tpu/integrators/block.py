@@ -1,0 +1,229 @@
+"""Block (individual power-of-two) timesteps, Hermite-4 scheme, fully jitted.
+
+Capability parity: SURVEY.md §2.9c / §3.4 — BASELINE.json:10 "block
+timesteps (masked active-particle integration)". Every particle carries its
+own (t_i, dt_i) with dt_i = dt_max / 2^k, k < n_levels; each micro-step
+advances the system to t_next = min(t_i + dt_i), predicts ALL particles
+there (O(N)), evaluates forces only for the ACTIVE rows (t_i + dt_i ==
+t_next) against all predicted sources, corrects and re-rungs the active
+rows. There is NO host-side branching (BASELINE.json:5): activity is a mask,
+and the active-row evaluation uses fixed-shape bucketed gathers —
+`lax.switch` over power-of-two buffer sizes, `jnp.nonzero(..., size=B)` to
+compact — so the O(active × N) kernel cost shrinks with the active count
+while every shape stays static.
+
+Exactness of the block grid: dt values are exact binary fractions of dt_max
+and every t_i is an exact multiple of its dt_i, so `t_i + dt_i == t_next`
+comparisons are exact in f64 and all particles synchronise bit-exactly at
+multiples of dt_max (where diagnostics/snapshots happen).
+
+Rung rules (standard Makino–Aarseth block scheme):
+  * shrink: any time, to the Aarseth-criterion rung (clamped to n_levels);
+  * grow: one rung per step at most, and only when t_next is an exact
+    multiple of the new, larger dt (alignment).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from oc_nbody_tpu.forces import ForceModel
+from oc_nbody_tpu.state import ParticleState
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.sum(x * x, axis=-1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockCarry:
+    state: ParticleState     # pos/vel at per-particle times t_i; state.time = last t_next
+    acc: jax.Array           # (N, 3) at t_i
+    jerk: jax.Array          # (N, 3) at t_i
+    t_i: jax.Array           # (N,) per-particle time
+    dt_i: jax.Array          # (N,) per-particle step (power-of-two rung)
+    n_steps: jax.Array       # int64 micro-step counter
+    n_active_sum: jax.Array  # int64 total active-row evaluations (work metric)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockHermite:
+    """Individual block-timestep Hermite-4 stepper."""
+
+    force: ForceModel
+    eta: float = 0.02
+    eta_init: float = 0.01
+    dt_max: float = 1.0 / 16.0
+    n_levels: int = 8
+    # active-set compaction: bucket sizes are n >> l for l in 0..n_buckets-1
+    # (0 disables compaction: masked full-row evaluation)
+    n_buckets: int = 4
+
+    # ---- rung helpers -------------------------------------------------
+    def _quantize_down(self, dt_raw):
+        """Largest rung dt_max/2^k <= dt_raw with 0 <= k < n_levels."""
+        k = jnp.ceil(jnp.log2(self.dt_max / jnp.maximum(dt_raw, 1e-300)))
+        k = jnp.clip(k, 0, self.n_levels - 1)
+        return self.dt_max * 2.0 ** (-k)
+
+    def _aarseth_dt(self, a, j, a2, a3):
+        na, nj, n2, n3 = _norm(a), _norm(j), _norm(a2), _norm(a3)
+        tiny = jnp.finfo(na.dtype).tiny
+        num = na * n2 + nj * nj
+        den = nj * n3 + n2 * n2
+        dt = jnp.sqrt(self.eta * num / jnp.maximum(den, tiny))
+        return jnp.where(den > 0, dt, jnp.inf)
+
+    # ---- lifecycle ----------------------------------------------------
+    def init(self, state: ParticleState) -> BlockCarry:
+        acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
+        acc = acc.astype(state.pos.dtype)
+        jerk = jerk.astype(state.pos.dtype)
+        a = _norm(acc)
+        j = _norm(jerk)
+        dt_raw = self.eta_init * jnp.where(
+            j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny), jnp.inf)
+        dt_i = self._quantize_down(dt_raw)
+        n = state.n
+        t0 = jnp.full((n,), state.time, jnp.float64)
+        return BlockCarry(state=state, acc=acc, jerk=jerk, t_i=t0, dt_i=dt_i,
+                          n_steps=jnp.asarray(0, jnp.int64),
+                          n_active_sum=jnp.asarray(0, jnp.int64))
+
+    # ---- the micro-step -----------------------------------------------
+    def _bucket_sizes(self, n: int) -> Sequence[int]:
+        if self.n_buckets <= 0:
+            return [n]
+        sizes = []
+        b = 1 << (n - 1).bit_length()  # next pow2 >= n
+        b = min(b, 1 << (n).bit_length())
+        for _ in range(self.n_buckets):
+            sizes.append(min(b, n))
+            if b <= 64:
+                break
+            b //= 2
+        return sizes
+
+    def step(self, carry: BlockCarry) -> BlockCarry:
+        s = carry.state
+        pos, vel = s.pos, s.vel
+        n = s.n
+        t_next = jnp.min(carry.t_i + carry.dt_i)
+        active = (carry.t_i + carry.dt_i) == t_next
+        n_active = jnp.sum(active)
+
+        # predict ALL particles to t_next (O(N))
+        d = (t_next - carry.t_i)[:, None]
+        d2, d3 = d * d, d * d * d
+        xp = pos + d * vel + (d2 / 2) * carry.acc + (d3 / 6) * carry.jerk
+        vp = vel + d * carry.acc + (d2 / 2) * carry.jerk
+
+        # evaluate (a1, j1) on active rows, sources = all predicted
+        a1_full, j1_full = self._eval_active(xp, vp, s.mass, active, n)
+
+        # correct active rows over their own step h = dt_i
+        h = carry.dt_i[:, None]
+        h2 = h * h
+        a0, j0 = carry.acc, carry.jerk
+        v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
+        x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
+
+        # new rung from the Aarseth criterion at t_next
+        inv_h2 = 1.0 / jnp.maximum(h2, jnp.finfo(h.dtype).tiny)
+        inv_h3 = inv_h2 / jnp.maximum(h, jnp.finfo(h.dtype).tiny)
+        a2_0 = (-6.0 * (a0 - a1_full) - h * (4.0 * j0 + 2.0 * j1_full)) * inv_h2
+        a3 = (12.0 * (a0 - a1_full) + 6.0 * h * (j0 + j1_full)) * inv_h3
+        a2_1 = a2_0 + h * a3
+        dt_want = self._quantize_down(self._aarseth_dt(a1_full, j1_full, a2_1, a3))
+        # grow at most one rung, and only when aligned with the block grid
+        dt_grow = 2.0 * carry.dt_i
+        ratio = t_next / dt_grow
+        aligned = ratio == jnp.round(ratio)
+        dt_new = jnp.where(
+            dt_want >= dt_grow,
+            jnp.where(aligned, jnp.minimum(dt_grow, self.dt_max), carry.dt_i),
+            jnp.minimum(dt_want, carry.dt_i),
+        )
+
+        am = active[:, None]
+        state_new = s.replace(
+            pos=jnp.where(am, x1, pos),
+            vel=jnp.where(am, v1, vel),
+            time=t_next,
+        )
+        return BlockCarry(
+            state=state_new,
+            acc=jnp.where(am, a1_full, a0),
+            jerk=jnp.where(am, j1_full, j0),
+            t_i=jnp.where(active, t_next, carry.t_i),
+            dt_i=jnp.where(active, dt_new, carry.dt_i),
+            n_steps=carry.n_steps + 1,
+            n_active_sum=carry.n_active_sum + n_active.astype(jnp.int64),
+        )
+
+    def _eval_active(self, xp, vp, mass, active, n):
+        """(a1, j1) for active rows (zeros elsewhere), fixed shapes."""
+        sizes = self._bucket_sizes(n)
+        if len(sizes) == 1:
+            a1, j1 = self.force.accel_jerk_on_rows(xp, vp, xp, vp, mass)
+            return a1, j1
+
+        n_active = jnp.sum(active)
+        # smallest bucket that fits the active count
+        level = jnp.int32(0)
+        for li, b in enumerate(sizes):
+            level = jnp.where(n_active <= b, jnp.int32(li), level)
+
+        def make_branch(b):
+            def branch(xp, vp, mass, active):
+                idx = jnp.nonzero(active, size=b, fill_value=0)[0]
+                valid = jnp.arange(b) < jnp.sum(active)
+                a_r, j_r = self.force.accel_jerk_on_rows(
+                    xp[idx], vp[idx], xp, vp, mass)
+                # scatter via an overflow row so fill slots never clobber
+                idx_s = jnp.where(valid, idx, n)
+                a_full = jnp.zeros((n + 1, 3), xp.dtype).at[idx_s].set(a_r)[:n]
+                j_full = jnp.zeros((n + 1, 3), xp.dtype).at[idx_s].set(j_r)[:n]
+                return a_full, j_full
+
+            return branch
+
+        return jax.lax.switch(level, [make_branch(b) for b in sizes],
+                              xp, vp, mass, active)
+
+    # ---- driving ------------------------------------------------------
+    def advance_to(self, carry: BlockCarry, t_end) -> BlockCarry:
+        """Micro-step until every particle reaches t_end. ``t_end`` must lie
+        on the dt_max block grid so the system synchronises there."""
+        t_end = jnp.asarray(t_end, jnp.float64)
+
+        def cond(c):
+            return jnp.min(c.t_i + c.dt_i) <= t_end
+
+        return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
+
+    def advance(self, carry: BlockCarry, n: int) -> BlockCarry:
+        return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
+
+    def checkpoint_aux(self, carry: BlockCarry) -> dict:
+        return {"acc": carry.acc, "jerk": carry.jerk, "t_i": carry.t_i,
+                "dt_i": carry.dt_i, "n_steps": carry.n_steps,
+                "n_active_sum": carry.n_active_sum}
+
+    def restore(self, state: ParticleState, aux: dict) -> BlockCarry:
+        if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i")):
+            return BlockCarry(
+                state=state,
+                acc=jnp.asarray(aux["acc"]), jerk=jnp.asarray(aux["jerk"]),
+                t_i=jnp.asarray(aux["t_i"]), dt_i=jnp.asarray(aux["dt_i"]),
+                n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
+                n_active_sum=jnp.asarray(aux.get("n_active_sum", 0), jnp.int64),
+            )
+        return self.init(state)

@@ -1,0 +1,173 @@
+"""Snapshot / checkpoint I/O (HDF5) and the diagnostics time-series table.
+
+Capability parity: SURVEY.md §2.10 — the reference writes snapshots that its
+analysis scripts read back (BASELINE.json:5 "snapshot I/O"). The exact
+reference schema is unknowable (empty tree, SURVEY.md §0), so this schema is
+defined cleanly and documented in docs/SNAPSHOT_SCHEMA.md; an adapter can be
+added if the reference ever materialises.
+
+Snapshots double as checkpoints (SURVEY.md §5 failure-recovery): they carry
+the full integrator aux state (accelerations, jerks, per-particle timestep
+state, step counter) so a resumed run continues bit-identically. Writes are
+atomic (temp file + os.replace) so a crash mid-write never corrupts the
+latest checkpoint.
+
+Schema v1:
+  /particles/{pos,vel,mass,ids}      f64 (N,3), f64 (N,3), f32 (N,), i32 (N,)
+  /particles attrs: n
+  /integrator/<aux arrays>           integrator-kind-specific
+  /integrator attrs: kind
+  /units attrs: length_pc, mass_msun, time_myr   (optional)
+  root attrs: schema_version, time, step, config_json (optional), rng_key
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oc_nbody_tpu.state import ParticleState, make_state
+from oc_nbody_tpu.utils.units import UnitSystem
+
+SCHEMA_VERSION = 1
+
+
+@dataclasses.dataclass
+class Snapshot:
+    state: ParticleState
+    aux: dict                      # integrator aux arrays (numpy)
+    integrator_kind: Optional[str]
+    units: Optional[UnitSystem]
+    attrs: dict                    # root attrs (time, step, config_json, ...)
+
+
+def write_snapshot(
+    path: str,
+    state: ParticleState,
+    aux: Optional[dict] = None,
+    integrator_kind: Optional[str] = None,
+    units: Optional[UnitSystem] = None,
+    attrs: Optional[dict] = None,
+) -> str:
+    """Atomically write a snapshot; returns the final path."""
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(tmp, "w") as f:
+        g = f.create_group("particles")
+        g.create_dataset("pos", data=np.asarray(state.pos, np.float64))
+        g.create_dataset("vel", data=np.asarray(state.vel, np.float64))
+        g.create_dataset("mass", data=np.asarray(state.mass, np.float32))
+        g.create_dataset("ids", data=np.asarray(state.ids, np.int32))
+        g.attrs["n"] = state.n
+        gi = f.create_group("integrator")
+        if integrator_kind is not None:
+            gi.attrs["kind"] = integrator_kind
+        for k, v in (aux or {}).items():
+            gi.create_dataset(k, data=np.asarray(v))
+        if units is not None:
+            gu = f.create_group("units")
+            for k, v in units.as_dict().items():
+                gu.attrs[k] = v
+        f.attrs["schema_version"] = SCHEMA_VERSION
+        f.attrs["time"] = float(state.time)
+        for k, v in (attrs or {}).items():
+            if isinstance(v, (dict, list)):
+                v = json.dumps(v)
+            f.attrs[k] = v
+    os.replace(tmp, path)
+    return path
+
+
+def read_snapshot(path: str, state_dtype=jnp.float64) -> Snapshot:
+    with h5py.File(path, "r") as f:
+        g = f["particles"]
+        state = make_state(
+            pos=np.asarray(g["pos"]),
+            vel=np.asarray(g["vel"]),
+            mass=np.asarray(g["mass"]),
+            ids=np.asarray(g["ids"]),
+            time=float(f.attrs["time"]),
+            state_dtype=state_dtype,
+        )
+        aux, kind = {}, None
+        if "integrator" in f:
+            gi = f["integrator"]
+            kind = gi.attrs.get("kind")
+            aux = {k: np.asarray(gi[k]) for k in gi.keys()}
+        units = None
+        if "units" in f:
+            units = UnitSystem.from_dict(dict(f["units"].attrs))
+        attrs = dict(f.attrs)
+    return Snapshot(state=state, aux=aux, integrator_kind=kind,
+                    units=units, attrs=attrs)
+
+
+def latest_snapshot(out_dir: str) -> Optional[str]:
+    """Most recent valid snapshot file in a run directory (for resume)."""
+    paths = sorted(glob.glob(os.path.join(out_dir, "snapshot_*.h5")))
+    for p in reversed(paths):
+        try:
+            with h5py.File(p, "r") as f:
+                if "particles" in f:
+                    return p
+        except OSError:
+            continue
+    return None
+
+
+class SnapshotWriter:
+    """Numbered snapshots plus an appendable diagnostics table in a run dir.
+
+    Diagnostics go to ``diagnostics.h5`` as one resizable 1-D dataset per
+    scalar column (SURVEY.md §5 metrics/observability).
+    """
+
+    def __init__(self, out_dir: str, units: Optional[UnitSystem] = None,
+                 config_json: Optional[str] = None):
+        self.out_dir = out_dir
+        self.units = units
+        self.config_json = config_json
+        os.makedirs(out_dir, exist_ok=True)
+        self._diag_path = os.path.join(out_dir, "diagnostics.h5")
+
+    def snapshot_path(self, index: int) -> str:
+        return os.path.join(self.out_dir, f"snapshot_{index:05d}.h5")
+
+    def write(self, index: int, state: ParticleState, aux=None,
+              integrator_kind=None, step: int = 0, rng_key=None) -> str:
+        attrs = {"step": int(step)}
+        if self.config_json is not None:
+            attrs["config_json"] = self.config_json
+        if rng_key is not None:
+            attrs["rng_key"] = np.asarray(rng_key).tolist()
+        return write_snapshot(
+            self.snapshot_path(index), state, aux=aux,
+            integrator_kind=integrator_kind, units=self.units, attrs=attrs,
+        )
+
+    def append_diagnostics(self, row: dict) -> None:
+        with h5py.File(self._diag_path, "a") as f:
+            for k, v in row.items():
+                v = np.asarray(jax.device_get(v), np.float64)
+                if k not in f:
+                    f.create_dataset(k, shape=(0,), maxshape=(None,),
+                                     dtype=np.float64, chunks=(256,))
+                d = f[k]
+                d.resize((d.shape[0] + 1,))
+                d[-1] = float(v)
+
+    def read_diagnostics(self) -> dict:
+        out = {}
+        if not os.path.exists(self._diag_path):
+            return out
+        with h5py.File(self._diag_path, "r") as f:
+            for k in f.keys():
+                out[k] = np.asarray(f[k])
+        return out

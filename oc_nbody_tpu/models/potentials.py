@@ -115,7 +115,7 @@ class Hernquist(Potential):
     def accel(self, xyz):
         r = _r(xyz)
         safe_r = jnp.maximum(r, jnp.finfo(xyz.dtype).tiny)
-        mag = self.GM / (r + self.a) ** 2 / safe_r
+        mag = jnp.where(r > 0, self.GM / (r + self.a) ** 2 / safe_r, 0.0)
         return -mag[..., None] * xyz
 
 
@@ -169,7 +169,8 @@ class NFW(Potential):
         safe_r = jnp.maximum(r, jnp.finfo(xyz.dtype).tiny)
         x = r / self.rs
         menc = jnp.log1p(x) - x / (1.0 + x)  # M(<r)/M_s
-        mag = self.GMs * menc / safe_r**3
+        # stepwise divisions: r == 0 gives 0/tiny = 0 (tiny**3 would underflow)
+        mag = jnp.where(r > 0, ((self.GMs * menc / safe_r) / safe_r) / safe_r, 0.0)
         return -mag[..., None] * xyz
 
 

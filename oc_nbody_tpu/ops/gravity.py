@@ -5,28 +5,34 @@ pairwise-gravity kernel" (BASELINE.json:5), plus the jerk extension needed by
 the Hermite-4 stepper and the pairwise potential needed by the energy
 diagnostics.
 
-Three tiers live here / in ops.pallas_gravity:
+Architecture: everything is built on *rows-vs-sources* primitives
+  accel_rows(pos_rows, src_pos, src_mass, ...)
+computing forces on a row block exerted by an arbitrary source set. The
+single-chip functions call them with rows == sources; the multi-chip path
+(parallel/force.py) calls them with rows = the local shard and sources =
+all-gathered or ring-permuted shards (SURVEY.md §3.5); the Pallas kernels
+(ops/pallas_gravity.py) implement the same signatures on the TPU and are
+drop-in replacements.
 
-  * ``*_direct``   — full (N, N) broadcast in the input dtype. The in-repo
-                     oracle for everything else (SURVEY.md §4.1); use for
-                     small N and tests only.
-  * ``accel`` etc. — blocked jnp implementation: row-chunked ``lax.map`` so
-                     memory stays O(chunk * N); pairwise math in float32 on
-                     cluster-centred offsets. Runs everywhere (CPU/TPU).
-  * Pallas kernels — ops.pallas_gravity, the MXU/VPU production path.
+Three tiers:
+  * ``*_direct``    — full (N, N) broadcast in the input dtype; the in-repo
+                      oracle (SURVEY.md §4.1), small N / tests only.
+  * ``*_rows`` etc. — blocked jnp: row-chunked ``lax.map`` so memory stays
+                      O(chunk * N); pairwise math in float32.
+  * Pallas kernels  — ops.pallas_gravity, the production TPU path.
 
 Numerical notes (measured; SURVEY.md §6):
-  * pairwise separations are computed by direct subtraction (no |r_i|^2 +
-    |r_j|^2 - 2 r_i.r_j cancellation trap);
-  * inputs are centred before the f32 cast so a galactocentric offset does
-    not eat the f32 mantissa;
-  * ``r^2 + eps^2`` is guarded so eps == 0 self-interactions produce 0, not
-    NaN.
+  * separations use direct subtraction (no |r_i|²+|r_j|²-2r_i·r_j
+    cancellation trap);
+  * callers centre positions before the f32 cast (``prepare_f32``) so a
+    galactocentric offset does not eat the f32 mantissa;
+  * ``r² + eps²`` is guarded so eps == 0 self-pairs produce 0, not NaN.
 
 Conventions: r_ij = x_j - x_i (points at the source);
-  a_i    = G * sum_j m_j r_ij / (r_ij^2 + eps^2)^{3/2}
-  jerk_i = G * sum_j m_j [ v_ij / u^{3/2} - 3 (r_ij.v_ij) r_ij / u^{5/2} ]
-  phi_i  = -G * sum_{j != i} m_j / sqrt(r_ij^2 + eps^2)
+  a_i    = G * sum_j m_j r_ij / (r_ij² + eps²)^{3/2}
+  jerk_i = G * sum_j m_j [ v_ij / u^{3/2} - 3 (r_ij·v_ij) r_ij / u^{5/2} ]
+  phi_i  = -G * sum_{j != i} m_j / sqrt(r_ij² + eps²)
+(the self term of phi is subtracted by the *caller* via ``self_phi``).
 """
 from __future__ import annotations
 
@@ -37,12 +43,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 # --------------------------------------------------------------------------
 # oracle tier: full broadcast, input dtype
 # --------------------------------------------------------------------------
 
 def _pair_geometry(pos_i, pos_j, eps):
-    """dr (Ni,Nj,3), u = r^2+eps^2 (Ni,Nj), safe inverse sqrt powers."""
     dr = pos_j[None, :, :] - pos_i[:, None, :]
     r2 = jnp.sum(dr * dr, axis=-1)
     u = r2 + eps * eps
@@ -56,7 +65,7 @@ def accel_direct(pos, mass, eps=0.0, G=1.0):
     mass = jnp.asarray(mass, pos.dtype)
     eps = jnp.asarray(eps, pos.dtype)
     dr, u, inv_r = _pair_geometry(pos, pos, eps)
-    w = G * mass[None, :] * inv_r**3            # (N, N)
+    w = G * mass[None, :] * inv_r**3
     return jnp.sum(w[:, :, None] * dr, axis=1)  # self term: w_ii * 0 = 0
 
 
@@ -69,9 +78,7 @@ def accel_potential_direct(pos, mass, eps=0.0, G=1.0):
     w = G * mass[None, :] * inv_r**3
     acc = jnp.sum(w[:, :, None] * dr, axis=1)
     phi = -G * jnp.sum(mass[None, :] * inv_r, axis=1)
-    # remove the softened self term -G m_i / eps (zero when eps == 0)
-    inv_eps = jnp.where(eps > 0, 1.0 / jnp.maximum(eps, jnp.finfo(pos.dtype).tiny), 0.0)
-    phi = phi + G * mass * inv_eps
+    phi = phi + self_phi(mass, eps, G)
     return acc, phi
 
 
@@ -83,142 +90,194 @@ def accel_jerk_direct(pos, vel, mass, eps=0.0, G=1.0):
     eps = jnp.asarray(eps, pos.dtype)
     dr, u, inv_r = _pair_geometry(pos, pos, eps)
     dv = vel[None, :, :] - vel[:, None, :]
-    w = G * mass[None, :] * inv_r**3            # (N, N)
-    rv = jnp.sum(dr * dv, axis=-1)              # (N, N)
+    w = G * mass[None, :] * inv_r**3
+    rv = jnp.sum(dr * dv, axis=-1)
     inv_u = jnp.where(u > 0, 1.0 / jnp.maximum(u, jnp.finfo(u.dtype).tiny), 0.0)
-    s = 3.0 * w * rv * inv_u                    # (N, N)
+    s = 3.0 * w * rv * inv_u
     acc = jnp.sum(w[:, :, None] * dr, axis=1)
     jerk = jnp.sum(w[:, :, None] * dv - s[:, :, None] * dr, axis=1)
     return acc, jerk
 
 
+def self_phi(mass, eps, G):
+    """The softened self-interaction potential -G m_i/eps that a rows==src
+    sum includes and must be removed (zero when eps == 0)."""
+    eps = jnp.asarray(eps, mass.dtype)
+    inv_eps = jnp.where(eps > 0, 1.0 / jnp.maximum(eps, jnp.finfo(mass.dtype).tiny), 0.0)
+    return G * mass * inv_eps
+
+
 # --------------------------------------------------------------------------
-# production tier: blocked jnp (row-chunked lax.map, f32 pairwise math)
+# rows-vs-sources tier (f32 blocked lax.map) — the multi-chip building block
 # --------------------------------------------------------------------------
 
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
-def _prepare(pos, mass, eps, compute_dtype, chunk, vel=None):
-    """Centre, cast to compute dtype, zero-mass pad to a chunk multiple."""
-    n = pos.shape[0]
-    center = jnp.mean(pos, axis=0)
-    pos_c = (pos - center).astype(compute_dtype)
-    mass_c = jnp.asarray(mass, compute_dtype)
-    chunk = min(chunk, _round_up(n, 8))
-    n_pad = _round_up(n, chunk)
-    if n_pad != n:
-        pos_c = jnp.pad(pos_c, ((0, n_pad - n), (0, 0)))
-        mass_c = jnp.pad(mass_c, (0, n_pad - n))
-    out = [pos_c, mass_c]
-    if vel is not None:
-        vc = (vel - jnp.mean(vel, axis=0)).astype(compute_dtype)
-        if n_pad != n:
-            vc = jnp.pad(vc, ((0, n_pad - n), (0, 0)))
-        out.append(vc)
-    eps2 = jnp.asarray(eps, compute_dtype) ** 2
-    return out, eps2, n, chunk
-
-
-def _row_block_accel(pos_all, mass_all, eps2, G, i0, chunk):
-    pi = lax.dynamic_slice(pos_all, (i0, 0), (chunk, 3))
-    dx = pos_all[None, :, 0] - pi[:, 0:1]
-    dy = pos_all[None, :, 1] - pi[:, 1:2]
-    dz = pos_all[None, :, 2] - pi[:, 2:3]
+def _block_accel(src_x, src_y, src_z, gm, pi, eps2):
+    dx = src_x - pi[:, 0:1]
+    dy = src_y - pi[:, 1:2]
+    dz = src_z - pi[:, 2:3]
     u = dx * dx + dy * dy + dz * dz + eps2
     inv_r = jnp.where(u > 0, lax.rsqrt(jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
-    w = (G * mass_all)[None, :] * inv_r * inv_r * inv_r
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
-    return jnp.stack([ax, ay, az], axis=1)
+    w = gm * inv_r * inv_r * inv_r
+    return jnp.stack(
+        [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1), jnp.sum(w * dz, axis=1)],
+        axis=1,
+    )
+
+
+def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 1024):
+    """Accel on ``pos_rows`` from ``src_pos/src_mass``; all f32-ish inputs
+    already centred. Row count is padded internally to the chunk size."""
+    nr = pos_rows.shape[0]
+    chunk = min(chunk, _round_up(nr, 8))
+    n_pad = _round_up(nr, chunk)
+    rows = jnp.pad(pos_rows, ((0, n_pad - nr), (0, 0))) if n_pad != nr else pos_rows
+    eps2 = jnp.asarray(eps, rows.dtype) ** 2
+    gm = (jnp.asarray(G, rows.dtype) * src_mass)[None, :]
+    src_x, src_y, src_z = (src_pos[None, :, 0], src_pos[None, :, 1],
+                           src_pos[None, :, 2])
+    starts = jnp.arange(0, n_pad, chunk)
+    blocks = lax.map(
+        lambda i0: _block_accel(
+            src_x, src_y, src_z, gm,
+            lax.dynamic_slice(rows, (i0, 0), (chunk, 3)), eps2),
+        starts,
+    )
+    return blocks.reshape(-1, 3)[:nr]
+
+
+def _block_accel_phi(src_x, src_y, src_z, gm, pi, eps2):
+    dx = src_x - pi[:, 0:1]
+    dy = src_y - pi[:, 1:2]
+    dz = src_z - pi[:, 2:3]
+    u = dx * dx + dy * dy + dz * dz + eps2
+    inv_r = jnp.where(u > 0, lax.rsqrt(jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
+    w = gm * inv_r * inv_r * inv_r
+    acc = jnp.stack(
+        [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1), jnp.sum(w * dz, axis=1)],
+        axis=1,
+    )
+    phi = -jnp.sum(gm * inv_r, axis=1)
+    return acc, phi
+
+
+def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0,
+                         chunk: int = 1024):
+    """(accel, phi) on rows from sources. phi still contains the softened
+    self term when rows overlap sources — caller adds ``self_phi``."""
+    nr = pos_rows.shape[0]
+    chunk = min(chunk, _round_up(nr, 8))
+    n_pad = _round_up(nr, chunk)
+    rows = jnp.pad(pos_rows, ((0, n_pad - nr), (0, 0))) if n_pad != nr else pos_rows
+    eps2 = jnp.asarray(eps, rows.dtype) ** 2
+    gm = (jnp.asarray(G, rows.dtype) * src_mass)[None, :]
+    src_x, src_y, src_z = (src_pos[None, :, 0], src_pos[None, :, 1],
+                           src_pos[None, :, 2])
+    starts = jnp.arange(0, n_pad, chunk)
+    acc_b, phi_b = lax.map(
+        lambda i0: _block_accel_phi(
+            src_x, src_y, src_z, gm,
+            lax.dynamic_slice(rows, (i0, 0), (chunk, 3)), eps2),
+        starts,
+    )
+    return acc_b.reshape(-1, 3)[:nr], phi_b.reshape(-1)[:nr]
+
+
+def _block_accel_jerk(src_x, src_y, src_z, svx, svy, svz, gm, pi, vi, eps2):
+    dx = src_x - pi[:, 0:1]
+    dy = src_y - pi[:, 1:2]
+    dz = src_z - pi[:, 2:3]
+    dvx = svx - vi[:, 0:1]
+    dvy = svy - vi[:, 1:2]
+    dvz = svz - vi[:, 2:3]
+    u = dx * dx + dy * dy + dz * dz + eps2
+    safe_u = jnp.maximum(u, jnp.finfo(u.dtype).tiny)
+    inv_r = jnp.where(u > 0, lax.rsqrt(safe_u), 0.0)
+    w = gm * inv_r * inv_r * inv_r
+    rv = dx * dvx + dy * dvy + dz * dvz
+    s = 3.0 * w * rv * jnp.where(u > 0, 1.0 / safe_u, 0.0)
+    acc = jnp.stack(
+        [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1), jnp.sum(w * dz, axis=1)],
+        axis=1,
+    )
+    jerk = jnp.stack(
+        [jnp.sum(w * dvx - s * dx, axis=1), jnp.sum(w * dvy - s * dy, axis=1),
+         jnp.sum(w * dvz - s * dz, axis=1)],
+        axis=1,
+    )
+    return acc, jerk
+
+
+def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
+                    G=1.0, chunk: int = 1024):
+    """(accel, jerk) on rows from sources."""
+    nr = pos_rows.shape[0]
+    chunk = min(chunk, _round_up(nr, 8))
+    n_pad = _round_up(nr, chunk)
+    if n_pad != nr:
+        pos_rows = jnp.pad(pos_rows, ((0, n_pad - nr), (0, 0)))
+        vel_rows = jnp.pad(vel_rows, ((0, n_pad - nr), (0, 0)))
+    eps2 = jnp.asarray(eps, pos_rows.dtype) ** 2
+    gm = (jnp.asarray(G, pos_rows.dtype) * src_mass)[None, :]
+    sx, sy, sz = src_pos[None, :, 0], src_pos[None, :, 1], src_pos[None, :, 2]
+    svx, svy, svz = src_vel[None, :, 0], src_vel[None, :, 1], src_vel[None, :, 2]
+    starts = jnp.arange(0, n_pad, chunk)
+    acc_b, jerk_b = lax.map(
+        lambda i0: _block_accel_jerk(
+            sx, sy, sz, svx, svy, svz, gm,
+            lax.dynamic_slice(pos_rows, (i0, 0), (chunk, 3)),
+            lax.dynamic_slice(vel_rows, (i0, 0), (chunk, 3)), eps2),
+        starts,
+    )
+    return acc_b.reshape(-1, 3)[:nr], jerk_b.reshape(-1, 3)[:nr]
+
+
+# --------------------------------------------------------------------------
+# single-chip wrappers: centre -> f32 -> rows==sources -> cast back
+# --------------------------------------------------------------------------
+
+def prepare_f32(pos, mass, vel=None, compute_dtype=jnp.float32):
+    """Centre on the mean position (and velocity) and cast for the kernel.
+    Pairwise differences are exactly shift-invariant, so centring costs
+    nothing physically but preserves the f32 mantissa for clusters sitting
+    at large galactocentric offsets (SURVEY.md §6 pitfall)."""
+    pos_c = (pos - jnp.mean(pos, axis=0)).astype(compute_dtype)
+    mass_c = jnp.asarray(mass, compute_dtype)
+    if vel is None:
+        return pos_c, mass_c
+    vel_c = (vel - jnp.mean(vel, axis=0)).astype(compute_dtype)
+    return pos_c, mass_c, vel_c
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "chunk"))
 def accel(pos, mass, eps=0.0, G=1.0, *, compute_dtype=jnp.float32, chunk=1024):
     """Blocked pairwise acceleration; returns (N, 3) in pos.dtype."""
-    (pos_c, mass_c), eps2, n, chunk = _prepare(pos, mass, eps, compute_dtype, chunk)
-    Gc = jnp.asarray(G, compute_dtype)
-    starts = jnp.arange(0, pos_c.shape[0], chunk)
-    blocks = lax.map(
-        lambda i0: _row_block_accel(pos_c, mass_c, eps2, Gc, i0, chunk), starts
-    )
-    return blocks.reshape(-1, 3)[:n].astype(pos.dtype)
-
-
-def _row_block_accel_phi(pos_all, mass_all, eps2, G, i0, chunk):
-    pi = lax.dynamic_slice(pos_all, (i0, 0), (chunk, 3))
-    mi = lax.dynamic_slice(mass_all, (i0,), (chunk,))
-    dx = pos_all[None, :, 0] - pi[:, 0:1]
-    dy = pos_all[None, :, 1] - pi[:, 1:2]
-    dz = pos_all[None, :, 2] - pi[:, 2:3]
-    u = dx * dx + dy * dy + dz * dz + eps2
-    inv_r = jnp.where(u > 0, lax.rsqrt(jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
-    gm = (G * mass_all)[None, :]
-    w = gm * inv_r * inv_r * inv_r
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
-    phi = -jnp.sum(gm * inv_r, axis=1)
-    # add back the softened self term (subtracted because -G m_i/eps is in the sum)
-    inv_eps = jnp.where(eps2 > 0, lax.rsqrt(jnp.maximum(eps2, jnp.finfo(u.dtype).tiny)), 0.0)
-    phi = phi + G * mi * inv_eps
-    return jnp.stack([ax, ay, az], axis=1), phi
+    pos_c, mass_c = prepare_f32(pos, mass, compute_dtype=compute_dtype)
+    out = accel_rows(pos_c, pos_c, mass_c,
+                     jnp.asarray(eps, compute_dtype),
+                     jnp.asarray(G, compute_dtype), chunk)
+    return out.astype(pos.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "chunk"))
 def accel_potential(pos, mass, eps=0.0, G=1.0, *, compute_dtype=jnp.float32,
                     chunk=1024):
-    """Blocked (accel, phi). phi accumulates per-row in f64 at the block join."""
-    (pos_c, mass_c), eps2, n, chunk = _prepare(pos, mass, eps, compute_dtype, chunk)
-    Gc = jnp.asarray(G, compute_dtype)
-    starts = jnp.arange(0, pos_c.shape[0], chunk)
-    acc_blocks, phi_blocks = lax.map(
-        lambda i0: _row_block_accel_phi(pos_c, mass_c, eps2, Gc, i0, chunk), starts
-    )
-    acc = acc_blocks.reshape(-1, 3)[:n].astype(pos.dtype)
-    phi = phi_blocks.reshape(-1)[:n].astype(pos.dtype)
-    return acc, phi
-
-
-def _row_block_accel_jerk(pos_all, vel_all, mass_all, eps2, G, i0, chunk):
-    pi = lax.dynamic_slice(pos_all, (i0, 0), (chunk, 3))
-    vi = lax.dynamic_slice(vel_all, (i0, 0), (chunk, 3))
-    dx = pos_all[None, :, 0] - pi[:, 0:1]
-    dy = pos_all[None, :, 1] - pi[:, 1:2]
-    dz = pos_all[None, :, 2] - pi[:, 2:3]
-    dvx = vel_all[None, :, 0] - vi[:, 0:1]
-    dvy = vel_all[None, :, 1] - vi[:, 1:2]
-    dvz = vel_all[None, :, 2] - vi[:, 2:3]
-    u = dx * dx + dy * dy + dz * dz + eps2
-    safe_u = jnp.maximum(u, jnp.finfo(u.dtype).tiny)
-    inv_r = jnp.where(u > 0, lax.rsqrt(safe_u), 0.0)
-    w = (G * mass_all)[None, :] * inv_r * inv_r * inv_r
-    rv = dx * dvx + dy * dvy + dz * dvz
-    s = 3.0 * w * rv * jnp.where(u > 0, 1.0 / safe_u, 0.0)
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
-    jx = jnp.sum(w * dvx - s * dx, axis=1)
-    jy = jnp.sum(w * dvy - s * dy, axis=1)
-    jz = jnp.sum(w * dvz - s * dz, axis=1)
-    return jnp.stack([ax, ay, az], axis=1), jnp.stack([jx, jy, jz], axis=1)
+    """Blocked (accel, phi); self term removed."""
+    pos_c, mass_c = prepare_f32(pos, mass, compute_dtype=compute_dtype)
+    acc, phi = accel_potential_rows(
+        pos_c, pos_c, mass_c,
+        jnp.asarray(eps, compute_dtype), jnp.asarray(G, compute_dtype), chunk)
+    phi = phi + self_phi(mass_c, jnp.asarray(eps, compute_dtype),
+                         jnp.asarray(G, compute_dtype))
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "chunk"))
 def accel_jerk(pos, vel, mass, eps=0.0, G=1.0, *, compute_dtype=jnp.float32,
                chunk=1024):
     """Blocked (accel, jerk) for the Hermite-4 stepper."""
-    (pos_c, mass_c, vel_c), eps2, n, chunk = _prepare(
-        pos, mass, eps, compute_dtype, chunk, vel=vel
-    )
-    Gc = jnp.asarray(G, compute_dtype)
-    starts = jnp.arange(0, pos_c.shape[0], chunk)
-    acc_blocks, jerk_blocks = lax.map(
-        lambda i0: _row_block_accel_jerk(pos_c, vel_c, mass_c, eps2, Gc, i0, chunk),
-        starts,
-    )
-    acc = acc_blocks.reshape(-1, 3)[:n].astype(pos.dtype)
-    jerk = jerk_blocks.reshape(-1, 3)[:n].astype(pos.dtype)
-    return acc, jerk
+    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel,
+                                       compute_dtype=compute_dtype)
+    acc, jerk = accel_jerk_rows(
+        pos_c, vel_c, pos_c, vel_c, mass_c,
+        jnp.asarray(eps, compute_dtype), jnp.asarray(G, compute_dtype), chunk)
+    return acc.astype(pos.dtype), jerk.astype(pos.dtype)

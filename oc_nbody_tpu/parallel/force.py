@@ -1,0 +1,220 @@
+"""Multi-chip force engine: row-sharded O(N²) with ICI collectives.
+
+Capability parity: SURVEY.md §2.12 / §3.5 — BASELINE.json:11 "force-tile
+rows + ICI allreduce". Two source strategies, both expressed with
+`shard_map` over a 1-D mesh:
+
+  * ``allgather`` — each chip owns N/D target rows and all-gathers the full
+    source set once per evaluation (one ICI all_gather; best for small/mid N
+    where sources fit comfortably in HBM).
+  * ``ring``      — sources stay sharded and circulate via `ppermute` around
+    the ICI ring while each chip accumulates partial forces blockwise —
+    structurally identical to ring attention (blockwise accumulation over a
+    permuted source shard; SURVEY.md §5 "long-context"). D-1 permutes, no
+    replication: the large-N path.
+
+The per-shard compute is the same rows-vs-sources kernel as single-chip
+(ops.gravity / ops.pallas_gravity), so sharded == single-device up to f32
+summation order (tested in tests/distributed on an 8-device CPU mesh;
+SURVEY.md §4.3).
+
+`ShardedForce` duck-types ForceModel (accel / accel_potential / accel_jerk),
+so every stepper works unchanged on a mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from oc_nbody_tpu.models.potentials import Potential
+from oc_nbody_tpu.ops import gravity
+from oc_nbody_tpu.parallel.mesh import AXIS
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedForce:
+    """Row-sharded force engine over a 1-D device mesh."""
+
+    eps: jax.Array
+    G: jax.Array
+    external: Optional[Potential] = None
+    mesh: Mesh = dataclasses.field(default=None, metadata=dict(static=True))
+    mode: str = dataclasses.field(default="allgather", metadata=dict(static=True))
+    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    chunk: int = dataclasses.field(default=1024, metadata=dict(static=True))
+
+    # ---- rows-vs-sources kernel dispatch ------------------------------
+    def _rows_kernel(self):
+        if self.backend == "pallas" or (
+            self.backend == "auto" and jax.default_backend() not in ("cpu",)
+        ):
+            from oc_nbody_tpu.ops import pallas_gravity
+            return pallas_gravity
+        return gravity
+
+    @property
+    def axis(self) -> str:
+        return self.mesh.axis_names[0] if self.mesh is not None else AXIS
+
+    def _pad(self, arrs, n):
+        d = self.mesh.devices.size
+        n_pad = _round_up(n, d * 8)
+        if n_pad == n:
+            return arrs
+        out = []
+        for a in arrs:
+            width = ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)
+            out.append(jnp.pad(a, width))
+        return out
+
+    # ---- public API (mirrors ForceModel) ------------------------------
+    def accel(self, pos, mass):
+        k = self._rows_kernel()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        n = pos.shape[0]
+        pos_c, mass_c = gravity.prepare_f32(pos, mass)
+        pos_p, mass_p = self._pad([pos_c, mass_c], n)
+        ax = self.axis
+
+        def shard_fn(pos_l, mass_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, sp, sm = carry
+                    acc = acc + k.accel_rows(pos_l, sp, sm, eps32, G32, self.chunk)
+                    sp = lax.ppermute(sp, ax, perm)
+                    sm = lax.ppermute(sm, ax, perm)
+                    return acc, sp, sm
+
+                acc0 = jnp.zeros_like(pos_l)
+                acc, _, _ = lax.fori_loop(0, d, body, (acc0, pos_l, mass_l))
+                return acc
+            src_pos = lax.all_gather(pos_l, ax, tiled=True)
+            src_mass = lax.all_gather(mass_l, ax, tiled=True)
+            return k.accel_rows(pos_l, src_pos, src_mass, eps32, G32, self.chunk)
+
+        out = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax), P(ax)), out_specs=P(ax),
+        )(pos_p, mass_p)
+        acc = out[:n].astype(pos.dtype)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+        return acc
+
+    def accel_potential(self, pos, mass):
+        k = self._rows_kernel()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        n = pos.shape[0]
+        pos_c, mass_c = gravity.prepare_f32(pos, mass)
+        pos_p, mass_p = self._pad([pos_c, mass_c], n)
+        ax = self.axis
+
+        def shard_fn(pos_l, mass_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, phi, sp, sm = carry
+                    da, dp = k.accel_potential_rows(pos_l, sp, sm, eps32, G32,
+                                                    self.chunk)
+                    sp = lax.ppermute(sp, ax, perm)
+                    sm = lax.ppermute(sm, ax, perm)
+                    return acc + da, phi + dp, sp, sm
+
+                acc0 = jnp.zeros_like(pos_l)
+                phi0 = jnp.zeros_like(pos_l[:, 0])  # inherits the shard vma
+                acc, phi, _, _ = lax.fori_loop(
+                    0, d, body, (acc0, phi0, pos_l, mass_l))
+                return acc, phi
+            src_pos = lax.all_gather(pos_l, ax, tiled=True)
+            src_mass = lax.all_gather(mass_l, ax, tiled=True)
+            return k.accel_potential_rows(pos_l, src_pos, src_mass, eps32, G32,
+                                          self.chunk)
+
+        acc, phi = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+        )(pos_p, mass_p)
+        acc = acc[:n].astype(pos.dtype)
+        phi = (phi[:n] + gravity.self_phi(mass_c, eps32, G32)).astype(pos.dtype)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+            phi_ext = self.external.phi(pos)
+        else:
+            phi_ext = jnp.zeros_like(phi)
+        return acc, phi, phi_ext
+
+    def accel_jerk(self, pos, vel, mass):
+        k = self._rows_kernel()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        n = pos.shape[0]
+        pos_c, mass_c, vel_c = gravity.prepare_f32(pos, mass, vel=vel)
+        pos_p, mass_p, vel_p = self._pad([pos_c, mass_c, vel_c], n)
+        ax = self.axis
+
+        def shard_fn(pos_l, vel_l, mass_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, jerk, sp, sv, sm = carry
+                    da, dj = k.accel_jerk_rows(pos_l, vel_l, sp, sv, sm,
+                                               eps32, G32, self.chunk)
+                    sp = lax.ppermute(sp, ax, perm)
+                    sv = lax.ppermute(sv, ax, perm)
+                    sm = lax.ppermute(sm, ax, perm)
+                    return acc + da, jerk + dj, sp, sv, sm
+
+                z = jnp.zeros_like(pos_l)
+                acc, jerk, _, _, _ = lax.fori_loop(
+                    0, d, body, (z, z, pos_l, vel_l, mass_l))
+                return acc, jerk
+            src_pos = lax.all_gather(pos_l, ax, tiled=True)
+            src_vel = lax.all_gather(vel_l, ax, tiled=True)
+            src_mass = lax.all_gather(mass_l, ax, tiled=True)
+            return k.accel_jerk_rows(pos_l, vel_l, src_pos, src_vel, src_mass,
+                                     eps32, G32, self.chunk)
+
+        acc, jerk = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+        )(pos_p, vel_p, mass_p)
+        acc = acc[:n].astype(pos.dtype)
+        jerk = jerk[:n].astype(pos.dtype)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
+
+def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
+                       mode: str = "allgather", backend: str = "auto",
+                       chunk: int = 1024) -> ShardedForce:
+    if mesh is None:
+        from oc_nbody_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    return ShardedForce(
+        eps=jnp.asarray(eps, jnp.float64),
+        G=jnp.asarray(G, jnp.float64),
+        external=external, mesh=mesh, mode=mode, backend=backend, chunk=chunk,
+    )

@@ -1,0 +1,135 @@
+"""Run driver: config -> simulate -> outputs.
+
+Capability parity: SURVEY.md §3.1 — the top-level simulation loop. Host and
+device touch only at three boundaries: IC upload, diagnostics scalars every
+``diag_every``, snapshot downloads every ``snap_every`` (BASELINE.json:5
+"HBM-resident particle state"). The hot loop is the jitted
+``stepper.advance_to`` (a lax.while_loop of steps, one device call per
+output interval).
+
+Failure handling (SURVEY.md §5): diagnostics are checked with isfinite; on a
+non-finite total energy the driver writes an emergency snapshot and raises.
+Snapshots double as checkpoints; ``run(config, resume=True)`` restores the
+latest valid snapshot (with integrator aux, so the continuation is
+bit-identical — tested in tests/io).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time as _time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from oc_nbody_tpu import diagnostics as diag_mod
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.io.snapshot import SnapshotWriter, latest_snapshot, read_snapshot
+from oc_nbody_tpu.scene import build_scene, make_stepper
+
+
+@dataclasses.dataclass
+class RunResult:
+    state: object
+    carry: object
+    diagnostics: dict          # column -> np.ndarray time series
+    out_dir: str
+    wall_time_s: float
+    n_steps: int
+
+
+def run(cfg: SimConfig, resume: bool = False,
+        progress: Optional[callable] = None) -> RunResult:
+    scene = build_scene(cfg)
+    stepper, kind = make_stepper(cfg, scene.force)
+    out = cfg.output
+    writer = SnapshotWriter(out.out_dir, units=scene.units,
+                            config_json=cfg.to_json())
+
+    t0 = float(scene.state.time)
+    carry = None
+    snap_index = 0
+    if resume:
+        path = latest_snapshot(out.out_dir)
+        if path is not None:
+            snap = read_snapshot(path)
+            if snap.integrator_kind is not None and snap.integrator_kind != kind:
+                raise ValueError(
+                    f"snapshot integrator {snap.integrator_kind!r} != config {kind!r}")
+            carry = stepper.restore(snap.state, snap.aux)
+            t0 = float(snap.state.time)
+            snap_index = int(path.rsplit("_", 1)[1].split(".")[0]) + 1
+    if carry is None:
+        carry = stepper.init(scene.state)
+
+    # donate the carry: the old state buffers are dead after each superstep,
+    # halving HBM pressure for large N (SURVEY.md §5 "donated-buffer
+    # aliasing" — the stale-buffer risk is covered by tests/io determinism
+    # and resume tests, which run the same jitted advance repeatedly)
+    advance_to = jax.jit(stepper.advance_to, donate_argnums=0)
+    compute_diag = jax.jit(
+        lambda state, force: diag_mod.compute_all(state, force, out.fractions)
+    )
+
+    n_diag = max(1, int(round((out.t_end - t0) / out.diag_every)))
+    snap_stride = max(1, int(round(out.snap_every / out.diag_every)))
+
+    series: dict[str, list] = {}
+    wall_start = _time.perf_counter()
+
+    def emit(row):
+        for k, v in row.items():
+            series.setdefault(k, []).append(float(v))
+        writer.append_diagnostics(row)
+
+    # initial diagnostics row
+    row0 = jax.device_get(compute_diag(carry.state, scene.force))
+    e0 = float(row0["E_tot"])
+    row0["dE_over_E"] = 0.0
+    row0["wall_s"] = 0.0
+    emit(row0)
+    if not resume or snap_index == 0:
+        writer.write(snap_index, carry.state, aux=stepper.checkpoint_aux(carry),
+                     integrator_kind=kind, step=int(carry.n_steps))
+        snap_index += 1
+
+    for i in range(1, n_diag + 1):
+        t_target = t0 + i * out.diag_every
+        carry = advance_to(carry, t_target)
+        row = jax.device_get(compute_diag(carry.state, scene.force))
+        e = float(row["E_tot"])
+        row["dE_over_E"] = (e - e0) / abs(e0) if e0 != 0 else math.nan
+        row["wall_s"] = _time.perf_counter() - wall_start
+        emit(row)
+
+        if not np.isfinite(e):
+            writer.write(snap_index, carry.state,
+                         aux=stepper.checkpoint_aux(carry),
+                         integrator_kind=kind, step=int(carry.n_steps))
+            raise FloatingPointError(
+                f"non-finite total energy at t={float(carry.state.time):.6g}; "
+                f"emergency snapshot written to {out.out_dir}"
+            )
+
+        if i % snap_stride == 0 or i == n_diag:
+            writer.write(snap_index, carry.state,
+                         aux=stepper.checkpoint_aux(carry),
+                         integrator_kind=kind, step=int(carry.n_steps))
+            snap_index += 1
+
+        if out.stdout:
+            print(
+                f"t={float(carry.state.time):9.4f}  E={e:+.9e}  "
+                f"dE/E={row['dE_over_E']:+.3e}  steps={int(carry.n_steps)}  "
+                f"wall={row['wall_s']:.1f}s", flush=True,
+            )
+        if progress is not None:
+            progress(i, n_diag, row)
+
+    wall = _time.perf_counter() - wall_start
+    return RunResult(
+        state=carry.state, carry=carry,
+        diagnostics={k: np.asarray(v) for k, v in series.items()},
+        out_dir=out.out_dir, wall_time_s=wall, n_steps=int(carry.n_steps),
+    )

@@ -1,0 +1,164 @@
+"""Scene building: IC generation, unit wiring, orbit placement.
+
+Capability parity: SURVEY.md §2.8 / §3.1 — the reference's scene/state API
+(BASELINE.json:5): build a cluster IC, convert the analytic Milky Way
+potential into code units, and place the cluster's centre of mass on a
+galactic orbit (circular, BASELINE.json:8, or eccentric disk-crossing,
+BASELINE.json:10) in an inertial galactocentric frame.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.forces import ForceModel, make_force_model
+from oc_nbody_tpu.models import imf as imf_mod
+from oc_nbody_tpu.models import potentials as pot_mod
+from oc_nbody_tpu.models.plummer import plummer
+from oc_nbody_tpu.state import ParticleState
+from oc_nbody_tpu.utils.units import UnitSystem
+
+
+@dataclasses.dataclass
+class Scene:
+    units: UnitSystem
+    state: ParticleState
+    force: ForceModel
+    config: SimConfig
+
+
+def build_units(cfg: SimConfig) -> UnitSystem:
+    u = cfg.units
+    if u.kind == "henon":
+        return UnitSystem.henon(mass_msun=u.mass_msun, length_pc=u.length_pc)
+    if u.kind == "physical":
+        return UnitSystem.physical()
+    raise ValueError(f"unknown units kind {u.kind!r}")
+
+
+def build_external_potential(cfg: SimConfig, us: UnitSystem) -> Optional[pot_mod.Potential]:
+    p = cfg.potential
+    if p.kind == "none":
+        return None
+    mass_scale = 1.0 / us.mass_msun      # code mass units per Msun
+    length_scale = 1.0 / us.length_pc    # code length units per pc
+    if p.kind == "milky_way":
+        return pot_mod.milky_way(us.G, mass_scale, length_scale)
+    if p.kind == "point_mass":
+        return pot_mod.PointMass(
+            GM=jnp.asarray(us.G * p.mass_msun * mass_scale),
+            softening=jnp.asarray(p.softening_pc * length_scale),
+        )
+    raise ValueError(f"unknown potential kind {p.kind!r}")
+
+
+def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
+    ic = cfg.ic
+    key = jax.random.PRNGKey(ic.seed)
+    k_ic, k_imf = jax.random.split(key)
+
+    masses = None
+    if ic.imf != "equal":
+        sampler = {"kroupa": imf_mod.kroupa_imf, "salpeter": imf_mod.salpeter_imf}[ic.imf]
+        masses = sampler(ic.n, k_imf, m_min=ic.m_min_msun, m_max=ic.m_max_msun)
+
+    if ic.kind == "plummer":
+        return plummer(ic.n, k_ic, a=ic.a, total_mass=ic.total_mass,
+                       G=us.G, masses=masses)
+    if ic.kind == "king":
+        from oc_nbody_tpu.models.king import king
+        return king(ic.n, ic.w0, seed=ic.seed, total_mass=ic.total_mass,
+                    G=us.G, masses=masses)
+    if ic.kind == "file":
+        from oc_nbody_tpu.io.snapshot import read_snapshot
+        return read_snapshot(ic.file).state
+    raise ValueError(f"unknown IC kind {ic.kind!r}")
+
+
+def eccentric_orbit_ic(potential: pot_mod.Potential, r_apo, r_peri):
+    """In-plane phase-space point at apocentre of an (r_apo, r_peri) orbit.
+
+    Energy/angular-momentum match in the midplane:
+      L^2 = 2 (Φ(r_a) − Φ(r_p)) / (1/r_p² − 1/r_a²)
+    """
+    r_apo = jnp.asarray(r_apo, jnp.float64)
+    r_peri = jnp.asarray(r_peri, jnp.float64)
+    phi_a = potential.phi_R(r_apo)
+    phi_p = potential.phi_R(r_peri)
+    L2 = 2.0 * (phi_a - phi_p) / (1.0 / r_peri**2 - 1.0 / r_apo**2)
+    v_t = jnp.sqrt(L2) / r_apo
+    return jnp.array([r_apo, 0.0, 0.0]), jnp.array([0.0, v_t, 0.0])
+
+
+def _rot_x(vec, angle_rad: float):
+    c, s = math.cos(angle_rad), math.sin(angle_rad)
+    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
+    return jnp.stack([x, c * y - s * z, s * y + c * z], axis=-1)
+
+
+def place_on_orbit(state: ParticleState, potential: Optional[pot_mod.Potential],
+                   cfg: SimConfig, us: UnitSystem) -> ParticleState:
+    orbit = cfg.orbit
+    if orbit.kind == "none":
+        return state
+    if potential is None:
+        raise ValueError("orbit placement requires an external potential")
+    length_scale = 1.0 / us.length_pc
+    if orbit.kind == "circular":
+        R0 = orbit.R0_pc * length_scale
+        pos0 = jnp.array([R0, 0.0, 0.0])
+        vel0 = jnp.array([0.0, float(potential.vcirc(R0)), 0.0])
+    elif orbit.kind == "eccentric":
+        pos0, vel0 = eccentric_orbit_ic(
+            potential, orbit.r_apo_pc * length_scale, orbit.r_peri_pc * length_scale
+        )
+    else:
+        raise ValueError(f"unknown orbit kind {orbit.kind!r}")
+    if orbit.inclination_deg:
+        ang = math.radians(orbit.inclination_deg)
+        pos0, vel0 = _rot_x(pos0, ang), _rot_x(vel0, ang)
+    return state.shifted(dpos=pos0, dvel=vel0)
+
+
+def build_scene(cfg: SimConfig) -> Scene:
+    us = build_units(cfg)
+    external = build_external_potential(cfg, us)
+    state = build_ic(cfg, us)
+    state = place_on_orbit(state, external, cfg, us)
+    if cfg.mesh.n_devices != 1:
+        import jax
+        from oc_nbody_tpu.parallel import make_mesh, make_sharded_force
+        n_dev = cfg.mesh.n_devices or len(jax.devices())
+        if n_dev > 1:
+            mode = cfg.mesh.mode if cfg.mesh.mode != "auto" else "allgather"
+            force = make_sharded_force(
+                eps=cfg.integrator.eps, G=us.G, external=external,
+                mesh=make_mesh(n_dev), mode=mode, backend=cfg.backend,
+            )
+            return Scene(units=us, state=state, force=force, config=cfg)
+    force = make_force_model(
+        eps=cfg.integrator.eps, G=us.G, external=external, backend=cfg.backend
+    )
+    return Scene(units=us, state=state, force=force, config=cfg)
+
+
+def make_stepper(cfg: SimConfig, force: ForceModel):
+    """Build the configured stepper; returns (stepper, kind)."""
+    ic = cfg.integrator
+    if ic.kind == "kdk":
+        from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
+        return LeapfrogKDK(force=force, dt=ic.dt), "kdk"
+    if ic.kind == "hermite":
+        from oc_nbody_tpu.integrators.hermite import Hermite4
+        return Hermite4(force=force, eta=ic.eta, eta_init=ic.eta_init,
+                        dt_max=ic.dt_max, quantize=ic.quantize), "hermite"
+    if ic.kind == "block":
+        from oc_nbody_tpu.integrators.block import BlockHermite
+        return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,
+                            dt_max=ic.dt_max, n_levels=ic.n_levels), "block"
+    raise ValueError(f"unknown integrator kind {ic.kind!r}")

@@ -8,15 +8,12 @@ Must run before the first `import jax` anywhere in the test process.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax  # noqa: E402
 
+# The environment's sitecustomize overrides JAX_PLATFORMS, so the platform
+# must be forced via jax.config (before any backend initialisation).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 # Compiles are slow in this environment (remote-compile relay) even on CPU;
 # a persistent on-disk cache makes repeated test runs fast.
