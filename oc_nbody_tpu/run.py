@@ -83,10 +83,15 @@ def run(cfg: SimConfig, resume: bool = False,
             series.setdefault(k, []).append(float(v))
         writer.append_diagnostics(row)
 
-    # initial diagnostics row
+    # initial diagnostics row; on resume, keep the ORIGINAL t=0 energy as the
+    # drift baseline (read back from the run's diagnostics table)
     row0 = jax.device_get(compute_diag(carry.state, scene.force))
     e0 = float(row0["E_tot"])
-    row0["dE_over_E"] = 0.0
+    if resume:
+        prev = writer.read_diagnostics()
+        if "E_tot" in prev and len(prev["E_tot"]):
+            e0 = float(prev["E_tot"][0])
+    row0["dE_over_E"] = (float(row0["E_tot"]) - e0) / abs(e0) if e0 else 0.0
     row0["wall_s"] = 0.0
     emit(row0)
     if not resume or snap_index == 0:
