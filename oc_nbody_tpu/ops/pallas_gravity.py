@@ -37,8 +37,11 @@ from oc_nbody_tpu.ops.gravity import prepare_f32, self_phi
 
 # Row/source tile sizes. TI*TJ f32 temporaries must fit VMEM comfortably:
 # 256 x 1024 x 4B = 1 MB per (TI, TJ) array, ~6 live -> ~6 MB, OK.
-TI = 256
-TJ = 1024
+# Env-overridable for tuning sweeps (bench/perf_sweep.py).
+import os as _os
+
+TI = int(_os.environ.get("OCN_PALLAS_TI", 256))
+TJ = int(_os.environ.get("OCN_PALLAS_TJ", 1024))
 
 # pallas_call, invoked with x64 disabled: kernel data is all-f32 and Mosaic
 # requires i32 index arithmetic, which x64 tracing would promote to i64.

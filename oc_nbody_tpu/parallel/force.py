@@ -207,6 +207,44 @@ class ShardedForce:
         return acc, jerk
 
 
+    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel, src_mass):
+        """Block-timestep active-row evaluation on the mesh: the (small) row
+        set is replicated, sources stay row-sharded, and each chip's partial
+        (accel, jerk) is psum-reduced over ICI — the BASELINE.json:11
+        allreduce applied to the active subset (SURVEY.md §2 EP analog)."""
+        k = self._rows_kernel()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        center = jnp.mean(src_pos, axis=0)
+        vcenter = jnp.mean(src_vel, axis=0)
+        rows_c = (pos_rows - center).astype(jnp.float32)
+        vrows_c = (vel_rows - vcenter).astype(jnp.float32)
+        src_c = (src_pos - center).astype(jnp.float32)
+        svel_c = (src_vel - vcenter).astype(jnp.float32)
+        mass_c = jnp.asarray(src_mass, jnp.float32)
+        ns = src_c.shape[0]
+        src_p, svel_p, mass_p = self._pad([src_c, svel_c, mass_c], ns)
+        ax = self.axis
+
+        def shard_fn(rows, vrows, sp, sv, sm):
+            da, dj = k.accel_jerk_rows(rows, vrows, sp, sv, sm, eps32, G32,
+                                       self.chunk)
+            return lax.psum(da, ax), lax.psum(dj, ax)
+
+        acc, jerk = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+            out_specs=(P(), P()),
+        )(rows_c, vrows_c, src_p, svel_p, mass_p)
+        acc = acc.astype(pos_rows.dtype)
+        jerk = jerk.astype(pos_rows.dtype)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,), (vel_rows,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
+
 def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        mode: str = "allgather", backend: str = "auto",
                        chunk: int = 1024) -> ShardedForce:

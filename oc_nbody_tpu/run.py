@@ -37,6 +37,7 @@ class RunResult:
     out_dir: str
     wall_time_s: float
     n_steps: int
+    wall_per_myr: float = float("nan")  # BASELINE.json:5 "wall-clock/Myr"
 
 
 def run(cfg: SimConfig, resume: bool = False,
@@ -133,8 +134,14 @@ def run(cfg: SimConfig, resume: bool = False,
             progress(i, n_diag, row)
 
     wall = _time.perf_counter() - wall_start
+    sim_myr = (float(carry.state.time) - t0) * scene.units.time_myr
+    wall_per_myr = wall / sim_myr if sim_myr > 0 else math.nan
+    if out.stdout:
+        print(f"wall-clock per simulated Myr: {wall_per_myr:.4g} s/Myr "
+              f"({sim_myr:.4g} Myr simulated in {wall:.1f}s incl. compile)")
     return RunResult(
         state=carry.state, carry=carry,
         diagnostics={k: np.asarray(v) for k, v in series.items()},
         out_dir=out.out_dir, wall_time_s=wall, n_steps=int(carry.n_steps),
+        wall_per_myr=wall_per_myr,
     )
