@@ -36,16 +36,22 @@ def main():
         backend = "jnp"
     force = make_force_model(eps=EPS, backend=backend)
 
-    fn = jax.jit(lambda p, m: force.accel(p, m))
-    out = fn(state.pos, state.mass)
-    out.block_until_ready()  # compile + warm-up
-    fn(state.pos, state.mass).block_until_ready()
+    # dependent chain: each eval's input depends on the previous output, so
+    # the runtime cannot overlap or memoize repeated identical dispatches
+    @jax.jit
+    def chain(pos, k):
+        def body(_, p):
+            a = force.accel(p, state.mass)
+            return p + 1e-300 * a  # not foldable, keeps the chain dependent
+        return jax.lax.fori_loop(0, k, body, pos)
 
+    chain(state.pos, 1).block_until_ready()  # compile + warm-up
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        out = fn(state.pos, state.mass)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / REPEATS
+    chain(state.pos, 1).block_until_ready()
+    t1 = time.perf_counter()
+    chain(state.pos, 1 + REPEATS).block_until_ready()
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / REPEATS  # slope: per-eval time
 
     rate = N * N / dt
     print(json.dumps({

@@ -1,0 +1,69 @@
+"""End-to-end run() driver on CPU: outputs, resume, NaN guard
+(SURVEY.md §3.1, §5)."""
+import os
+
+import numpy as np
+import pytest
+
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.run import run
+
+
+def _tiny_cfg(tmp_path, **kw):
+    cfg = SimConfig()
+    cfg.ic.n = 48
+    cfg.ic.seed = 7
+    cfg.integrator.dt = 1.0 / 128
+    cfg.integrator.eps = 1.0 / 16
+    cfg.output.out_dir = str(tmp_path / "run")
+    cfg.output.t_end = 0.5
+    cfg.output.diag_every = 0.25
+    cfg.output.snap_every = 0.25
+    cfg.output.stdout = False
+    cfg.backend = "jnp"
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_run_produces_outputs(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    res = run(cfg)
+    assert res.n_steps == 64
+    assert float(res.state.time) == pytest.approx(0.5)
+    files = sorted(os.listdir(cfg.output.out_dir))
+    assert "diagnostics.h5" in files
+    assert any(f.startswith("snapshot_") for f in files)
+    assert "E_tot" in res.diagnostics and len(res.diagnostics["E_tot"]) == 3
+    assert abs(res.diagnostics["dE_over_E"][-1]) < 1e-5
+    assert np.isfinite(res.wall_per_myr)
+
+
+def test_run_resume_continues(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    run(cfg)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.output.t_end = 1.0
+    res2 = run(cfg2, resume=True)
+    assert float(res2.state.time) == pytest.approx(1.0)
+    assert res2.n_steps == 128  # counter restored, not reset
+    # dE/E baseline is the ORIGINAL first row, not the resume point
+    d = res2.diagnostics
+    assert len(d["E_tot"]) >= 3
+
+
+def test_run_hermite_kind(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.kind = "hermite"
+    cfg.integrator.eta = 0.02
+    res = run(cfg)
+    assert float(res.state.time) == pytest.approx(0.5)
+
+
+def test_run_block_kind(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.kind = "block"
+    cfg.integrator.dt_max = 1.0 / 16
+    cfg.integrator.n_levels = 4
+    res = run(cfg)
+    assert float(res.state.time) == pytest.approx(0.5)
