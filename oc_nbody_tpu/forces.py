@@ -42,6 +42,9 @@ class ForceModel:
     external: Optional[Potential] = None
     backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
     chunk: int = dataclasses.field(default=1024, metadata=dict(static=True))
+    # eps > 0 guaranteed (known at construction): lets the Pallas kernels
+    # drop the u > 0 self-pair guard (~15% fewer VPU ops)
+    softened: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def _resolve(self) -> str:
         b = self.backend
@@ -51,19 +54,22 @@ class ForceModel:
     def _pair_accel(self, pos, mass):
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
-            return pallas_gravity.accel(pos, mass, self.eps, self.G)
+            return pallas_gravity.accel(pos, mass, self.eps, self.G,
+                                        guarded=not self.softened)
         return gravity.accel(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_potential(self, pos, mass):
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
-            return pallas_gravity.accel_potential(pos, mass, self.eps, self.G)
+            return pallas_gravity.accel_potential(pos, mass, self.eps, self.G,
+                                                  guarded=not self.softened)
         return gravity.accel_potential(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_jerk(self, pos, vel, mass):
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
-            return pallas_gravity.accel_jerk(pos, vel, mass, self.eps, self.G)
+            return pallas_gravity.accel_jerk(pos, vel, mass, self.eps, self.G,
+                                             guarded=not self.softened)
         return gravity.accel_jerk(pos, vel, mass, self.eps, self.G, chunk=self.chunk)
 
     # ---- public API ----------------------------------------------------
@@ -110,7 +116,8 @@ class ForceModel:
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
             acc, jerk = pallas_gravity.accel_jerk_rows(
-                rows_c, vrows_c, src_c, svel_c, mass_c, eps32, G32)
+                rows_c, vrows_c, src_c, svel_c, mass_c, eps32, G32,
+                guarded=not self.softened)
         else:
             acc, jerk = gravity.accel_jerk_rows(
                 rows_c, vrows_c, src_c, svel_c, mass_c, eps32, G32, self.chunk)
@@ -131,4 +138,5 @@ def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
         external=external,
         backend=backend,
         chunk=chunk,
+        softened=bool(float(eps) > 0),
     )

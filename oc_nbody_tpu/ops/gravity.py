@@ -194,7 +194,8 @@ def _block_accel_jerk(src_x, src_y, src_z, svx, svy, svz, gm, pi, vi, eps2):
     inv_r = jnp.where(u > 0, lax.rsqrt(safe_u), 0.0)
     w = gm * inv_r * inv_r * inv_r
     rv = dx * dvx + dy * dvy + dz * dvz
-    s = 3.0 * w * rv * jnp.where(u > 0, 1.0 / safe_u, 0.0)
+    # s = 3 w rv / u == 3 rv w inv_r^2 (inv_r is already zero-guarded)
+    s = (3.0 * rv) * w * (inv_r * inv_r)
     acc = jnp.stack(
         [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1), jnp.sum(w * dz, axis=1)],
         axis=1,

@@ -68,11 +68,20 @@ def _src_layout(src_pos, src_mass, G):
     return srcT, gm, nsp
 
 
+def _inv_r(u, guarded: bool):
+    """Zero-guarded rsqrt. guarded=False is valid only when eps > 0 (then
+    u >= eps^2 > 0 everywhere) and saves a compare+select+max per pair."""
+    if guarded:
+        tiny = jnp.float32(1.1754944e-38)
+        return jnp.where(u > 0, jax.lax.rsqrt(jnp.maximum(u, tiny)), 0.0)
+    return jax.lax.rsqrt(u)
+
+
 # --------------------------------------------------------------------------
 # accel
 # --------------------------------------------------------------------------
 
-def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref):
+def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     xi = rows_ref[:, 0:1]
@@ -91,7 +100,7 @@ def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref):
         dy = sy - yi
         dz = sz - zi
         u = dx * dx + dy * dy + dz * dz + eps2
-        inv = jnp.where(u > 0, jax.lax.rsqrt(jnp.maximum(u, tiny)), 0.0)
+        inv = _inv_r(u, guarded)
         w = gm_ref[0:1, pl.ds(j0, TJ)] * (inv * inv * inv)
         ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
         ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
@@ -103,8 +112,9 @@ def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref):
     out_ref[:] = jnp.concatenate([ax, ay, az], axis=1)
 
 
-@jax.jit
-def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0):
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
+               guarded: bool = True):
     """Pallas accel on rows from sources; f32 in, f32 out. Drop-in for
     ops.gravity.accel_rows (``chunk`` accepted and ignored)."""
     nr = pos_rows.shape[0]
@@ -115,7 +125,7 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0):
 
     with jax.enable_x64(False):
         out = _call(
-        _accel_kernel,
+        functools.partial(_accel_kernel, guarded=guarded),
         grid=(nrp // TI,),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -137,7 +147,7 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0):
 # accel + potential
 # --------------------------------------------------------------------------
 
-def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref):
+def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *, guarded):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     xi = rows_ref[:, 0:1]
@@ -156,7 +166,7 @@ def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref):
         dy = sy - yi
         dz = sz - zi
         u = dx * dx + dy * dy + dz * dz + eps2
-        inv = jnp.where(u > 0, jax.lax.rsqrt(jnp.maximum(u, tiny)), 0.0)
+        inv = _inv_r(u, guarded)
         gminv = gm_ref[0:1, pl.ds(j0, TJ)] * inv
         w = gminv * (inv * inv)
         ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
@@ -171,8 +181,9 @@ def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref):
     phi_ref[:] = ph
 
 
-@jax.jit
-def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0):
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
+                         guarded: bool = True):
     """(accel, phi) on rows; phi includes the softened self term when rows
     overlap sources (caller adds ``self_phi``) — same contract as jnp."""
     nr = pos_rows.shape[0]
@@ -183,7 +194,7 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
 
     with jax.enable_x64(False):
         acc, phi = _call(
-        _accel_phi_kernel,
+        functools.partial(_accel_phi_kernel, guarded=guarded),
         grid=(nrp // TI,),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -212,7 +223,7 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
 # --------------------------------------------------------------------------
 
 def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
-                       eps2_ref, out_ref, jout_ref):
+                       eps2_ref, out_ref, jout_ref, *, guarded):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     xi = rows_ref[:, 0:1]
@@ -234,11 +245,11 @@ def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
         dvy = svel_ref[1:2, pl.ds(j0, TJ)] - vyi
         dvz = svel_ref[2:3, pl.ds(j0, TJ)] - vzi
         u = dx * dx + dy * dy + dz * dz + eps2
-        safe_u = jnp.maximum(u, tiny)
-        inv = jnp.where(u > 0, jax.lax.rsqrt(safe_u), 0.0)
+        inv = _inv_r(u, guarded)
         w = gm_ref[0:1, pl.ds(j0, TJ)] * (inv * inv * inv)
         rv = dx * dvx + dy * dvy + dz * dvz
-        s = (jnp.float32(3.0) * w) * rv * jnp.where(u > 0, 1.0 / safe_u, 0.0)
+        # s = 3 w rv / u == 3 rv w inv^2 (inv is already zero-guarded)
+        s = (jnp.float32(3.0) * rv) * w * (inv * inv)
         ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
         ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
         az = az + jnp.sum(w * dz, axis=1, keepdims=True)
@@ -253,9 +264,9 @@ def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
     jout_ref[:] = jnp.concatenate([jx, jy, jz], axis=1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
-                    G=1.0, chunk: int = 0):
+                    G=1.0, chunk: int = 0, guarded: bool = True):
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -266,7 +277,7 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 
     with jax.enable_x64(False):
         acc, jerk = _call(
-        _accel_jerk_kernel,
+        functools.partial(_accel_jerk_kernel, guarded=guarded),
         grid=(nrp // TI,),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -296,28 +307,28 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
 
-@jax.jit
-def accel(pos, mass, eps=0.0, G=1.0):
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     pos_c, mass_c = prepare_f32(pos, mass)
     out = accel_rows(pos_c, pos_c, mass_c, jnp.asarray(eps, jnp.float32),
-                     jnp.asarray(G, jnp.float32))
+                     jnp.asarray(G, jnp.float32), 0, guarded)
     return out.astype(pos.dtype)
 
 
-@jax.jit
-def accel_potential(pos, mass, eps=0.0, G=1.0):
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     pos_c, mass_c = prepare_f32(pos, mass)
     eps32 = jnp.asarray(eps, jnp.float32)
     G32 = jnp.asarray(G, jnp.float32)
-    acc, phi = accel_potential_rows(pos_c, pos_c, mass_c, eps32, G32)
+    acc, phi = accel_potential_rows(pos_c, pos_c, mass_c, eps32, G32, 0, guarded)
     phi = phi + self_phi(mass_c, eps32, G32)
     return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
 
-@jax.jit
-def accel_jerk(pos, vel, mass, eps=0.0, G=1.0):
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
     pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
     acc, jerk = accel_jerk_rows(pos_c, vel_c, pos_c, vel_c, mass_c,
                                 jnp.asarray(eps, jnp.float32),
-                                jnp.asarray(G, jnp.float32))
+                                jnp.asarray(G, jnp.float32), 0, guarded)
     return acc.astype(pos.dtype), jerk.astype(pos.dtype)
