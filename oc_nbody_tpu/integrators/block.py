@@ -183,7 +183,10 @@ class BlockHermite:
 
         def make_branch(b):
             def branch(xp, vp, mass, active):
-                idx = jnp.nonzero(active, size=b, fill_value=0)[0]
+                # stable argsort puts active rows first in original order.
+                # (jnp.nonzero's cumsum lowers to a reduce-window that
+                # overflows scoped VMEM on TPU at N≳32k; sort compiles fine.)
+                idx = jnp.argsort(jnp.logical_not(active), stable=True)[:b]
                 valid = jnp.arange(b) < jnp.sum(active)
                 a_r, j_r = self.force.accel_jerk_on_rows(
                     xp[idx], vp[idx], xp, vp, mass)
