@@ -76,6 +76,7 @@ class OutputConfig:
     snap_every: float = 1.0      # snapshot cadence (code units)
     fractions: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
     stdout: bool = True
+    max_steps_per_dispatch: int = 16384  # cap steps per device dispatch
 
 
 @dataclasses.dataclass

@@ -212,6 +212,24 @@ class BlockHermite:
 
         return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
 
+    def advance_to_bounded(self, carry: BlockCarry, t_end,
+                           max_steps: int) -> BlockCarry:
+        """Like advance_to but caps the micro-steps in this dispatch — very
+        long single XLA dispatches can trip runtime watchdogs; the driver
+        loops on the host until t_end is reached (SURVEY.md §5 failure
+        detection)."""
+        t_end = jnp.asarray(t_end, jnp.float64)
+        start = carry.n_steps
+
+        def cond(c):
+            return (jnp.min(c.t_i + c.dt_i) <= t_end) & (
+                c.n_steps - start < max_steps)
+
+        return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
+
+    def reached(self, carry: BlockCarry, t_end) -> bool:
+        return float(jnp.min(carry.t_i + carry.dt_i)) > float(t_end)
+
     def advance(self, carry: BlockCarry, n: int) -> BlockCarry:
         return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
 

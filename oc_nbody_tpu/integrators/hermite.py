@@ -139,6 +139,25 @@ class Hermite4:
 
         return jax.lax.while_loop(cond, body, carry)
 
+    def advance_to_bounded(self, carry: HermiteCarry, t_end,
+                           max_steps: int) -> HermiteCarry:
+        """advance_to with a per-dispatch step cap (driver loops on host)."""
+        t_end = jnp.asarray(t_end, jnp.float64)
+        start = carry.n_steps
+
+        def cond(c):
+            return (c.state.time < t_end * (1 - jnp.sign(t_end) * 1e-14)
+                    - 1e-300) & (c.n_steps - start < max_steps)
+
+        def body(c):
+            dt = jnp.minimum(c.dt, t_end - c.state.time)
+            return self._step_with_dt(c, dt)
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    def reached(self, carry: HermiteCarry, t_end) -> bool:
+        return float(carry.state.time) >= float(t_end) * (1 - 1e-14)
+
     def checkpoint_aux(self, carry: HermiteCarry) -> dict:
         return {"acc": carry.acc, "jerk": carry.jerk, "dt": carry.dt,
                 "n_steps": carry.n_steps}

@@ -67,6 +67,20 @@ class LeapfrogKDK:
 
         return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
 
+    def advance_to_bounded(self, carry: KDKCarry, t_end,
+                           max_steps: int) -> KDKCarry:
+        """advance_to with a per-dispatch step cap (driver loops on host)."""
+        start = carry.n_steps
+
+        def cond(c):
+            return (c.state.time < t_end - 1e-12 * jnp.abs(t_end)) & (
+                c.n_steps - start < max_steps)
+
+        return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
+
+    def reached(self, carry: KDKCarry, t_end) -> bool:
+        return float(carry.state.time) >= float(t_end) - 1e-12 * abs(float(t_end))
+
     # aux arrays that must survive a checkpoint for bitwise resume
     def checkpoint_aux(self, carry: KDKCarry) -> dict:
         return {"acc": carry.acc, "n_steps": carry.n_steps}

@@ -67,8 +67,19 @@ def run(cfg: SimConfig, resume: bool = False,
     # donate the carry: the old state buffers are dead after each superstep,
     # halving HBM pressure for large N (SURVEY.md §5 "donated-buffer
     # aliasing" — the stale-buffer risk is covered by tests/io determinism
-    # and resume tests, which run the same jitted advance repeatedly)
-    advance_to = jax.jit(stepper.advance_to, donate_argnums=0)
+    # and resume tests, which run the same jitted advance repeatedly).
+    # Dispatches are step-bounded: very long single XLA programs can trip
+    # runtime watchdogs (observed as TPU worker crashes on ~70k-step block
+    # dispatches); the host loops until each output time is reached.
+    advance_bounded = jax.jit(stepper.advance_to_bounded, donate_argnums=0,
+                              static_argnums=2)
+    max_steps = max(1, int(out.max_steps_per_dispatch))
+
+    def advance_to(carry, t_target):
+        while True:
+            carry = advance_bounded(carry, t_target, max_steps)
+            if stepper.reached(carry, t_target):
+                return carry
     compute_diag = jax.jit(
         lambda state, force: diag_mod.compute_all(state, force, out.fractions)
     )
