@@ -87,6 +87,9 @@ def run(cfg: SimConfig, resume: bool = False,
     n_diag = max(1, int(round((out.t_end - t0) / out.diag_every)))
     snap_stride = max(1, int(round(out.snap_every / out.diag_every)))
 
+    from oc_nbody_tpu.utils.profiling import Stopwatch
+    watch = Stopwatch()
+
     series: dict[str, list] = {}
     wall_start = _time.perf_counter()
 
@@ -113,8 +116,10 @@ def run(cfg: SimConfig, resume: bool = False,
 
     for i in range(1, n_diag + 1):
         t_target = t0 + i * out.diag_every
-        carry = advance_to(carry, t_target)
-        row = jax.device_get(compute_diag(carry.state, scene.force))
+        with watch.phase("advance"):
+            carry = advance_to(carry, t_target)
+        with watch.phase("diagnostics"):
+            row = jax.device_get(compute_diag(carry.state, scene.force))
         e = float(row["E_tot"])
         row["dE_over_E"] = (e - e0) / abs(e0) if e0 != 0 else math.nan
         row["wall_s"] = _time.perf_counter() - wall_start
@@ -130,9 +135,10 @@ def run(cfg: SimConfig, resume: bool = False,
             )
 
         if i % snap_stride == 0 or i == n_diag:
-            writer.write(snap_index, carry.state,
-                         aux=stepper.checkpoint_aux(carry),
-                         integrator_kind=kind, step=int(carry.n_steps))
+            with watch.phase("snapshot"):
+                writer.write(snap_index, carry.state,
+                             aux=stepper.checkpoint_aux(carry),
+                             integrator_kind=kind, step=int(carry.n_steps))
             snap_index += 1
 
         if out.stdout:
@@ -150,6 +156,7 @@ def run(cfg: SimConfig, resume: bool = False,
     if out.stdout:
         print(f"wall-clock per simulated Myr: {wall_per_myr:.4g} s/Myr "
               f"({sim_myr:.4g} Myr simulated in {wall:.1f}s incl. compile)")
+        print("phase timings:\n" + watch.summary())
     return RunResult(
         state=carry.state, carry=carry,
         diagnostics={k: np.asarray(v) for k, v in series.items()},
