@@ -8,24 +8,27 @@ there (O(N)), evaluates forces only for the ACTIVE rows (t_i + dt_i ==
 t_next) against all predicted sources, corrects and re-rungs the active
 rows. There is NO host-side branching (BASELINE.json:5): activity is a mask,
 and the active-row evaluation uses fixed-shape bucketed gathers —
-`lax.switch` over power-of-two buffer sizes, `jnp.nonzero(..., size=B)` to
-compact — so the O(active × N) kernel cost shrinks with the active count
-while every shape stays static.
+`lax.switch` over power-of-two buffer sizes, `lax.top_k` to compact — so the
+O(active × N) kernel cost shrinks with the active count while every shape
+stays static.
 
-Exactness of the block grid: dt values are exact binary fractions of dt_max
-and every t_i is an exact multiple of its dt_i, so `t_i + dt_i == t_next`
-comparisons are exact in f64 and all particles synchronise bit-exactly at
-multiples of dt_max (where diagnostics/snapshots happen).
+**Integer time grid.** Per-particle times and steps are stored as int64
+multiples of dt_min = dt_max / 2^(n_levels-1). On TPU, float64 is emulated
+and `2.0**(-k)` is NOT bit-exact, which breaks `t_i + dt_i == t_next`
+equality matching (measured: duplicate near-equal rungs and straggler
+activations). Integer bookkeeping makes activity masks, rung alignment
+(`t % (2 dt) == 0`) and block synchronisation exact by construction —
+physical times are derived as `t_origin + t_int * dt_min` only where
+needed.
 
 Rung rules (standard Makino–Aarseth block scheme):
   * shrink: any time, to the Aarseth-criterion rung (clamped to n_levels);
   * grow: one rung per step at most, and only when t_next is an exact
-    multiple of the new, larger dt (alignment).
+    multiple of the new, larger dt (integer alignment).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +44,12 @@ def _norm(x):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockCarry:
-    state: ParticleState     # pos/vel at per-particle times t_i; state.time = last t_next
+    state: ParticleState     # pos/vel at per-particle times; state.time = last t_next
     acc: jax.Array           # (N, 3) at t_i
     jerk: jax.Array          # (N, 3) at t_i
-    t_i: jax.Array           # (N,) per-particle time
-    dt_i: jax.Array          # (N,) per-particle step (power-of-two rung)
+    t_i: jax.Array           # (N,) int64, units of dt_min, relative to t_origin
+    dt_i: jax.Array          # (N,) int64 rung length in dt_min units (power of two)
+    t_origin: jax.Array      # f64 scalar: physical time at t_int == 0
     n_steps: jax.Array       # int64 micro-step counter
     n_active_sum: jax.Array  # int64 total active-row evaluations (work metric)
 
@@ -55,7 +59,7 @@ class BlockCarry:
 
 @dataclasses.dataclass(frozen=True)
 class BlockHermite:
-    """Individual block-timestep Hermite-4 stepper."""
+    """Individual block-timestep Hermite-4 stepper (integer time grid)."""
 
     force: ForceModel
     eta: float = 0.02
@@ -66,12 +70,23 @@ class BlockHermite:
     # (0 disables compaction: masked full-row evaluation)
     n_buckets: int = 4
 
-    # ---- rung helpers -------------------------------------------------
-    def _quantize_down(self, dt_raw):
-        """Largest rung dt_max/2^k <= dt_raw with 0 <= k < n_levels."""
-        k = jnp.ceil(jnp.log2(self.dt_max / jnp.maximum(dt_raw, 1e-300)))
-        k = jnp.clip(k, 0, self.n_levels - 1)
-        return self.dt_max * 2.0 ** (-k)
+    @property
+    def dt_min(self) -> float:
+        return self.dt_max / (1 << (self.n_levels - 1))
+
+    @property
+    def _dt_int_max(self) -> int:
+        return 1 << (self.n_levels - 1)
+
+    # ---- rung helpers (integer dt in dt_min units) ---------------------
+    def _rung_from_float(self, dt_raw):
+        """Largest power-of-two dt_int with dt_int*dt_min <= dt_raw (clamped
+        to [1, 2^(n_levels-1)]). log2 is only a selector; the returned value
+        is an exact integer."""
+        x = dt_raw / self.dt_min
+        p = jnp.floor(jnp.log2(jnp.maximum(x, 1.0)))
+        p = jnp.clip(p, 0, self.n_levels - 1).astype(jnp.int64)
+        return jnp.left_shift(jnp.int64(1), p)
 
     def _aarseth_dt(self, a, j, a2, a3):
         na, nj, n2, n3 = _norm(a), _norm(j), _norm(a2), _norm(a3)
@@ -90,20 +105,24 @@ class BlockHermite:
         j = _norm(jerk)
         dt_raw = self.eta_init * jnp.where(
             j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny), jnp.inf)
-        dt_i = self._quantize_down(dt_raw)
+        dt_i = self._rung_from_float(dt_raw)
         n = state.n
-        t0 = jnp.full((n,), state.time, jnp.float64)
-        return BlockCarry(state=state, acc=acc, jerk=jerk, t_i=t0, dt_i=dt_i,
-                          n_steps=jnp.asarray(0, jnp.int64),
-                          n_active_sum=jnp.asarray(0, jnp.int64))
+        return BlockCarry(
+            state=state, acc=acc, jerk=jerk,
+            t_i=jnp.zeros((n,), jnp.int64), dt_i=dt_i,
+            # copy=True: t_origin must not alias state.time (both would be
+            # donated by the driver's donate_argnums superstep)
+            t_origin=jnp.array(state.time, jnp.float64, copy=True),
+            n_steps=jnp.asarray(0, jnp.int64),
+            n_active_sum=jnp.asarray(0, jnp.int64),
+        )
 
     # ---- the micro-step -----------------------------------------------
-    def _bucket_sizes(self, n: int) -> Sequence[int]:
+    def _bucket_sizes(self, n: int):
         if self.n_buckets <= 0:
             return [n]
         sizes = []
         b = 1 << (n - 1).bit_length()  # next pow2 >= n
-        b = min(b, 1 << (n).bit_length())
         for _ in range(self.n_buckets):
             sizes.append(min(b, n))
             if b <= 64:
@@ -115,12 +134,13 @@ class BlockHermite:
         s = carry.state
         pos, vel = s.pos, s.vel
         n = s.n
-        t_next = jnp.min(carry.t_i + carry.dt_i)
-        active = (carry.t_i + carry.dt_i) == t_next
+        t_next = jnp.min(carry.t_i + carry.dt_i)          # int64, exact
+        active = (carry.t_i + carry.dt_i) == t_next       # exact int equality
         n_active = jnp.sum(active)
+        dt_min = jnp.asarray(self.dt_min, jnp.float64)
 
         # predict ALL particles to t_next (O(N))
-        d = (t_next - carry.t_i)[:, None]
+        d = ((t_next - carry.t_i).astype(jnp.float64) * dt_min)[:, None]
         d2, d3 = d * d, d * d * d
         xp = pos + d * vel + (d2 / 2) * carry.acc + (d3 / 6) * carry.jerk
         vp = vel + d * carry.acc + (d2 / 2) * carry.jerk
@@ -128,27 +148,28 @@ class BlockHermite:
         # evaluate (a1, j1) on active rows, sources = all predicted
         a1_full, j1_full = self._eval_active(xp, vp, s.mass, active, n)
 
-        # correct active rows over their own step h = dt_i
-        h = carry.dt_i[:, None]
+        # correct active rows over their own step h = dt_i * dt_min
+        h = (carry.dt_i.astype(jnp.float64) * dt_min)[:, None]
         h2 = h * h
         a0, j0 = carry.acc, carry.jerk
         v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
         x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
 
         # new rung from the Aarseth criterion at t_next
-        inv_h2 = 1.0 / jnp.maximum(h2, jnp.finfo(h.dtype).tiny)
-        inv_h3 = inv_h2 / jnp.maximum(h, jnp.finfo(h.dtype).tiny)
+        inv_h2 = 1.0 / h2
+        inv_h3 = inv_h2 / h
         a2_0 = (-6.0 * (a0 - a1_full) - h * (4.0 * j0 + 2.0 * j1_full)) * inv_h2
         a3 = (12.0 * (a0 - a1_full) + 6.0 * h * (j0 + j1_full)) * inv_h3
         a2_1 = a2_0 + h * a3
-        dt_want = self._quantize_down(self._aarseth_dt(a1_full, j1_full, a2_1, a3))
-        # grow at most one rung, and only when aligned with the block grid
-        dt_grow = 2.0 * carry.dt_i
-        ratio = t_next / dt_grow
-        aligned = ratio == jnp.round(ratio)
+        dt_want = self._rung_from_float(
+            self._aarseth_dt(a1_full, j1_full, a2_1, a3))
+        # grow at most one rung, only when aligned with the block grid
+        dt_grow = 2 * carry.dt_i
+        aligned = (t_next % dt_grow) == 0
         dt_new = jnp.where(
             dt_want >= dt_grow,
-            jnp.where(aligned, jnp.minimum(dt_grow, self.dt_max), carry.dt_i),
+            jnp.where(aligned, jnp.minimum(dt_grow, self._dt_int_max),
+                      carry.dt_i),
             jnp.minimum(dt_want, carry.dt_i),
         )
 
@@ -156,9 +177,9 @@ class BlockHermite:
         state_new = s.replace(
             pos=jnp.where(am, x1, pos),
             vel=jnp.where(am, v1, vel),
-            time=t_next,
+            time=carry.t_origin + t_next.astype(jnp.float64) * dt_min,
         )
-        return BlockCarry(
+        return carry.replace(
             state=state_new,
             acc=jnp.where(am, a1_full, a0),
             jerk=jnp.where(am, j1_full, j0),
@@ -183,10 +204,10 @@ class BlockHermite:
 
         def make_branch(b):
             def branch(xp, vp, mass, active):
-                # stable argsort puts active rows first in original order.
-                # (jnp.nonzero's cumsum lowers to a reduce-window that
-                # overflows scoped VMEM on TPU at N≳32k; sort compiles fine.)
-                idx = jnp.argsort(jnp.logical_not(active), stable=True)[:b]
+                # top_k(active) puts active rows first (ties keep original
+                # order): fixed-size compaction without nonzero's cumsum
+                # (scoped-VMEM overflow at N≳32k) or a bool sort.
+                _, idx = jax.lax.top_k(active.astype(jnp.int32), b)
                 valid = jnp.arange(b) < jnp.sum(active)
                 a_r, j_r = self.force.accel_jerk_on_rows(
                     xp[idx], vp[idx], xp, vp, mass)
@@ -202,13 +223,17 @@ class BlockHermite:
                               xp, vp, mass, active)
 
     # ---- driving ------------------------------------------------------
+    def _t_end_int(self, carry: BlockCarry, t_end):
+        rel = (jnp.asarray(t_end, jnp.float64) - carry.t_origin) / self.dt_min
+        return jnp.round(rel).astype(jnp.int64)
+
     def advance_to(self, carry: BlockCarry, t_end) -> BlockCarry:
         """Micro-step until every particle reaches t_end. ``t_end`` must lie
         on the dt_max block grid so the system synchronises there."""
-        t_end = jnp.asarray(t_end, jnp.float64)
+        te = self._t_end_int(carry, t_end)
 
         def cond(c):
-            return jnp.min(c.t_i + c.dt_i) <= t_end
+            return jnp.min(c.t_i + c.dt_i) <= te
 
         return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
 
@@ -218,32 +243,35 @@ class BlockHermite:
         long single XLA dispatches can trip runtime watchdogs; the driver
         loops on the host until t_end is reached (SURVEY.md §5 failure
         detection)."""
-        t_end = jnp.asarray(t_end, jnp.float64)
+        te = self._t_end_int(carry, t_end)
         start = carry.n_steps
 
         def cond(c):
-            return (jnp.min(c.t_i + c.dt_i) <= t_end) & (
+            return (jnp.min(c.t_i + c.dt_i) <= te) & (
                 c.n_steps - start < max_steps)
 
         return jax.lax.while_loop(cond, lambda c: self.step(c), carry)
 
     def reached(self, carry: BlockCarry, t_end) -> bool:
-        return float(jnp.min(carry.t_i + carry.dt_i)) > float(t_end)
+        te = self._t_end_int(carry, t_end)
+        return bool(jnp.min(carry.t_i + carry.dt_i) > te)
 
     def advance(self, carry: BlockCarry, n: int) -> BlockCarry:
         return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
 
     def checkpoint_aux(self, carry: BlockCarry) -> dict:
         return {"acc": carry.acc, "jerk": carry.jerk, "t_i": carry.t_i,
-                "dt_i": carry.dt_i, "n_steps": carry.n_steps,
-                "n_active_sum": carry.n_active_sum}
+                "dt_i": carry.dt_i, "t_origin": carry.t_origin,
+                "n_steps": carry.n_steps, "n_active_sum": carry.n_active_sum}
 
     def restore(self, state: ParticleState, aux: dict) -> BlockCarry:
-        if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i")):
+        if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i", "t_origin")):
             return BlockCarry(
                 state=state,
                 acc=jnp.asarray(aux["acc"]), jerk=jnp.asarray(aux["jerk"]),
-                t_i=jnp.asarray(aux["t_i"]), dt_i=jnp.asarray(aux["dt_i"]),
+                t_i=jnp.asarray(aux["t_i"], jnp.int64),
+                dt_i=jnp.asarray(aux["dt_i"], jnp.int64),
+                t_origin=jnp.asarray(aux["t_origin"], jnp.float64),
                 n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
                 n_active_sum=jnp.asarray(aux.get("n_active_sum", 0), jnp.int64),
             )

@@ -61,8 +61,8 @@ def test_block_synchronises_and_conserves():
     e0 = float(diagnostics.energies(state, force)["E_tot"])
 
     carry = jax.jit(block.advance_to)(carry, 0.5)
-    t_i = np.asarray(carry.t_i)
-    np.testing.assert_array_equal(t_i, 0.5)
+    t_phys = np.asarray(carry.t_i) * block.dt_min
+    np.testing.assert_array_equal(t_phys, 0.5)
     assert float(carry.state.time) == 0.5
 
     e1 = float(diagnostics.energies(carry.state, force)["E_tot"])
