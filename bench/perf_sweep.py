@@ -23,15 +23,26 @@ from oc_nbody_tpu.models.plummer import plummer  # noqa: E402
 
 
 def timeit(fn, *args, repeats=10):
-    out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    """Dependent-chain timing: repeated identical dispatches can be
+    memoized/overlapped by the runtime (measured), so each evaluation's
+    input must depend on the previous output."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(pos, k):
+        def body(_, p):
+            out = fn(p, *args[1:])
+            a = jax.tree_util.tree_leaves(out)[0]
+            return p + jnp.asarray(1e-300, p.dtype) * a.astype(p.dtype)
+        return jax.lax.fori_loop(0, k, body, pos)
+
+    chain(args[0], 1).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    return (time.perf_counter() - t0) / repeats
+    chain(args[0], 1).block_until_ready()
+    t1 = time.perf_counter()
+    chain(args[0], 1 + repeats).block_until_ready()
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / repeats
 
 
 def main():
