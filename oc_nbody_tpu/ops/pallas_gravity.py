@@ -45,7 +45,12 @@ TJ = int(_os.environ.get("OCN_PALLAS_TJ", 1024))
 
 # pallas_call, invoked with x64 disabled: kernel data is all-f32 and Mosaic
 # requires i32 index arithmetic, which x64 tracing would promote to i64.
-_call = pl.pallas_call
+# OCN_PALLAS_INTERPRET=1 runs the kernels through the Pallas interpreter
+# (CPU-runnable: used by tests/unit/test_pallas_interpret.py).
+if _os.environ.get("OCN_PALLAS_INTERPRET") == "1":
+    _call = functools.partial(pl.pallas_call, interpret=True)
+else:
+    _call = pl.pallas_call
 
 
 def _round_up(n: int, m: int) -> int:

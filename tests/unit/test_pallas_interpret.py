@@ -1,0 +1,69 @@
+"""Pallas kernels vs the f64 oracle, on CPU via the Pallas interpreter
+(SURVEY.md §4.1 'Pallas output ≡ pure-jnp oracle'). Real-hardware
+validation additionally runs in bench/validate_pallas.py."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import oc_nbody_tpu.ops.pallas_gravity as pg
+from oc_nbody_tpu.ops import gravity
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(pg, "_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    # jitted wrappers cache the traced _call: clear between modes
+    for fn in (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
+               pg.accel, pg.accel_potential, pg.accel_jerk):
+        fn.clear_cache()
+    yield
+    for fn in (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
+               pg.accel, pg.accel_potential, pg.accel_jerk):
+        fn.clear_cache()
+
+
+def _cluster(n=300):
+    key = jax.random.PRNGKey(5)
+    kp, kv = jax.random.split(key)
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+    mass = jnp.ones(n) / n
+    return pos, vel, mass
+
+
+def test_accel_matches_oracle():
+    pos, _, mass = _cluster()
+    out = pg.accel(pos, mass, eps=0.05)
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+
+
+def test_accel_potential_matches_oracle():
+    pos, _, mass = _cluster(257)  # deliberately unaligned
+    acc, phi = pg.accel_potential(pos, mass, eps=0.05, G=1.3)
+    acc_ref, phi_ref = gravity.accel_potential_direct(pos, mass, eps=0.05, G=1.3)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref), rtol=3e-5)
+
+
+def test_accel_jerk_matches_oracle():
+    pos, vel, mass = _cluster(200)
+    acc, jerk = pg.accel_jerk(pos, vel, mass, eps=0.05)
+    acc_ref, jerk_ref = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-6 * jscale)
+
+
+def test_unguarded_matches_guarded():
+    pos, _, mass = _cluster(128)
+    out_g = pg.accel(pos, mass, eps=0.05, guarded=True)
+    out_u = pg.accel(pos, mass, eps=0.05, guarded=False)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_u),
+                               rtol=0, atol=1e-7)
