@@ -7,7 +7,10 @@ Usage: python bench/perf_sweep.py [--ns 8192 32768 65536 131072]
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

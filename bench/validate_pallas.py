@@ -7,7 +7,10 @@ driver's bench runs. SURVEY.md §4.1 "Pallas output ≡ pure-jnp oracle".)
 
 Usage: python bench/validate_pallas.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -42,6 +42,10 @@ import os as _os
 
 TI = int(_os.environ.get("OCN_PALLAS_TI", 256))
 TJ = int(_os.environ.get("OCN_PALLAS_TJ", 1024))
+# accel-only tiles: fewer live temporaries than the jerk kernel, so larger
+# tiles fit VMEM and measure ~3.5% faster (chain-timed sweep, v5e)
+TI_A = int(_os.environ.get("OCN_PALLAS_TI_A", 512))
+TJ_A = int(_os.environ.get("OCN_PALLAS_TJ_A", 2048))
 
 # pallas_call, invoked with x64 disabled: kernel data is all-f32 and Mosaic
 # requires i32 index arithmetic, which x64 tracing would promote to i64.
@@ -64,10 +68,11 @@ def _pad_rows(a, n_pad):
     return jnp.pad(a, ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1))
 
 
-def _src_layout(src_pos, src_mass, G):
+def _src_layout(src_pos, src_mass, G, tj=None):
     """(3, NSp) positions and (1, NSp) G·mass, zero-padded to a TJ multiple."""
+    tj = tj or TJ
     ns = src_pos.shape[0]
-    nsp = _round_up(max(ns, TJ), TJ)
+    nsp = _round_up(max(ns, tj), tj)
     srcT = jnp.pad(src_pos.T, ((0, 0), (0, nsp - ns)))
     gm = jnp.pad((G * src_mass)[None, :], ((0, 0), (0, nsp - ns)))
     return srcT, gm, nsp
@@ -89,6 +94,7 @@ def _inv_r(u, guarded: bool):
 def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
+    TJ = TJ_A
     xi = rows_ref[:, 0:1]
     yi = rows_ref[:, 1:2]
     zi = rows_ref[:, 2:3]
@@ -123,22 +129,23 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
     """Pallas accel on rows from sources; f32 in, f32 out. Drop-in for
     ops.gravity.accel_rows (``chunk`` accepted and ignored)."""
     nr = pos_rows.shape[0]
-    nrp = _round_up(max(nr, TI), TI)
+    nrp = _round_up(max(nr, TI_A), TI_A)
     rows = _pad_rows(pos_rows, nrp)
-    srcT, gm, nsp = _src_layout(src_pos, src_mass, jnp.asarray(G, jnp.float32))
+    srcT, gm, nsp = _src_layout(src_pos, src_mass, jnp.asarray(G, jnp.float32),
+                                tj=TJ_A)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
 
     with jax.enable_x64(False):
         out = _call(
         functools.partial(_accel_kernel, guarded=guarded),
-        grid=(nrp // TI,),
+        grid=(nrp // TI_A,),
         in_specs=[
-            pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI_A, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TI_A, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=22 * nrp * nsp, bytes_accessed=(nrp + nsp) * 16,
