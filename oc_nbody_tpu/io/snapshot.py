@@ -48,6 +48,46 @@ class Snapshot:
     attrs: dict                    # root attrs (time, step, config_json, ...)
 
 
+def _materialize(state, aux, attrs):
+    """Fetch everything to host numpy (device work is done after this)."""
+    data = {
+        "pos": np.asarray(state.pos, np.float64),
+        "vel": np.asarray(state.vel, np.float64),
+        "mass": np.asarray(state.mass, np.float32),
+        "ids": np.asarray(state.ids, np.int32),
+    }
+    aux_np = {k: np.asarray(v) for k, v in (aux or {}).items()}
+    attrs_np = dict(attrs or {})
+    attrs_np["time"] = float(state.time)
+    return data, aux_np, attrs_np
+
+
+def _write_file(path, data, aux_np, integrator_kind, units, attrs_np):
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(tmp, "w") as f:
+        g = f.create_group("particles")
+        for k in ("pos", "vel", "mass", "ids"):
+            g.create_dataset(k, data=data[k])
+        g.attrs["n"] = data["pos"].shape[0]
+        gi = f.create_group("integrator")
+        if integrator_kind is not None:
+            gi.attrs["kind"] = integrator_kind
+        for k, v in aux_np.items():
+            gi.create_dataset(k, data=v)
+        if units is not None:
+            gu = f.create_group("units")
+            for k, v in units.as_dict().items():
+                gu.attrs[k] = v
+        f.attrs["schema_version"] = SCHEMA_VERSION
+        for k, v in attrs_np.items():
+            if isinstance(v, (dict, list)):
+                v = json.dumps(v)
+            f.attrs[k] = v
+    os.replace(tmp, path)
+    return path
+
+
 def write_snapshot(
     path: str,
     state: ParticleState,
@@ -57,32 +97,8 @@ def write_snapshot(
     attrs: Optional[dict] = None,
 ) -> str:
     """Atomically write a snapshot; returns the final path."""
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with h5py.File(tmp, "w") as f:
-        g = f.create_group("particles")
-        g.create_dataset("pos", data=np.asarray(state.pos, np.float64))
-        g.create_dataset("vel", data=np.asarray(state.vel, np.float64))
-        g.create_dataset("mass", data=np.asarray(state.mass, np.float32))
-        g.create_dataset("ids", data=np.asarray(state.ids, np.int32))
-        g.attrs["n"] = state.n
-        gi = f.create_group("integrator")
-        if integrator_kind is not None:
-            gi.attrs["kind"] = integrator_kind
-        for k, v in (aux or {}).items():
-            gi.create_dataset(k, data=np.asarray(v))
-        if units is not None:
-            gu = f.create_group("units")
-            for k, v in units.as_dict().items():
-                gu.attrs[k] = v
-        f.attrs["schema_version"] = SCHEMA_VERSION
-        f.attrs["time"] = float(state.time)
-        for k, v in (attrs or {}).items():
-            if isinstance(v, (dict, list)):
-                v = json.dumps(v)
-            f.attrs[k] = v
-    os.replace(tmp, path)
-    return path
+    data, aux_np, attrs_np = _materialize(state, aux, attrs)
+    return _write_file(path, data, aux_np, integrator_kind, units, attrs_np)
 
 
 def read_snapshot(path: str, state_dtype=jnp.float64) -> Snapshot:
@@ -130,12 +146,19 @@ class SnapshotWriter:
     """
 
     def __init__(self, out_dir: str, units: Optional[UnitSystem] = None,
-                 config_json: Optional[str] = None):
+                 config_json: Optional[str] = None, async_io: bool = True):
         self.out_dir = out_dir
         self.units = units
         self.config_json = config_json
         os.makedirs(out_dir, exist_ok=True)
         self._diag_path = os.path.join(out_dir, "diagnostics.h5")
+        # one writer thread: HDF5 writes (~0.5 s at large N) overlap the next
+        # superstep on device; ordering is preserved, atomicity unchanged
+        self._pool = (
+            __import__("concurrent.futures", fromlist=["ThreadPoolExecutor"])
+            .ThreadPoolExecutor(max_workers=1) if async_io else None
+        )
+        self._pending = []
 
     def snapshot_path(self, index: int) -> str:
         return os.path.join(self.out_dir, f"snapshot_{index:05d}.h5")
@@ -147,10 +170,21 @@ class SnapshotWriter:
             attrs["config_json"] = self.config_json
         if rng_key is not None:
             attrs["rng_key"] = np.asarray(rng_key).tolist()
-        return write_snapshot(
-            self.snapshot_path(index), state, aux=aux,
-            integrator_kind=integrator_kind, units=self.units, attrs=attrs,
-        )
+        path = self.snapshot_path(index)
+        data, aux_np, attrs_np = _materialize(state, aux, attrs)
+        if self._pool is None:
+            return _write_file(path, data, aux_np, integrator_kind,
+                               self.units, attrs_np)
+        fut = self._pool.submit(_write_file, path, data, aux_np,
+                                integrator_kind, self.units, attrs_np)
+        self._pending.append(fut)
+        return path
+
+    def flush(self) -> None:
+        """Wait for queued snapshot writes; re-raise any write error."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
 
     def append_diagnostics(self, row: dict) -> None:
         with h5py.File(self._diag_path, "a") as f:

@@ -129,6 +129,7 @@ def run(cfg: SimConfig, resume: bool = False,
             writer.write(snap_index, carry.state,
                          aux=stepper.checkpoint_aux(carry),
                          integrator_kind=kind, step=int(carry.n_steps))
+            writer.flush()
             raise FloatingPointError(
                 f"non-finite total energy at t={float(carry.state.time):.6g}; "
                 f"emergency snapshot written to {out.out_dir}"
@@ -150,6 +151,7 @@ def run(cfg: SimConfig, resume: bool = False,
         if progress is not None:
             progress(i, n_diag, row)
 
+    writer.flush()
     wall = _time.perf_counter() - wall_start
     sim_myr = (float(carry.state.time) - t0) * scene.units.time_myr
     wall_per_myr = wall / sim_myr if sim_myr > 0 else math.nan

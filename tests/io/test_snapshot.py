@@ -86,6 +86,7 @@ def test_latest_snapshot_and_writer(tmp_path):
     state = _state()
     writer.write(0, state)
     writer.write(1, state)
+    writer.flush()  # writes are async: settle before reading back
     assert latest_snapshot(str(tmp_path)).endswith("snapshot_00001.h5")
     writer.append_diagnostics({"E_tot": jnp.asarray(-0.25), "time": jnp.asarray(0.0)})
     writer.append_diagnostics({"E_tot": jnp.asarray(-0.26), "time": jnp.asarray(1.0)})
