@@ -1,0 +1,54 @@
+"""CLI entry points and analysis scripts, in-process (SURVEY.md §2.13/§2.14)."""
+import json
+import os
+import sys
+
+import pytest
+
+import oc_nbody_tpu.__main__ as cli
+
+
+def _write_cfg(tmp_path):
+    cfg = tmp_path / "tiny.json"
+    cfg.write_text(json.dumps({
+        "ic": {"n": 32, "seed": 1},
+        "integrator": {"dt": 1.0 / 64, "eps": 1.0 / 16},
+        "output": {"out_dir": str(tmp_path / "run"), "t_end": 0.25,
+                   "diag_every": 0.125, "snap_every": 0.25, "stdout": False},
+        "backend": "jnp",
+    }))
+    return str(cfg)
+
+
+def test_cli_info(tmp_path, capsys):
+    cfg = _write_cfg(tmp_path)
+    assert cli.main(["info", cfg, "--set", "integrator.eta=0.05"]) == 0
+    out = capsys.readouterr().out
+    parsed = json.loads(out)
+    assert parsed["integrator"]["eta"] == 0.05
+    assert parsed["ic"]["n"] == 32
+
+
+def test_cli_run_and_analysis(tmp_path, capsys):
+    cfg = _write_cfg(tmp_path)
+    assert cli.main(["run", cfg]) == 0
+    run_dir = str(tmp_path / "run")
+    assert os.path.exists(os.path.join(run_dir, "diagnostics.h5"))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "analysis"))
+    try:
+        import plot_run
+        import inspect_snapshot
+        plot_run.main([run_dir, "--out", str(tmp_path / "plots.png")])
+        assert os.path.exists(str(tmp_path / "plots.png"))
+        snap = os.path.join(run_dir, "snapshot_00000.h5")
+        inspect_snapshot.main([snap, "--plot", str(tmp_path / "xy.png")])
+        assert os.path.exists(str(tmp_path / "xy.png"))
+    finally:
+        sys.path.pop(0)
+
+
+def test_cli_bad_override(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    with pytest.raises(KeyError):
+        cli.main(["info", cfg, "--set", "integrator.bogus=1"])
