@@ -11,7 +11,7 @@ single jvp — exact, no finite differencing.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -176,6 +176,50 @@ class NFW(Potential):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class PlummerSphere(Potential):
+    """Plummer (1911) sphere: Φ = −GM / sqrt(r² + b²) (smooth core — also
+    useful as a softened point mass or a smooth cluster background)."""
+
+    GM: jax.Array
+    b: jax.Array
+
+    def phi(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1)
+        return -self.GM / jnp.sqrt(r2 + self.b * self.b)
+
+    def accel(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1)
+        mag = self.GM * (r2 + self.b * self.b) ** -1.5
+        return -mag[..., None] * xyz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LogarithmicHalo(Potential):
+    """Flat-rotation-curve halo: Φ = ½ v0² ln(R² + z²/q² + rc²).
+
+    The standard potential for tidal-stream modelling; q flattens the
+    equipotentials (q=1: spherical)."""
+
+    v0: jax.Array
+    rc: jax.Array
+    q: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def _m2(self, xyz):
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        return x * x + y * y + (z / self.q) ** 2 + self.rc * self.rc
+
+    def phi(self, xyz):
+        return 0.5 * self.v0**2 * jnp.log(self._m2(xyz))
+
+    def accel(self, xyz):
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        f = self.v0**2 / self._m2(xyz)
+        return -jnp.stack([f * x, f * y, f * z / self.q**2], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Composite(Potential):
     components: tuple
 

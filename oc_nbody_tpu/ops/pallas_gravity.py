@@ -99,7 +99,6 @@ def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
     yi = rows_ref[:, 1:2]
     zi = rows_ref[:, 2:3]
     eps2 = eps2_ref[0, 0]
-    tiny = jnp.float32(1.1754944e-38)
 
     def body(j, carry):
         ax, ay, az = carry
@@ -166,7 +165,6 @@ def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *, 
     yi = rows_ref[:, 1:2]
     zi = rows_ref[:, 2:3]
     eps2 = eps2_ref[0, 0]
-    tiny = jnp.float32(1.1754944e-38)
 
     def body(j, carry):
         ax, ay, az, ph = carry
@@ -245,7 +243,6 @@ def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
     vyi = vrows_ref[:, 1:2]
     vzi = vrows_ref[:, 2:3]
     eps2 = eps2_ref[0, 0]
-    tiny = jnp.float32(1.1754944e-38)
 
     def body(j, carry):
         ax, ay, az, jx, jy, jz = carry
