@@ -60,6 +60,15 @@ def test_run_hermite_kind(tmp_path):
     assert float(res.state.time) == pytest.approx(0.5)
 
 
+def test_resume_integrator_mismatch_raises(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    run(cfg)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.integrator.kind = "hermite"
+    with pytest.raises(ValueError, match="integrator"):
+        run(cfg2, resume=True)
+
+
 def test_run_block_kind(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg.integrator.kind = "block"
