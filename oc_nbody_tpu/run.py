@@ -74,11 +74,29 @@ def run(cfg: SimConfig, resume: bool = False,
     advance_bounded = jax.jit(stepper.advance_to_bounded, donate_argnums=0,
                               static_argnums=2)
     max_steps = max(1, int(out.max_steps_per_dispatch))
+    # adaptive dispatch sizing: aim for ~20 s per dispatch (long single
+    # dispatches trip the runtime watchdog, tiny ones pay dispatch
+    # overhead). Sizes are a small static set so at most a few recompiles.
+    _sizes = [s for s in (256, 1024, 4096, 16384, 65536) if s <= max_steps]
+    _sizes = _sizes or [max_steps]
+    _target_s = 20.0
+    _state = {"size": _sizes[0]}
 
     def advance_to(carry, t_target):
         while True:
-            carry = advance_bounded(carry, t_target, max_steps)
-            if stepper.reached(carry, t_target):
+            n0 = int(carry.n_steps)
+            tic = _time.perf_counter()
+            carry = advance_bounded(carry, t_target, _state["size"])
+            done = stepper.reached(carry, t_target)
+            dn = int(carry.n_steps) - n0
+            if dn > 0:
+                per_step = (_time.perf_counter() - tic) / dn
+                best = _sizes[0]
+                for s in _sizes:
+                    if s * per_step <= _target_s:
+                        best = s
+                _state["size"] = best
+            if done:
                 return carry
     compute_diag = jax.jit(
         lambda state, force: diag_mod.compute_all(state, force, out.fractions)
