@@ -35,7 +35,13 @@ def main(argv=None):
     fig, axes = plt.subplots(2, 2, figsize=(11, 8), constrained_layout=True)
 
     ax = axes[0, 0]
-    ax.plot(t, d["dE_over_E"], lw=1)
+    ax.plot(t, d["dE_over_E"], lw=1, label="dE / |E_tot(0)|")
+    if "dE_over_E_int" in d:
+        # normalised by the CLUSTER's internal energy — the honest drift
+        # metric on orbit runs where E_tot is galaxy-dominated
+        ax.plot(t, d["dE_over_E_int"], lw=1, ls="--",
+                label="dE / |E_int(0)|")
+        ax.legend(fontsize=8)
     ax.set_xlabel("t [code]")
     ax.set_ylabel("dE/E")
     ax.set_title("energy drift")

@@ -29,7 +29,7 @@ def main():
     from oc_nbody_tpu.models.plummer import plummer
 
     state = plummer(N, jax.random.PRNGKey(0))
-    backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     try:
         from oc_nbody_tpu.ops import pallas_gravity  # noqa: F401
     except Exception:

@@ -64,10 +64,15 @@ def main():
         row = {"N": n}
         kernels = {}
         from oc_nbody_tpu.ops import gravity
-        kernels["jnp_accel"] = jax.jit(
-            lambda p, m: gravity.accel(p, m, eps, 1.0))
+        if n <= 262144:
+            # the blocked jnp kernel materialises (chunk, N) tiles: fine to
+            # ~262k, prohibitive at 1M (4 GB per temporary)
+            kernels["jnp_accel"] = jax.jit(
+                lambda p, m: gravity.accel(p, m, eps, 1.0))
         if on_tpu:
             from oc_nbody_tpu.ops import pallas_gravity
+            # past STREAM_N sources these dispatch to the HBM-streaming
+            # kernels automatically — the N=1M large-N path
             kernels["pallas_accel"] = jax.jit(
                 lambda p, m: pallas_gravity.accel(p, m, eps, 1.0))
             kernels["pallas_accel_jerk"] = jax.jit(
@@ -85,6 +90,18 @@ def main():
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
+    # merge with any existing rows (keyed by N): partial sweeps must not
+    # clobber previously measured sizes
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+            new_ns = {r["N"] for r in results["rows"]}
+            results["rows"] = sorted(
+                [r for r in old.get("rows", []) if r["N"] not in new_ns]
+                + results["rows"], key=lambda r: r["N"])
+        except (json.JSONDecodeError, KeyError):
+            pass
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_path}")

@@ -19,6 +19,9 @@ def main(argv=None):
                        metavar="a.b=v", help="override a config value")
     p_run.add_argument("--resume", action="store_true",
                        help="resume from the latest snapshot in out_dir")
+    p_run.add_argument("--profile", metavar="DIR", default=None,
+                       help="capture a Perfetto/XProf trace of the run "
+                            "into DIR (view with xprof/tensorboard)")
 
     p_info = sub.add_parser("info", help="print a resolved config")
     p_info.add_argument("config")
@@ -40,7 +43,7 @@ def main(argv=None):
 
     from oc_nbody_tpu.run import run
 
-    result = run(cfg, resume=args.resume)
+    result = run(cfg, resume=args.resume, profile_dir=args.profile)
     print(f"done: t={float(result.state.time):.6g} steps={result.n_steps} "
           f"wall={result.wall_time_s:.1f}s out={result.out_dir}")
     return 0

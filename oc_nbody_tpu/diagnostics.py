@@ -24,17 +24,29 @@ def kinetic_energy(state: ParticleState) -> jax.Array:
 
 
 def energies(state: ParticleState, force: ForceModel) -> dict:
-    """KE, pairwise PE, external potential energy, total. All f64 scalars."""
+    """KE, pairwise PE, external potential energy, total. All f64 scalars.
+
+    ``E_int`` is the cluster-internal energy — KE in the mass-weighted COM
+    velocity frame plus the pairwise PE. On orbit runs E_tot is dominated by
+    the galactic well (|E_ext| >> |E_int|), so |dE/E_tot| flatters the drift
+    by orders of magnitude; the spec's per-crossing target is about the
+    CLUSTER, so the driver also reports dE normalised by |E_int(t=0)|
+    (VERDICT round-1 item 4 / W6).
+    """
     m = state.mass.astype(jnp.float64)
     _, phi_pair, phi_ext = force.accel_potential(state.pos, state.mass)
     ke = kinetic_energy(state)
     pe_pair = 0.5 * jnp.sum(m * phi_pair.astype(jnp.float64))
     e_ext = jnp.sum(m * phi_ext.astype(jnp.float64))
+    vel = state.vel.astype(jnp.float64)
+    vbar = jnp.sum(vel * m[:, None], axis=0) / jnp.sum(m)
+    ke_int = 0.5 * jnp.sum(m * jnp.sum((vel - vbar) ** 2, axis=1))
     return {
         "KE": ke,
         "PE_pair": pe_pair,
         "E_ext": e_ext,
         "E_tot": ke + pe_pair + e_ext,
+        "E_int": ke_int + pe_pair,
     }
 
 
@@ -131,13 +143,24 @@ def tidal_radius(m_bound, tidal_coeff, G):
 
 
 def bound_mass_tidal(state: ParticleState, force: ForceModel,
-                     n_iter: int = 20, center=None):
+                     n_iter: int = 20, center=None, center_vel=None,
+                     method: str = "tensor"):
     """Bound mass via the iterative tidal-radius cut (SURVEY.md §2.11).
 
-    Uses the external potential's tidal coefficient at the cluster centre's
-    galactocentric cylindrical radius; iterates
-      r_t = (G M_b / (Ω² − ∂²Φ/∂R²))^{1/3},  M_b = mass inside r_t
-    to a fixpoint. Returns (M_bound, N_bound, r_t, mask).
+    Iterates  r_t = (G M_b / λ)^{1/3},  M_b = mass inside r_t  to a
+    fixpoint. The tidal coefficient λ comes from one of two methods:
+
+      * ``"tensor"`` (default): λ = λ_max(T) + Ω² with T the full autodiff
+        tidal tensor −∂²Φ/∂x∂x at the cluster centre and Ω² = |r×v|²/r⁴
+        the instantaneous orbital angular speed (from ``center_vel``, by
+        default the mass-weighted mean velocity). Correct for inclined /
+        disk-crossing orbits where the vertical tide dominates at crossing
+        (VERDICT round-1 W3).
+      * ``"midplane"``: the classic in-plane coefficient Ω² − ∂²Φ/∂R²
+        evaluated at the centre's cylindrical radius — valid only for
+        orbits in the z = 0 plane (kept for comparison/back-compat).
+
+    Returns (M_bound, N_bound, r_t, mask).
     """
     if force.external is None:
         m_tot = jnp.sum(state.mass.astype(jnp.float64))
@@ -149,8 +172,19 @@ def bound_mass_tidal(state: ParticleState, force: ForceModel,
     pos = state.pos.astype(jnp.float64)
     m = state.mass.astype(jnp.float64)
     d = jnp.linalg.norm(pos - center, axis=1)
-    R_gal = jnp.sqrt(center[0] ** 2 + center[1] ** 2)
-    lam = force.external.tidal_coefficient(R_gal)
+    if method == "tensor":
+        if center_vel is None:
+            vel = state.vel.astype(jnp.float64)
+            center_vel = jnp.sum(vel * m[:, None], axis=0) / jnp.sum(m)
+        r2 = jnp.sum(center**2)
+        omega2 = jnp.sum(jnp.cross(center, center_vel) ** 2) / jnp.maximum(
+            r2 * r2, 1e-300)
+        lam = force.external.tidal_coefficient_at(center, omega2)
+    elif method == "midplane":
+        R_gal = jnp.sqrt(center[0] ** 2 + center[1] ** 2)
+        lam = force.external.tidal_coefficient(R_gal)
+    else:
+        raise ValueError(f"unknown tidal method {method!r}")
     m_tot = jnp.sum(m)
 
     def body(_, m_b):
@@ -171,7 +205,8 @@ def compute_all(state: ParticleState, force: ForceModel,
     center = density_center(state)
     L = angular_momentum(state)
     if force.external is not None:
-        m_b, n_b, r_t, mask = bound_mass_tidal(state, force, center=center)
+        m_b, n_b, r_t, mask = bound_mass_tidal(state, force, center=center,
+                                               method="tensor")
     else:
         m_b, n_b, mask = bound_mass_energy(state, force)
         r_t = jnp.asarray(jnp.inf)

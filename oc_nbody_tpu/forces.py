@@ -22,8 +22,10 @@ from oc_nbody_tpu.ops import gravity
 
 
 def _default_backend() -> str:
+    # Mosaic kernels lower only on TPU; any other accelerator (GPU, future
+    # backends) must take the XLA-fused jnp path.
     try:
-        return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
     except Exception:
         return "jnp"
 

@@ -259,12 +259,35 @@ class BlockHermite:
     def advance(self, carry: BlockCarry, n: int) -> BlockCarry:
         return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
 
+    def rung_occupancy(self, carry: BlockCarry) -> jax.Array:
+        """Particle count per rung k (dt = dt_max/2^k), shape (n_levels,).
+
+        The per-rung histogram the block scheme's work model needs
+        (SURVEY.md §2.9b; VERDICT round-1 item 7): total force work per
+        dt_max block is sum_k occ[k] * 2^k row-evaluations.
+        """
+        # dt_i = 2^(n_levels-1-k) in dt_min units; exact integer match
+        dt_ints = jnp.left_shift(
+            jnp.int64(1), jnp.arange(self.n_levels - 1, -1, -1, dtype=jnp.int64))
+        return jnp.sum(carry.dt_i[None, :] == dt_ints[:, None], axis=1)
+
     def checkpoint_aux(self, carry: BlockCarry) -> dict:
         return {"acc": carry.acc, "jerk": carry.jerk, "t_i": carry.t_i,
                 "dt_i": carry.dt_i, "t_origin": carry.t_origin,
-                "n_steps": carry.n_steps, "n_active_sum": carry.n_active_sum}
+                "n_steps": carry.n_steps, "n_active_sum": carry.n_active_sum,
+                "dt_max": jnp.asarray(self.dt_max, jnp.float64),
+                "n_levels": jnp.asarray(self.n_levels, jnp.int64)}
 
     def restore(self, state: ParticleState, aux: dict) -> BlockCarry:
+        # t_i/dt_i are integers in units of THIS stepper's dt_min: resuming
+        # with a different dt_max or n_levels would silently rescale every
+        # per-particle time (ADVICE round-1) — refuse instead.
+        for k, want in (("dt_max", self.dt_max), ("n_levels", self.n_levels)):
+            if k in aux and float(aux[k]) != float(want):
+                raise ValueError(
+                    f"checkpoint {k}={float(aux[k])} != configured {want}; "
+                    "block-timestep integer times are not portable across "
+                    "grid changes")
         if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i", "t_origin")):
             return BlockCarry(
                 state=state,

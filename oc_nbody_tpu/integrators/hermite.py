@@ -54,6 +54,11 @@ class Hermite4:
     dt_max: float = jnp.inf    # upper clamp
     dt_min: float = 0.0        # lower clamp (safety)
     quantize: bool = False     # snap dt to dt_max / 2^k
+    # PEC²: a second (evaluate, correct) pass at the corrected state —
+    # doubles the force work per step but shrinks the error constant
+    # (the corrector is iterated once toward its fixed point); same 4th
+    # order. Standard option in Makino–Aarseth Hermite codes.
+    pec2: bool = False
 
     def init(self, state: ParticleState) -> HermiteCarry:
         acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
@@ -104,6 +109,15 @@ class Hermite4:
 
         v1 = s.vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
         x1 = s.pos + (dt / 2) * (s.vel + v1) + (dt2 / 12) * (a0 - a1)
+
+        if self.pec2:
+            # second corrector pass: re-evaluate at the corrected state and
+            # re-apply the corrector from the same (a0, j0)
+            a1, j1 = self.force.accel_jerk(x1, v1, s.mass)
+            a1 = a1.astype(s.pos.dtype)
+            j1 = j1.astype(s.pos.dtype)
+            v1 = s.vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
+            x1 = s.pos + (dt / 2) * (s.vel + v1) + (dt2 / 12) * (a0 - a1)
 
         # interpolated higher derivatives (at t0), then shift to t1
         inv_dt2 = 1.0 / jnp.maximum(dt2, jnp.finfo(dt.dtype).tiny)

@@ -169,7 +169,8 @@ class SnapshotWriter:
         if self.config_json is not None:
             attrs["config_json"] = self.config_json
         if rng_key is not None:
-            attrs["rng_key"] = np.asarray(rng_key).tolist()
+            # stored as a native h5py array attribute (uint32 key data)
+            attrs["rng_key"] = np.asarray(rng_key)
         path = self.snapshot_path(index)
         data, aux_np, attrs_np = _materialize(state, aux, attrs)
         if self._pool is None:
@@ -196,6 +197,28 @@ class SnapshotWriter:
                 d = f[k]
                 d.resize((d.shape[0] + 1,))
                 d[-1] = float(v)
+
+    def truncate_diagnostics(self, t_resume: float, atol: float = 1e-9) -> None:
+        """Drop rows with time >= t_resume (strictly before the resume time).
+
+        A crash (or a resume from an older snapshot) leaves diagnostics rows
+        written AFTER the checkpoint being restored; without truncation the
+        resumed run re-appends overlapping times and the series becomes
+        non-monotonic (ADVICE round-1, medium). The resumed driver re-emits
+        its own row at t_resume, so rows at >= t_resume - atol are dropped.
+        """
+        if not os.path.exists(self._diag_path):
+            return
+        with h5py.File(self._diag_path, "a") as f:
+            if "time" not in f:
+                return
+            t = np.asarray(f["time"])
+            mask = t < t_resume - atol
+            keep = int(mask.nonzero()[0][-1] + 1) if mask.any() else 0
+            for k in f.keys():
+                d = f[k]
+                if d.shape[0] > keep:
+                    d.resize((keep,))
 
     def read_diagnostics(self) -> dict:
         out = {}

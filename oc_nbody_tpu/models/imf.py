@@ -12,6 +12,8 @@ vectorised, no rejection.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +32,10 @@ def _segment_integrals(edges, alphas):
     for i, a in enumerate(alphas):
         lo, hi = edges[i], edges[i + 1]
         p = 1.0 - a
-        integrals.append(coeffs[i] * (hi**p - lo**p) / p)
+        if p == 0.0:  # alpha == 1: the integral is logarithmic
+            integrals.append(coeffs[i] * math.log(hi / lo))
+        else:
+            integrals.append(coeffs[i] * (hi**p - lo**p) / p)
     return jnp.asarray(coeffs), jnp.asarray(integrals)
 
 
@@ -46,9 +51,13 @@ def _broken_power_law(key, n, edges, alphas, dtype):
     p = 1.0 - a
     lo = edges_t[seg]
     c = jnp.asarray(coeffs, dtype)[seg]
-    # invert: u - cdf[seg] = c (m^p - lo^p)/p
-    frac = (u - cdf[seg]) * p / c
-    return (lo**p + frac) ** (1.0 / p)
+    # invert: u - cdf[seg] = c (m^p - lo^p)/p, or c log(m/lo) when p == 0
+    # (alpha == 1); p is exact so the p == 0 select is exact too.
+    frac = (u - cdf[seg]) / c
+    p_safe = jnp.where(p == 0.0, 1.0, p)
+    m_pow = (lo**p_safe + frac * p_safe) ** (1.0 / p_safe)
+    m_log = lo * jnp.exp(frac)
+    return jnp.where(p == 0.0, m_log, m_pow)
 
 
 def kroupa_imf(

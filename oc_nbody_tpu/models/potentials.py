@@ -69,8 +69,33 @@ class Potential:
 
     def tidal_coefficient(self, R):
         """Ω² − d²Φ/dR², the denominator of the King tidal radius
-        r_t = (G M_cl / (Ω² − ∂²Φ/∂R²) ... )^{1/3} — SURVEY.md §2.11."""
+        r_t = (G M_cl / (Ω² − ∂²Φ/∂R²) ... )^{1/3} — SURVEY.md §2.11.
+
+        Midplane approximation: valid for orbits in the z = 0 plane. For
+        inclined/disk-crossing orbits use ``tidal_coefficient_at`` (full
+        tidal tensor; VERDICT round-1 W3)."""
         return self.omega2(R) - self.d2phi_dR2(R)
+
+    def tidal_tensor(self, xyz):
+        """T_ij = −∂²Φ/∂x_i∂x_j at a single point; (3, 3), symmetric.
+
+        Exact autodiff Hessian — no finite differencing. The largest
+        eigenvalue is the maximal tidal stretching rate²; for a point-mass
+        host it is 2GM/r³ along the radial direction."""
+        xyz = jnp.asarray(xyz, jnp.result_type(float))
+        return -jax.hessian(lambda p: self.phi(p))(xyz)
+
+    def tidal_coefficient_at(self, xyz, omega2):
+        """λ_max(T) + Ω²: the tidal-radius denominator at an arbitrary
+        position (full tensor, not the midplane radial slice).
+
+        ``omega2`` is the squared instantaneous angular speed of the
+        cluster's orbit about the host, |r × v|²/r⁴. On a circular midplane
+        orbit this reduces exactly to ``tidal_coefficient(R)``: for a
+        spherical host λ_max = 2GM/r³ = −∂²Φ/∂R², giving the classic Jacobi
+        coefficient 3GM/r³."""
+        lam_max = jnp.linalg.eigvalsh(self.tidal_tensor(xyz))[-1]
+        return lam_max + omega2
 
 
 @jax.tree_util.register_dataclass

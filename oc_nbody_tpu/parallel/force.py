@@ -57,7 +57,7 @@ class ShardedForce:
     # ---- rows-vs-sources kernel dispatch ------------------------------
     def _rows_kernel(self):
         if self.backend == "pallas" or (
-            self.backend == "auto" and jax.default_backend() not in ("cpu",)
+            self.backend == "auto" and jax.default_backend() == "tpu"
         ):
             from oc_nbody_tpu.ops import pallas_gravity
             return pallas_gravity
@@ -110,6 +110,7 @@ class ShardedForce:
         out = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(ax), P(ax)), out_specs=P(ax),
+            check_vma=False,
         )(pos_p, mass_p)
         acc = out[:n].astype(pos.dtype)
         if self.external is not None:
@@ -151,6 +152,7 @@ class ShardedForce:
         acc, phi = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+            check_vma=False,
         )(pos_p, mass_p)
         acc = acc[:n].astype(pos.dtype)
         phi = (phi[:n] + gravity.self_phi(mass_c, eps32, G32)).astype(pos.dtype)
@@ -197,6 +199,7 @@ class ShardedForce:
         acc, jerk = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+            check_vma=False,
         )(pos_p, vel_p, mass_p)
         acc = acc[:n].astype(pos.dtype)
         jerk = jerk[:n].astype(pos.dtype)
@@ -235,6 +238,7 @@ class ShardedForce:
             shard_fn, mesh=self.mesh,
             in_specs=(P(), P(), P(ax), P(ax), P(ax)),
             out_specs=(P(), P()),
+            check_vma=False,
         )(rows_c, vrows_c, src_p, svel_p, mass_p)
         acc = acc.astype(pos_rows.dtype)
         jerk = jerk.astype(pos_rows.dtype)

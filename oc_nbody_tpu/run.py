@@ -41,7 +41,20 @@ class RunResult:
 
 
 def run(cfg: SimConfig, resume: bool = False,
-        progress: Optional[callable] = None) -> RunResult:
+        progress: Optional[callable] = None,
+        profile_dir: Optional[str] = None) -> RunResult:
+    """Run a simulation; with ``profile_dir`` set, every superstep dispatch
+    is captured into a Perfetto/XProf trace there (SURVEY.md §5
+    tracing/profiling; ``--profile DIR`` on the CLI)."""
+    if profile_dir is not None:
+        from oc_nbody_tpu.utils.profiling import trace
+        with trace(profile_dir):
+            return _run(cfg, resume=resume, progress=progress)
+    return _run(cfg, resume=resume, progress=progress)
+
+
+def _run(cfg: SimConfig, resume: bool = False,
+         progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
     stepper, kind = make_stepper(cfg, scene.force)
     out = cfg.output
@@ -51,6 +64,7 @@ def run(cfg: SimConfig, resume: bool = False,
     t0 = float(scene.state.time)
     carry = None
     snap_index = 0
+    rng_key = scene.rng_key  # persisted in every snapshot (SURVEY.md §4.4)
     if resume:
         path = latest_snapshot(out.out_dir)
         if path is not None:
@@ -61,6 +75,11 @@ def run(cfg: SimConfig, resume: bool = False,
             carry = stepper.restore(snap.state, snap.aux)
             t0 = float(snap.state.time)
             snap_index = int(path.rsplit("_", 1)[1].split(".")[0]) + 1
+            if "rng_key" in snap.attrs:
+                rng_key = np.asarray(snap.attrs["rng_key"], np.uint32)
+            # drop stale rows written after this checkpoint (crash leftovers)
+            # BEFORE the e0 baseline is read back below
+            writer.truncate_diagnostics(t0)
     if carry is None:
         carry = stepper.init(scene.state)
 
@@ -102,7 +121,9 @@ def run(cfg: SimConfig, resume: bool = False,
         lambda state, force: diag_mod.compute_all(state, force, out.fractions)
     )
 
-    n_diag = max(1, int(round((out.t_end - t0) / out.diag_every)))
+    # ceil so a non-multiple t_end still gets simulated in full; the final
+    # target is clamped to t_end exactly (ADVICE round-1)
+    n_diag = max(1, math.ceil((out.t_end - t0) / out.diag_every - 1e-9))
     snap_stride = max(1, int(round(out.snap_every / out.diag_every)))
 
     from oc_nbody_tpu.utils.profiling import Stopwatch
@@ -120,33 +141,52 @@ def run(cfg: SimConfig, resume: bool = False,
     # drift baseline (read back from the run's diagnostics table)
     row0 = jax.device_get(compute_diag(carry.state, scene.force))
     e0 = float(row0["E_tot"])
+    # |E_int(0)| — the cluster-internal energy scale. dE/E normalised by the
+    # galaxy-dominated E_tot flatters orbit runs by orders of magnitude
+    # (VERDICT round-1 item 4); dE_over_E_int is the honest per-crossing metric.
+    e_int0 = abs(float(row0.get("E_int", e0)))
     if resume:
         prev = writer.read_diagnostics()
         if "E_tot" in prev and len(prev["E_tot"]):
             e0 = float(prev["E_tot"][0])
-    row0["dE_over_E"] = (float(row0["E_tot"]) - e0) / abs(e0) if e0 else 0.0
+        if "E_int" in prev and len(prev["E_int"]):
+            e_int0 = abs(float(prev["E_int"][0]))
+
+    def drift_cols(row):
+        e = float(row["E_tot"])
+        row["dE_over_E"] = (e - e0) / abs(e0) if e0 else 0.0
+        row["dE_over_E_int"] = (e - e0) / e_int0 if e_int0 else 0.0
+        if hasattr(stepper, "rung_occupancy"):
+            occ = np.asarray(jax.device_get(stepper.rung_occupancy(carry)))
+            for k, c in enumerate(occ):
+                row[f"rung_{k:02d}"] = float(c)
+        return row
+
+    row0 = drift_cols(row0)
     row0["wall_s"] = 0.0
     emit(row0)
     if not resume or snap_index == 0:
         writer.write(snap_index, carry.state, aux=stepper.checkpoint_aux(carry),
-                     integrator_kind=kind, step=int(carry.n_steps))
+                     integrator_kind=kind, step=int(carry.n_steps),
+                     rng_key=rng_key)
         snap_index += 1
 
     for i in range(1, n_diag + 1):
-        t_target = t0 + i * out.diag_every
+        t_target = min(t0 + i * out.diag_every, out.t_end)
         with watch.phase("advance"):
             carry = advance_to(carry, t_target)
         with watch.phase("diagnostics"):
             row = jax.device_get(compute_diag(carry.state, scene.force))
+        row = drift_cols(row)
         e = float(row["E_tot"])
-        row["dE_over_E"] = (e - e0) / abs(e0) if e0 != 0 else math.nan
         row["wall_s"] = _time.perf_counter() - wall_start
         emit(row)
 
         if not np.isfinite(e):
             writer.write(snap_index, carry.state,
                          aux=stepper.checkpoint_aux(carry),
-                         integrator_kind=kind, step=int(carry.n_steps))
+                         integrator_kind=kind, step=int(carry.n_steps),
+                         rng_key=rng_key)
             writer.flush()
             raise FloatingPointError(
                 f"non-finite total energy at t={float(carry.state.time):.6g}; "
@@ -157,7 +197,8 @@ def run(cfg: SimConfig, resume: bool = False,
             with watch.phase("snapshot"):
                 writer.write(snap_index, carry.state,
                              aux=stepper.checkpoint_aux(carry),
-                             integrator_kind=kind, step=int(carry.n_steps))
+                             integrator_kind=kind, step=int(carry.n_steps),
+                             rng_key=rng_key)
             snap_index += 1
 
         if out.stdout:

@@ -30,6 +30,10 @@ class Scene:
     state: ParticleState
     force: ForceModel
     config: SimConfig
+    # the run's forward RNG stream (disjoint from the IC keys); the driver
+    # persists it in every snapshot so future stochastic physics (e.g.
+    # stellar mass loss) resumes bit-identically (SURVEY.md §4.4)
+    rng_key: Optional[jax.Array] = None
 
 
 def build_units(cfg: SimConfig) -> UnitSystem:
@@ -130,8 +134,10 @@ def build_scene(cfg: SimConfig) -> Scene:
     external = build_external_potential(cfg, us)
     state = build_ic(cfg, us)
     state = place_on_orbit(state, external, cfg, us)
+    # forward RNG stream for the run itself, disjoint from build_ic's keys
+    # (which are split directly from PRNGKey(seed))
+    rng_key = jax.random.fold_in(jax.random.PRNGKey(cfg.ic.seed), 0x52554E)
     if cfg.mesh.n_devices != 1:
-        import jax
         from oc_nbody_tpu.parallel import make_mesh, make_sharded_force
         n_dev = cfg.mesh.n_devices or len(jax.devices())
         if n_dev > 1:
@@ -140,11 +146,13 @@ def build_scene(cfg: SimConfig) -> Scene:
                 eps=cfg.integrator.eps, G=us.G, external=external,
                 mesh=make_mesh(n_dev), mode=mode, backend=cfg.backend,
             )
-            return Scene(units=us, state=state, force=force, config=cfg)
+            return Scene(units=us, state=state, force=force, config=cfg,
+                         rng_key=rng_key)
     force = make_force_model(
         eps=cfg.integrator.eps, G=us.G, external=external, backend=cfg.backend
     )
-    return Scene(units=us, state=state, force=force, config=cfg)
+    return Scene(units=us, state=state, force=force, config=cfg,
+                 rng_key=rng_key)
 
 
 def make_stepper(cfg: SimConfig, force: ForceModel):
@@ -156,7 +164,8 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
     if ic.kind == "hermite":
         from oc_nbody_tpu.integrators.hermite import Hermite4
         return Hermite4(force=force, eta=ic.eta, eta_init=ic.eta_init,
-                        dt_max=ic.dt_max, quantize=ic.quantize), "hermite"
+                        dt_max=ic.dt_max, quantize=ic.quantize,
+                        pec2=ic.pec2), "hermite"
     if ic.kind == "block":
         from oc_nbody_tpu.integrators.block import BlockHermite
         return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,

@@ -52,3 +52,16 @@ def test_cli_bad_override(tmp_path):
     cfg = _write_cfg(tmp_path)
     with pytest.raises(KeyError):
         cli.main(["info", cfg, "--set", "integrator.bogus=1"])
+
+
+def test_cli_run_with_profile(tmp_path):
+    """--profile DIR captures an XProf trace (SURVEY.md §5; VERDICT A1)."""
+    cfg = _write_cfg(tmp_path)
+    trace_dir = str(tmp_path / "traces")
+    assert cli.main(["run", cfg, "--profile", trace_dir,
+                     "--set", "output.out_dir=" + str(tmp_path / "run2")]) == 0
+    # jax.profiler.trace writes plugins/profile/<ts>/*.xplane.pb
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
+    assert found, f"no trace artifacts under {trace_dir}"

@@ -18,12 +18,14 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pg, "_call",
                         functools.partial(pl.pallas_call, interpret=True))
     # jitted wrappers cache the traced _call: clear between modes
-    for fn in (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
-               pg.accel, pg.accel_potential, pg.accel_jerk):
+    jitted = (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
+              pg.accel_rows_streamed, pg.accel_potential_rows_streamed,
+              pg.accel_jerk_rows_streamed,
+              pg.accel, pg.accel_potential, pg.accel_jerk)
+    for fn in jitted:
         fn.clear_cache()
     yield
-    for fn in (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
-               pg.accel, pg.accel_potential, pg.accel_jerk):
+    for fn in jitted:
         fn.clear_cache()
 
 
@@ -59,6 +61,66 @@ def test_accel_jerk_matches_oracle():
     jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
     np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
                                atol=5e-6 * jscale)
+
+
+def test_streamed_accel_matches_resident():
+    """HBM-streaming kernel ≡ VMEM-resident kernel ≡ oracle (rows ≠ a tile
+    multiple, sources ≠ a tile multiple: exercises both paddings)."""
+    pos, _, mass = _cluster(517)
+    eps = 0.05
+    out_s = pg.accel_rows_streamed(pos.astype(jnp.float32),
+                                   pos.astype(jnp.float32),
+                                   mass.astype(jnp.float32),
+                                   jnp.float32(eps))
+    ref = gravity.accel_direct(pos, mass, eps=eps)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               atol=5e-6 * scale)
+
+
+def test_streamed_potential_matches_oracle():
+    pos, _, mass = _cluster(300)
+    acc, phi = pg.accel_potential_rows_streamed(
+        pos.astype(jnp.float32), pos.astype(jnp.float32),
+        mass.astype(jnp.float32), jnp.float32(0.05), jnp.float32(1.3))
+    acc_ref, phi_ref = gravity.accel_potential_direct(pos, mass, eps=0.05,
+                                                      G=1.3)
+    # streamed phi excludes the self term (same contract as the resident
+    # rows kernel); add it back for the comparison
+    phi_full = phi + gravity.self_phi(mass.astype(jnp.float32),
+                                      jnp.float32(0.05), jnp.float32(1.3))
+    np.testing.assert_allclose(np.asarray(phi_full), np.asarray(phi_ref),
+                               rtol=3e-5)
+
+
+def test_streamed_jerk_matches_oracle():
+    pos, vel, mass = _cluster(260)
+    acc, jerk = pg.accel_jerk_rows_streamed(
+        pos.astype(jnp.float32), vel.astype(jnp.float32),
+        pos.astype(jnp.float32), vel.astype(jnp.float32),
+        mass.astype(jnp.float32), jnp.float32(0.05))
+    acc_ref, jerk_ref = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.linalg.norm(acc_ref, axis=1)))
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                               atol=5e-6 * ascale)
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-6 * jscale)
+
+
+def test_stream_dispatch_threshold(monkeypatch):
+    """accel_rows transparently dispatches to the streaming kernel past
+    STREAM_N sources (static-shape decision)."""
+    pos, _, mass = _cluster(280)
+    monkeypatch.setattr(pg, "STREAM_N", 128)
+    pg.accel_rows.clear_cache()
+    out = pg.accel_rows(pos.astype(jnp.float32), pos.astype(jnp.float32),
+                        mass.astype(jnp.float32), jnp.float32(0.05))
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+    pg.accel_rows.clear_cache()
 
 
 def test_unguarded_matches_guarded():
