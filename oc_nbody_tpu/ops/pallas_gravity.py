@@ -35,13 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from oc_nbody_tpu.ops.gravity import prepare_f32, self_phi
 
-# Row/source tile sizes. TI*TJ f32 temporaries must fit VMEM comfortably:
-# 256 x 1024 x 4B = 1 MB per (TI, TJ) array, ~6 live -> ~6 MB, OK.
-# Env-overridable for tuning sweeps (bench/perf_sweep.py).
+# Row/source tile sizes. TI*TJ f32 temporaries must fit the 16 MB scoped
+# VMEM (measured limit: 512x1024 and 256x4096 jerk tiles OOM at 18/26 MB).
+# Chain-timed sweep on the v5 lite (bench/tile_sweep.py, N=65536, jerk):
+#   256x1024 53.7 ms | 256x2048 52.2 ms | 128x2048 52.1 ms | 128x4096 58.2 ms
+# -> 256x2048 default (+3% over round 1). Env-overridable for sweeps.
 import os as _os
 
 TI = int(_os.environ.get("OCN_PALLAS_TI", 256))
-TJ = int(_os.environ.get("OCN_PALLAS_TJ", 1024))
+TJ = int(_os.environ.get("OCN_PALLAS_TJ", 2048))
 # accel-only tiles: fewer live temporaries than the jerk kernel, so larger
 # tiles fit VMEM and measure ~3.5% faster (chain-timed sweep, v5e)
 TI_A = int(_os.environ.get("OCN_PALLAS_TI_A", 512))
