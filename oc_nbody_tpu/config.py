@@ -78,6 +78,7 @@ class OutputConfig:
     fractions: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
     stdout: bool = True
     max_steps_per_dispatch: int = 16384  # cap steps per device dispatch
+    diag_f64: bool = False       # full-f64 pairwise PE in diagnostics (slow)
 
 
 @dataclasses.dataclass

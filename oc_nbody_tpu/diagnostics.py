@@ -23,7 +23,8 @@ def kinetic_energy(state: ParticleState) -> jax.Array:
     return 0.5 * jnp.sum(m * v2)
 
 
-def energies(state: ParticleState, force: ForceModel) -> dict:
+def energies(state: ParticleState, force: ForceModel,
+             f64_pairwise: bool = False) -> dict:
     """KE, pairwise PE, external potential energy, total. All f64 scalars.
 
     ``E_int`` is the cluster-internal energy — KE in the mass-weighted COM
@@ -34,7 +35,19 @@ def energies(state: ParticleState, force: ForceModel) -> dict:
     (VERDICT round-1 item 4 / W6).
     """
     m = state.mass.astype(jnp.float64)
-    _, phi_pair, phi_ext = force.accel_potential(state.pos, state.mass)
+    if f64_pairwise:
+        # diagnostic-grade pairwise potential: full (emulated) f64 pair
+        # terms via the jnp oracle path. ~15x the f32 kernel cost — opt-in
+        # (output.diag_f64) for acceptance runs where the f32 potential's
+        # ~2e-7 noise floor would contaminate the dE_over_E_int series.
+        from oc_nbody_tpu.ops import gravity
+        _, phi_pair = gravity.accel_potential(
+            state.pos, state.mass, force.eps, force.G,
+            compute_dtype=jnp.float64, chunk=512)
+        phi_ext = (force.external.phi(state.pos) if force.external is not None
+                   else jnp.zeros_like(phi_pair))
+    else:
+        _, phi_pair, phi_ext = force.accel_potential(state.pos, state.mass)
     ke = kinetic_energy(state)
     pe_pair = 0.5 * jnp.sum(m * phi_pair.astype(jnp.float64))
     e_ext = jnp.sum(m * phi_ext.astype(jnp.float64))
@@ -198,10 +211,11 @@ def bound_mass_tidal(state: ParticleState, force: ForceModel,
 
 
 def compute_all(state: ParticleState, force: ForceModel,
-                fractions=(0.1, 0.25, 0.5, 0.75, 0.9)) -> dict:
+                fractions=(0.1, 0.25, 0.5, 0.75, 0.9),
+                f64_pairwise: bool = False) -> dict:
     """The full diagnostics row (SURVEY.md §5 metrics list); all scalars
     except lagrangian radii. One jit-able call."""
-    e = energies(state, force)
+    e = energies(state, force, f64_pairwise=f64_pairwise)
     center = density_center(state)
     L = angular_momentum(state)
     if force.external is not None:

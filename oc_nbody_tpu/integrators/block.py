@@ -45,8 +45,16 @@ def _norm(x):
 @dataclasses.dataclass(frozen=True)
 class BlockCarry:
     state: ParticleState     # pos/vel at per-particle times; state.time = last t_next
-    acc: jax.Array           # (N, 3) at t_i
-    jerk: jax.Array          # (N, 3) at t_i
+    acc: jax.Array           # (N, 3) TOTAL acceleration at t_i
+    jerk: jax.Array          # (N, 3) TOTAL jerk at t_i
+    # external-field parts of acc/jerk at t_i, carried so the rung criterion
+    # can be applied to the pairwise and external components SEPARATELY: on
+    # galactic orbits |a_ext| >> |a_pair| (measured ~8 vs 0.1-1 in config 4)
+    # and a total-force Aarseth dt is inflated by the smooth external field,
+    # under-stepping the internal dynamics (measured 1e-2 E_int drift; the
+    # split criterion removes it). Zero when there is no external field.
+    a_ext: jax.Array         # (N, 3) at t_i
+    j_ext: jax.Array         # (N, 3) at t_i
     t_i: jax.Array           # (N,) int64, units of dt_min, relative to t_origin
     dt_i: jax.Array          # (N,) int64 rung length in dt_min units (power of two)
     t_origin: jax.Array      # f64 scalar: physical time at t_int == 0
@@ -96,19 +104,43 @@ class BlockHermite:
         dt = jnp.sqrt(self.eta * num / jnp.maximum(den, tiny))
         return jnp.where(den > 0, dt, jnp.inf)
 
+    def _ext_parts(self, pos, vel, like):
+        """(a_ext, j_ext) of the external field — exact jvp, O(N)."""
+        if self.force.external is None:
+            # two distinct buffers: aliased leaves break the driver's
+            # donate_argnums superstep (donate-same-buffer-twice)
+            return jnp.zeros_like(like), jnp.zeros_like(like)
+        a_ext, j_ext = jax.jvp(self.force.external.accel, (pos,), (vel,))
+        return a_ext.astype(like.dtype), j_ext.astype(like.dtype)
+
+    @staticmethod
+    def _interp_derivs(a0, j0, a1, j1, h, inv_h2, inv_h3):
+        """Hermite-interpolated (a2 at t1, a3) from endpoint (a, j) pairs."""
+        a2_0 = (-6.0 * (a0 - a1) - h * (4.0 * j0 + 2.0 * j1)) * inv_h2
+        a3 = (12.0 * (a0 - a1) + 6.0 * h * (j0 + j1)) * inv_h3
+        return a2_0 + h * a3, a3
+
     # ---- lifecycle ----------------------------------------------------
     def init(self, state: ParticleState) -> BlockCarry:
         acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
         acc = acc.astype(state.pos.dtype)
         jerk = jerk.astype(state.pos.dtype)
-        a = _norm(acc)
-        j = _norm(jerk)
-        dt_raw = self.eta_init * jnp.where(
-            j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny), jnp.inf)
+        a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc)
+
+        def aj_dt(a_vec, j_vec):
+            a = _norm(a_vec)
+            j = _norm(j_vec)
+            return jnp.where(
+                j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny), jnp.inf)
+
+        # startup rung: per-component a/|j| timescales (pairwise AND
+        # external), same split rationale as the step criterion
+        dt_raw = self.eta_init * jnp.minimum(
+            aj_dt(acc - a_ext, jerk - j_ext), aj_dt(a_ext, j_ext))
         dt_i = self._rung_from_float(dt_raw)
         n = state.n
         return BlockCarry(
-            state=state, acc=acc, jerk=jerk,
+            state=state, acc=acc, jerk=jerk, a_ext=a_ext, j_ext=j_ext,
             t_i=jnp.zeros((n,), jnp.int64), dt_i=dt_i,
             # copy=True: t_origin must not alias state.time (both would be
             # donated by the driver's donate_argnums superstep)
@@ -155,14 +187,21 @@ class BlockHermite:
         v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
         x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
 
-        # new rung from the Aarseth criterion at t_next
+        # new rung: Aarseth criterion applied to the pairwise and external
+        # force components SEPARATELY (see BlockCarry docstring), rung = min.
+        # a2/a3 per component come from the same Hermite interpolation,
+        # using the stored t_i endpoint ext parts and fresh t_next ones.
         inv_h2 = 1.0 / h2
         inv_h3 = inv_h2 / h
-        a2_0 = (-6.0 * (a0 - a1_full) - h * (4.0 * j0 + 2.0 * j1_full)) * inv_h2
-        a3 = (12.0 * (a0 - a1_full) + 6.0 * h * (j0 + j1_full)) * inv_h3
-        a2_1 = a2_0 + h * a3
-        dt_want = self._rung_from_float(
-            self._aarseth_dt(a1_full, j1_full, a2_1, a3))
+        a_ext1, j_ext1 = self._ext_parts(xp, vp, a1_full)
+        a0p, j0p = a0 - carry.a_ext, j0 - carry.j_ext
+        a1p, j1p = a1_full - a_ext1, j1_full - j_ext1
+        p2_1, p3 = self._interp_derivs(a0p, j0p, a1p, j1p, h, inv_h2, inv_h3)
+        e2_1, e3 = self._interp_derivs(carry.a_ext, carry.j_ext,
+                                       a_ext1, j_ext1, h, inv_h2, inv_h3)
+        dt_raw = jnp.minimum(self._aarseth_dt(a1p, j1p, p2_1, p3),
+                             self._aarseth_dt(a_ext1, j_ext1, e2_1, e3))
+        dt_want = self._rung_from_float(dt_raw)
         # grow at most one rung, only when aligned with the block grid
         dt_grow = 2 * carry.dt_i
         aligned = (t_next % dt_grow) == 0
@@ -183,6 +222,8 @@ class BlockHermite:
             state=state_new,
             acc=jnp.where(am, a1_full, a0),
             jerk=jnp.where(am, j1_full, j0),
+            a_ext=jnp.where(am, a_ext1, carry.a_ext),
+            j_ext=jnp.where(am, j_ext1, carry.j_ext),
             t_i=jnp.where(active, t_next, carry.t_i),
             dt_i=jnp.where(active, dt_new, carry.dt_i),
             n_steps=carry.n_steps + 1,
@@ -272,7 +313,9 @@ class BlockHermite:
         return jnp.sum(carry.dt_i[None, :] == dt_ints[:, None], axis=1)
 
     def checkpoint_aux(self, carry: BlockCarry) -> dict:
-        return {"acc": carry.acc, "jerk": carry.jerk, "t_i": carry.t_i,
+        return {"acc": carry.acc, "jerk": carry.jerk,
+                "a_ext": carry.a_ext, "j_ext": carry.j_ext,
+                "t_i": carry.t_i,
                 "dt_i": carry.dt_i, "t_origin": carry.t_origin,
                 "n_steps": carry.n_steps, "n_active_sum": carry.n_active_sum,
                 "dt_max": jnp.asarray(self.dt_max, jnp.float64),
@@ -289,9 +332,18 @@ class BlockHermite:
                     "block-timestep integer times are not portable across "
                     "grid changes")
         if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i", "t_origin")):
+            acc = jnp.asarray(aux["acc"])
+            if "a_ext" in aux and "j_ext" in aux:
+                a_ext = jnp.asarray(aux["a_ext"])
+                j_ext = jnp.asarray(aux["j_ext"])
+            else:
+                # pre-round-2 checkpoint: ext parts are a pure function of
+                # (pos, vel), recompute exactly
+                a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc)
             return BlockCarry(
                 state=state,
-                acc=jnp.asarray(aux["acc"]), jerk=jnp.asarray(aux["jerk"]),
+                acc=acc, jerk=jnp.asarray(aux["jerk"]),
+                a_ext=a_ext, j_ext=j_ext,
                 t_i=jnp.asarray(aux["t_i"], jnp.int64),
                 dt_i=jnp.asarray(aux["dt_i"], jnp.int64),
                 t_origin=jnp.asarray(aux["t_origin"], jnp.float64),

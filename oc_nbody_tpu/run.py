@@ -118,7 +118,8 @@ def _run(cfg: SimConfig, resume: bool = False,
             if done:
                 return carry
     compute_diag = jax.jit(
-        lambda state, force: diag_mod.compute_all(state, force, out.fractions)
+        lambda state, force: diag_mod.compute_all(
+            state, force, out.fractions, f64_pairwise=out.diag_f64)
     )
 
     # ceil so a non-multiple t_end still gets simulated in full; the final

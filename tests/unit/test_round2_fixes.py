@@ -151,6 +151,26 @@ def test_energies_internal_column(key):
     assert float(eb["E_tot"]) != pytest.approx(float(e["E_tot"]), rel=1e-3)
 
 
+def test_energies_f64_pairwise(key):
+    """Opt-in f64 diagnostic PE matches the exact direct f64 sum to
+    round-off, while the default f32 path carries a visible noise floor."""
+    from oc_nbody_tpu.diagnostics import energies
+    from oc_nbody_tpu.forces import make_force_model
+    from oc_nbody_tpu.models.plummer import plummer
+    from oc_nbody_tpu.ops import gravity
+
+    state = plummer(256, key)
+    force = make_force_model(eps=1.0 / 64, backend="jnp")
+    e64 = energies(state, force, f64_pairwise=True)
+    _, phi_exact = gravity.accel_potential_direct(
+        state.pos, state.mass, eps=1.0 / 64)
+    pe_exact = 0.5 * float(jnp.sum(state.mass * phi_exact))
+    assert float(e64["PE_pair"]) == pytest.approx(pe_exact, rel=1e-12)
+    e32 = energies(state, force, f64_pairwise=False)
+    assert abs(float(e32["PE_pair"]) - pe_exact) >= \
+        abs(float(e64["PE_pair"]) - pe_exact)
+
+
 def test_rung_occupancy(key):
     from oc_nbody_tpu.forces import make_force_model
     from oc_nbody_tpu.integrators.block import BlockHermite
@@ -182,6 +202,42 @@ def test_driver_emits_dE_int_and_rungs(tmp_path):
     # isolated cluster: E_int == E_tot, so the two drift columns coincide
     np.testing.assert_allclose(res.diagnostics["dE_over_E_int"],
                                res.diagnostics["dE_over_E"], atol=1e-12)
+
+
+def test_block_split_criterion_external_dominated(key):
+    """Rung criterion must not be inflated by a dominant smooth external
+    field (c4 failure mode: |a_ext| >> |a_pair| let internal dynamics run
+    at dt_max, measured 1e-2 E_int drift per time unit; the split
+    pairwise/external criterion measured 3.9e-6 — this test pins the fix
+    at small N where the broken version drifts catastrophically)."""
+    from oc_nbody_tpu.diagnostics import energies
+    from oc_nbody_tpu.forces import make_force_model
+    from oc_nbody_tpu.integrators.block import BlockHermite
+    from oc_nbody_tpu.models.plummer import plummer
+    from oc_nbody_tpu.models import potentials as P
+
+    state = plummer(256, key)
+    # eccentric-ish orbit around a point mass with |a_ext| >> |a_pair|
+    M_gal, R = 1.0e7, 500.0
+    pot = P.PointMass(GM=jnp.asarray(float(M_gal)))
+    vc = float(pot.vcirc(R))
+    state = state.shifted(dpos=jnp.array([R, 0.0, 0.0]),
+                          dvel=jnp.array([0.0, 0.8 * vc, 0.3 * vc]))
+    force = make_force_model(eps=1.0 / 64, G=1.0, external=pot, backend="jnp")
+    a_ext = float(jnp.linalg.norm(pot.accel(jnp.array([R, 0.0, 0.0]))))
+    assert a_ext > 5.0  # the regime under test: external dominates
+
+    stepper = BlockHermite(force=force, eta=0.02, eta_init=0.01,
+                           dt_max=1.0 / 16, n_levels=8)
+    carry = stepper.init(state)
+    e0 = float(energies(carry.state, force, f64_pairwise=True)["E_tot"])
+    e_int0 = abs(float(energies(carry.state, force,
+                                f64_pairwise=True)["E_int"]))
+    carry = jax.jit(stepper.advance_to)(carry, 1.0)
+    e1 = float(energies(carry.state, force, f64_pairwise=True)["E_tot"])
+    drift = abs(e1 - e0) / e_int0
+    # broken criterion measured ~1e-2 here; fixed ~1e-6
+    assert drift < 1e-4, drift
 
 
 def test_t_end_not_multiple_of_diag_every(tmp_path):
