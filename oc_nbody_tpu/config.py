@@ -75,6 +75,11 @@ class OutputConfig:
     t_end: float = 10.0          # code units
     diag_every: float = 0.25     # diagnostics cadence (code units)
     snap_every: float = 1.0      # snapshot cadence (code units)
+    # physical-time alternatives: when set (Myr), they override the
+    # code-unit fields above via the scene's unit system
+    t_end_myr: Optional[float] = None
+    diag_every_myr: Optional[float] = None
+    snap_every_myr: Optional[float] = None
     fractions: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
     stdout: bool = True
     max_steps_per_dispatch: int = 16384  # cap steps per device dispatch

@@ -58,6 +58,13 @@ def _run(cfg: SimConfig, resume: bool = False,
     scene = build_scene(cfg)
     stepper, kind = make_stepper(cfg, scene.force)
     out = cfg.output
+    # physical-time fields (Myr) override the code-unit ones
+    if out.t_end_myr is not None:
+        out.t_end = out.t_end_myr / scene.units.time_myr
+    if out.diag_every_myr is not None:
+        out.diag_every = out.diag_every_myr / scene.units.time_myr
+    if out.snap_every_myr is not None:
+        out.snap_every = out.snap_every_myr / scene.units.time_myr
     writer = SnapshotWriter(out.out_dir, units=scene.units,
                             config_json=cfg.to_json())
 

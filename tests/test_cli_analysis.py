@@ -54,6 +54,21 @@ def test_cli_bad_override(tmp_path):
         cli.main(["info", cfg, "--set", "integrator.bogus=1"])
 
 
+def test_compare_runs_script(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    assert cli.main(["run", cfg]) == 0
+    run_dir = str(tmp_path / "run")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "analysis"))
+    try:
+        import compare_runs
+        out = str(tmp_path / "cmp.png")
+        compare_runs.main([run_dir, run_dir, "--labels", "a", "b",
+                           "--columns", "dE_over_E", "KE", "--out", out])
+        assert os.path.exists(out)
+    finally:
+        sys.path.pop(0)
+
+
 def test_cli_run_with_profile(tmp_path):
     """--profile DIR captures an XProf trace (SURVEY.md §5; VERDICT A1)."""
     cfg = _write_cfg(tmp_path)

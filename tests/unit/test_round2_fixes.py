@@ -204,6 +204,21 @@ def test_driver_emits_dE_int_and_rungs(tmp_path):
                                res.diagnostics["dE_over_E"], atol=1e-12)
 
 
+def test_physical_time_cadence(tmp_path):
+    """t_end_myr / diag_every_myr override the code-unit fields via the
+    scene's unit system (ROADMAP QoL)."""
+    from oc_nbody_tpu.scene import build_units
+    cfg = _tiny_cfg(tmp_path)
+    us = build_units(cfg)
+    cfg.output.t_end_myr = 0.25 * us.time_myr       # = 0.25 code units
+    cfg.output.diag_every_myr = 0.125 * us.time_myr
+    cfg.output.snap_every_myr = 0.25 * us.time_myr
+    res = run(cfg)
+    assert float(res.state.time) >= 0.25 - 1e-9
+    assert float(res.state.time) <= 0.25 + cfg.integrator.dt + 1e-9
+    assert len(res.diagnostics["time"]) == 3  # t = 0, 0.125, 0.25
+
+
 def test_block_split_criterion_external_dominated(key):
     """Rung criterion must not be inflated by a dominant smooth external
     field (c4 failure mode: |a_ext| >> |a_pair| let internal dynamics run
