@@ -16,9 +16,10 @@ The TPU-native equivalent of the reference's native inner loop
     flops/pair run at VPU rate, which already exceeds the 1e10
     interactions/s target by an order of magnitude.
   * **Accumulation.** Per j-tile partial sums are reduced by XLA's tree
-    reduction along lanes and accumulated across tiles in f32 carries;
-    error growth ~ sqrt(num_tiles)·eps_f32 ≈ 1e-6 relative — inside the
-    |dE/E| < 1e-6 budget once the O(N) state math is f64.
+    reduction along lanes; the serial accumulation ACROSS tiles is
+    Kahan-compensated in the streamed kernels (default; see COMPENSATED
+    below), holding cross-tile error at O(eps_f32) regardless of N instead
+    of growing ~ sqrt(num_tiles)·eps_f32.
   * Softened self-pairs (r = 0) produce exactly 0 via the u > 0 guard, so
     rows may overlap sources freely — the same contract as
     ops.gravity.accel_rows, making these kernels drop-in for the
@@ -48,6 +49,32 @@ TJ = int(_os.environ.get("OCN_PALLAS_TJ", 2048))
 # tiles fit VMEM and measure ~3.5% faster (chain-timed sweep, v5e)
 TI_A = int(_os.environ.get("OCN_PALLAS_TI_A", 512))
 TJ_A = int(_os.environ.get("OCN_PALLAS_TJ_A", 2048))
+
+# Kahan-compensated cross-tile accumulation. Per-tile partial sums are
+# exact-ish tree reductions; the error that grows with N is the serial
+# accumulation ACROSS source tiles (~sqrt(n_tiles)*eps_f32). Measured on the
+# v5 lite vs an f64 oracle:
+#   * streamed, N=1,048,576 (512 tiles): max rel err 8.1e-7 -> 3.5e-7,
+#     rms 3.3e-7 -> 6.7e-8, for 2.2% wall (6.71 -> 6.86 s/eval). DEFAULT ON.
+#   * resident, N=65,536 (32 tiles): error unchanged at 3.9e-6 — the TPU's
+#     f32 rsqrt (~1.1e-6/pair, same in fused jnp) dominates below ~256
+#     tiles — while the doubled fori_loop carry costs 7.5% (26.6 -> 28.6
+#     ms). DEFAULT OFF.
+# OCN_PALLAS_COMPENSATED: "stream" (default) | "all" | "0".
+_COMP_ENV = _os.environ.get("OCN_PALLAS_COMPENSATED", "stream")
+COMPENSATED = _COMP_ENV in ("stream", "all", "1")
+COMPENSATED_RESIDENT = _COMP_ENV == "all"
+
+
+def _two_sum(acc, comp, partial):
+    """One Kahan step: returns (acc', comp') with acc'+comp' ~= acc+comp+partial.
+    Relies on XLA/Mosaic not reassociating float arithmetic (they do not;
+    verified on hardware: compensated and uncompensated outputs differ)."""
+    y = partial - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
 
 # pallas_call, invoked with x64 disabled: kernel data is all-f32 and Mosaic
 # requires i32 index arithmetic, which x64 tracing would promote to i64.
@@ -96,7 +123,8 @@ def _inv_r(u, guarded: bool):
 # accel
 # --------------------------------------------------------------------------
 
-def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
+def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded,
+                  compensated):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     TJ = TJ_A
@@ -106,7 +134,7 @@ def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
     eps2 = eps2_ref[0, 0]
 
     def body(j, carry):
-        ax, ay, az = carry
+        ax, ay, az, cx, cy, cz = carry
         j0 = j * TJ
         sx = src_ref[0:1, pl.ds(j0, TJ)]
         sy = src_ref[1:2, pl.ds(j0, TJ)]
@@ -117,26 +145,34 @@ def _accel_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *, guarded):
         u = dx * dx + dy * dy + dz * dz + eps2
         inv = _inv_r(u, guarded)
         w = gm_ref[0:1, pl.ds(j0, TJ)] * (inv * inv * inv)
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        return ax, ay, az
+        px = jnp.sum(w * dx, axis=1, keepdims=True)
+        py = jnp.sum(w * dy, axis=1, keepdims=True)
+        pz = jnp.sum(w * dz, axis=1, keepdims=True)
+        if compensated:
+            ax, cx = _two_sum(ax, cx, px)
+            ay, cy = _two_sum(ay, cy, py)
+            az, cz = _two_sum(az, cz, pz)
+        else:
+            ax, ay, az = ax + px, ay + py, az + pz
+        return ax, ay, az, cx, cy, cz
 
     zero = jnp.zeros((ti, 1), jnp.float32)
-    ax, ay, az = jax.lax.fori_loop(0, ns // TJ, body, (zero, zero, zero))
+    ax, ay, az, _, _, _ = jax.lax.fori_loop(0, ns // TJ, body, (zero,) * 6)
     out_ref[:] = jnp.concatenate([ax, ay, az], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
-               guarded: bool = True):
+               guarded: bool = True, compensated=None):
     """Pallas accel on rows from sources; f32 in, f32 out. Drop-in for
     ops.gravity.accel_rows (``chunk`` accepted and ignored). Source sets
     beyond STREAM_N dispatch to the HBM-streaming variant (static shape
     check, so the choice is baked in at trace time)."""
     if src_pos.shape[0] > STREAM_N:
         return accel_rows_streamed(pos_rows, src_pos, src_mass, eps, G,
-                                   chunk, guarded)
+                                   chunk, guarded, compensated)
+    if compensated is None:
+        compensated = COMPENSATED_RESIDENT
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI_A), TI_A)
     rows = _pad_rows(pos_rows, nrp)
@@ -146,7 +182,8 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
 
     with jax.enable_x64(False):
         out = _call(
-        functools.partial(_accel_kernel, guarded=guarded),
+        functools.partial(_accel_kernel, guarded=guarded,
+                          compensated=compensated),
         grid=(nrp // TI_A,),
         in_specs=[
             pl.BlockSpec((TI_A, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -168,7 +205,8 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
 # accel + potential
 # --------------------------------------------------------------------------
 
-def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *, guarded):
+def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *,
+                      guarded, compensated):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     xi = rows_ref[:, 0:1]
@@ -177,7 +215,7 @@ def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *, 
     eps2 = eps2_ref[0, 0]
 
     def body(j, carry):
-        ax, ay, az, ph = carry
+        ax, ay, az, ph, cx, cy, cz, cp = carry
         j0 = j * TJ
         sx = src_ref[0:1, pl.ds(j0, TJ)]
         sy = src_ref[1:2, pl.ds(j0, TJ)]
@@ -189,26 +227,37 @@ def _accel_phi_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, phi_ref, *, 
         inv = _inv_r(u, guarded)
         gminv = gm_ref[0:1, pl.ds(j0, TJ)] * inv
         w = gminv * (inv * inv)
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        ph = ph - jnp.sum(gminv, axis=1, keepdims=True)
-        return ax, ay, az, ph
+        px = jnp.sum(w * dx, axis=1, keepdims=True)
+        py = jnp.sum(w * dy, axis=1, keepdims=True)
+        pz = jnp.sum(w * dz, axis=1, keepdims=True)
+        pp = -jnp.sum(gminv, axis=1, keepdims=True)
+        if compensated:
+            ax, cx = _two_sum(ax, cx, px)
+            ay, cy = _two_sum(ay, cy, py)
+            az, cz = _two_sum(az, cz, pz)
+            ph, cp = _two_sum(ph, cp, pp)
+        else:
+            ax, ay, az, ph = ax + px, ay + py, az + pz, ph + pp
+        return ax, ay, az, ph, cx, cy, cz, cp
 
     zero = jnp.zeros((ti, 1), jnp.float32)
-    ax, ay, az, ph = jax.lax.fori_loop(0, ns // TJ, body, (zero, zero, zero, zero))
+    ax, ay, az, ph, _, _, _, _ = jax.lax.fori_loop(
+        0, ns // TJ, body, (zero,) * 8)
     out_ref[:] = jnp.concatenate([ax, ay, az], axis=1)
     phi_ref[:] = ph
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
-                         guarded: bool = True):
+                         guarded: bool = True, compensated=None):
     """(accel, phi) on rows; phi includes the softened self term when rows
     overlap sources (caller adds ``self_phi``) — same contract as jnp."""
     if src_pos.shape[0] > STREAM_N:
         return accel_potential_rows_streamed(pos_rows, src_pos, src_mass,
-                                             eps, G, chunk, guarded)
+                                             eps, G, chunk, guarded,
+                                             compensated)
+    if compensated is None:
+        compensated = COMPENSATED_RESIDENT
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -217,7 +266,8 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
 
     with jax.enable_x64(False):
         acc, phi = _call(
-        functools.partial(_accel_phi_kernel, guarded=guarded),
+        functools.partial(_accel_phi_kernel, guarded=guarded,
+                          compensated=compensated),
         grid=(nrp // TI,),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -246,7 +296,7 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
 # --------------------------------------------------------------------------
 
 def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
-                       eps2_ref, out_ref, jout_ref, *, guarded):
+                       eps2_ref, out_ref, jout_ref, *, guarded, compensated):
     ti = rows_ref.shape[0]
     ns = src_ref.shape[1]
     xi = rows_ref[:, 0:1]
@@ -258,7 +308,7 @@ def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
     eps2 = eps2_ref[0, 0]
 
     def body(j, carry):
-        ax, ay, az, jx, jy, jz = carry
+        ax, ay, az, jx, jy, jz, cax, cay, caz, cjx, cjy, cjz = carry
         j0 = j * TJ
         dx = src_ref[0:1, pl.ds(j0, TJ)] - xi
         dy = src_ref[1:2, pl.ds(j0, TJ)] - yi
@@ -272,26 +322,41 @@ def _accel_jerk_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
         rv = dx * dvx + dy * dvy + dz * dvz
         # s = 3 w rv / u == 3 rv w inv^2 (inv is already zero-guarded)
         s = (jnp.float32(3.0) * rv) * w * (inv * inv)
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        jx = jx + jnp.sum(w * dvx - s * dx, axis=1, keepdims=True)
-        jy = jy + jnp.sum(w * dvy - s * dy, axis=1, keepdims=True)
-        jz = jz + jnp.sum(w * dvz - s * dz, axis=1, keepdims=True)
-        return ax, ay, az, jx, jy, jz
+        pax = jnp.sum(w * dx, axis=1, keepdims=True)
+        pay = jnp.sum(w * dy, axis=1, keepdims=True)
+        paz = jnp.sum(w * dz, axis=1, keepdims=True)
+        pjx = jnp.sum(w * dvx - s * dx, axis=1, keepdims=True)
+        pjy = jnp.sum(w * dvy - s * dy, axis=1, keepdims=True)
+        pjz = jnp.sum(w * dvz - s * dz, axis=1, keepdims=True)
+        if compensated:
+            ax, cax = _two_sum(ax, cax, pax)
+            ay, cay = _two_sum(ay, cay, pay)
+            az, caz = _two_sum(az, caz, paz)
+            jx, cjx = _two_sum(jx, cjx, pjx)
+            jy, cjy = _two_sum(jy, cjy, pjy)
+            jz, cjz = _two_sum(jz, cjz, pjz)
+        else:
+            ax, ay, az = ax + pax, ay + pay, az + paz
+            jx, jy, jz = jx + pjx, jy + pjy, jz + pjz
+        return ax, ay, az, jx, jy, jz, cax, cay, caz, cjx, cjy, cjz
 
     zero = jnp.zeros((ti, 1), jnp.float32)
-    ax, ay, az, jx, jy, jz = jax.lax.fori_loop(0, ns // TJ, body, (zero,) * 6)
+    ax, ay, az, jx, jy, jz = jax.lax.fori_loop(
+        0, ns // TJ, body, (zero,) * 12)[:6]
     out_ref[:] = jnp.concatenate([ax, ay, az], axis=1)
     jout_ref[:] = jnp.concatenate([jx, jy, jz], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
-                    G=1.0, chunk: int = 0, guarded: bool = True):
+                    G=1.0, chunk: int = 0, guarded: bool = True,
+                    compensated=None):
     if src_pos.shape[0] > STREAM_N:
         return accel_jerk_rows_streamed(pos_rows, vel_rows, src_pos, src_vel,
-                                        src_mass, eps, G, chunk, guarded)
+                                        src_mass, eps, G, chunk, guarded,
+                                        compensated)
+    if compensated is None:
+        compensated = COMPENSATED_RESIDENT
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -302,7 +367,8 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 
     with jax.enable_x64(False):
         acc, jerk = _call(
-        functools.partial(_accel_jerk_kernel, guarded=guarded),
+        functools.partial(_accel_jerk_kernel, guarded=guarded,
+                          compensated=compensated),
         grid=(nrp // TI,),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -349,8 +415,8 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 STREAM_N = int(_os.environ.get("OCN_PALLAS_STREAM_N", 262144))
 
 
-def _accel_stream_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *,
-                         guarded):
+def _accel_stream_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref,
+                         comp_ref, *, guarded, compensated):
     j = pl.program_id(1)
     xi = rows_ref[:, 0:1]
     yi = rows_ref[:, 1:2]
@@ -370,16 +436,26 @@ def _accel_stream_kernel(rows_ref, src_ref, gm_ref, eps2_ref, out_ref, *,
     @pl.when(j == 0)
     def _init():
         out_ref[:] = partial
+        if compensated:
+            comp_ref[:] = jnp.zeros_like(comp_ref)
 
     @pl.when(j != 0)
     def _accumulate():
-        out_ref[:] = out_ref[:] + partial
+        if compensated:
+            t, c = _two_sum(out_ref[:], comp_ref[:], partial)
+            out_ref[:] = t
+            comp_ref[:] = c
+        else:
+            out_ref[:] = out_ref[:] + partial
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
-                        chunk: int = 0, guarded: bool = True):
+                        chunk: int = 0, guarded: bool = True,
+                        compensated=None):
     """accel_rows with HBM-resident sources (no VMEM source cap)."""
+    if compensated is None:
+        compensated = COMPENSATED
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI_A), TI_A)
     rows = _pad_rows(pos_rows, nrp)
@@ -389,7 +465,8 @@ def accel_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
 
     with jax.enable_x64(False):
         out = _call(
-            functools.partial(_accel_stream_kernel, guarded=guarded),
+            functools.partial(_accel_stream_kernel, guarded=guarded,
+                              compensated=compensated),
             grid=(nrp // TI_A, nsp // TJ_A),
             in_specs=[
                 pl.BlockSpec((TI_A, 3), lambda i, j: (i, 0),
@@ -403,6 +480,7 @@ def accel_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
             out_specs=pl.BlockSpec((TI_A, 3), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((TI_A, 3), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             cost_estimate=pl.CostEstimate(
@@ -414,7 +492,8 @@ def accel_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
 
 
 def _accel_phi_stream_kernel(rows_ref, src_ref, gm_ref, eps2_ref,
-                             out_ref, phi_ref, *, guarded):
+                             out_ref, phi_ref, comp_ref, pcomp_ref, *,
+                             guarded, compensated):
     j = pl.program_id(1)
     xi = rows_ref[:, 0:1]
     yi = rows_ref[:, 1:2]
@@ -437,16 +516,30 @@ def _accel_phi_stream_kernel(rows_ref, src_ref, gm_ref, eps2_ref,
     def _init():
         out_ref[:] = partial
         phi_ref[:] = ph
+        if compensated:
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+            pcomp_ref[:] = jnp.zeros_like(pcomp_ref)
 
     @pl.when(j != 0)
     def _accumulate():
-        out_ref[:] = out_ref[:] + partial
-        phi_ref[:] = phi_ref[:] + ph
+        if compensated:
+            t, c = _two_sum(out_ref[:], comp_ref[:], partial)
+            out_ref[:] = t
+            comp_ref[:] = c
+            tp, cp = _two_sum(phi_ref[:], pcomp_ref[:], ph)
+            phi_ref[:] = tp
+            pcomp_ref[:] = cp
+        else:
+            out_ref[:] = out_ref[:] + partial
+            phi_ref[:] = phi_ref[:] + ph
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_potential_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
-                                  chunk: int = 0, guarded: bool = True):
+                                  chunk: int = 0, guarded: bool = True,
+                                  compensated=None):
+    if compensated is None:
+        compensated = COMPENSATED
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -455,7 +548,8 @@ def accel_potential_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
 
     with jax.enable_x64(False):
         acc, phi = _call(
-            functools.partial(_accel_phi_stream_kernel, guarded=guarded),
+            functools.partial(_accel_phi_stream_kernel, guarded=guarded,
+                              compensated=compensated),
             grid=(nrp // TI, nsp // TJ),
             in_specs=[
                 pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
@@ -476,6 +570,8 @@ def accel_potential_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
                 jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
                 jax.ShapeDtypeStruct((nrp, 1), jnp.float32),
             ),
+            scratch_shapes=[pltpu.VMEM((TI, 3), jnp.float32),
+                            pltpu.VMEM((TI, 1), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             cost_estimate=pl.CostEstimate(
@@ -487,7 +583,8 @@ def accel_potential_rows_streamed(pos_rows, src_pos, src_mass, eps, G=1.0,
 
 
 def _accel_jerk_stream_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
-                              eps2_ref, out_ref, jout_ref, *, guarded):
+                              eps2_ref, out_ref, jout_ref, acomp_ref,
+                              jcomp_ref, *, guarded, compensated):
     j = pl.program_id(1)
     xi = rows_ref[:, 0:1]
     yi = rows_ref[:, 1:2]
@@ -520,16 +617,30 @@ def _accel_jerk_stream_kernel(rows_ref, vrows_ref, src_ref, svel_ref, gm_ref,
     def _init():
         out_ref[:] = pa
         jout_ref[:] = pj
+        if compensated:
+            acomp_ref[:] = jnp.zeros_like(acomp_ref)
+            jcomp_ref[:] = jnp.zeros_like(jcomp_ref)
 
     @pl.when(j != 0)
     def _accumulate():
-        out_ref[:] = out_ref[:] + pa
-        jout_ref[:] = jout_ref[:] + pj
+        if compensated:
+            ta, ca = _two_sum(out_ref[:], acomp_ref[:], pa)
+            out_ref[:] = ta
+            acomp_ref[:] = ca
+            tj, cj = _two_sum(jout_ref[:], jcomp_ref[:], pj)
+            jout_ref[:] = tj
+            jcomp_ref[:] = cj
+        else:
+            out_ref[:] = out_ref[:] + pa
+            jout_ref[:] = jout_ref[:] + pj
 
 
-@functools.partial(jax.jit, static_argnames=("guarded",))
+@functools.partial(jax.jit, static_argnames=("guarded", "compensated"))
 def accel_jerk_rows_streamed(pos_rows, vel_rows, src_pos, src_vel, src_mass,
-                             eps, G=1.0, chunk: int = 0, guarded: bool = True):
+                             eps, G=1.0, chunk: int = 0, guarded: bool = True,
+                             compensated=None):
+    if compensated is None:
+        compensated = COMPENSATED
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -540,7 +651,8 @@ def accel_jerk_rows_streamed(pos_rows, vel_rows, src_pos, src_vel, src_mass,
 
     with jax.enable_x64(False):
         acc, jerk = _call(
-            functools.partial(_accel_jerk_stream_kernel, guarded=guarded),
+            functools.partial(_accel_jerk_stream_kernel, guarded=guarded,
+                              compensated=compensated),
             grid=(nrp // TI, nsp // TJ),
             in_specs=[
                 pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
@@ -565,6 +677,8 @@ def accel_jerk_rows_streamed(pos_rows, vel_rows, src_pos, src_vel, src_mass,
                 jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
                 jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
             ),
+            scratch_shapes=[pltpu.VMEM((TI, 3), jnp.float32),
+                            pltpu.VMEM((TI, 3), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             cost_estimate=pl.CostEstimate(

@@ -41,6 +41,17 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _two_sum(acc, comp, partial):
+    """Kahan step for the ring accumulation across D source shards: the
+    cross-shard sum is the one f32 accumulation the kernels cannot see
+    (they compensate only across their own source tiles), so compensate it
+    here — O(N/D) extra flops per ring step vs the O(N^2/D^2) kernel."""
+    y = partial - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedForce:
@@ -94,14 +105,16 @@ class ShardedForce:
                 perm = [(i, (i + 1) % d) for i in range(d)]
 
                 def body(_, carry):
-                    acc, sp, sm = carry
-                    acc = acc + k.accel_rows(pos_l, sp, sm, eps32, G32, self.chunk)
+                    acc, comp, sp, sm = carry
+                    da = k.accel_rows(pos_l, sp, sm, eps32, G32, self.chunk)
+                    acc, comp = _two_sum(acc, comp, da)
                     sp = lax.ppermute(sp, ax, perm)
                     sm = lax.ppermute(sm, ax, perm)
-                    return acc, sp, sm
+                    return acc, comp, sp, sm
 
                 acc0 = jnp.zeros_like(pos_l)
-                acc, _, _ = lax.fori_loop(0, d, body, (acc0, pos_l, mass_l))
+                acc, _, _, _ = lax.fori_loop(
+                    0, d, body, (acc0, acc0, pos_l, mass_l))
                 return acc
             src_pos = lax.all_gather(pos_l, ax, tiled=True)
             src_mass = lax.all_gather(mass_l, ax, tiled=True)
@@ -132,17 +145,19 @@ class ShardedForce:
                 perm = [(i, (i + 1) % d) for i in range(d)]
 
                 def body(_, carry):
-                    acc, phi, sp, sm = carry
+                    acc, phi, ca, cp, sp, sm = carry
                     da, dp = k.accel_potential_rows(pos_l, sp, sm, eps32, G32,
                                                     self.chunk)
+                    acc, ca = _two_sum(acc, ca, da)
+                    phi, cp = _two_sum(phi, cp, dp)
                     sp = lax.ppermute(sp, ax, perm)
                     sm = lax.ppermute(sm, ax, perm)
-                    return acc + da, phi + dp, sp, sm
+                    return acc, phi, ca, cp, sp, sm
 
                 acc0 = jnp.zeros_like(pos_l)
                 phi0 = jnp.zeros_like(pos_l[:, 0])  # inherits the shard vma
-                acc, phi, _, _ = lax.fori_loop(
-                    0, d, body, (acc0, phi0, pos_l, mass_l))
+                acc, phi, _, _, _, _ = lax.fori_loop(
+                    0, d, body, (acc0, phi0, acc0, phi0, pos_l, mass_l))
                 return acc, phi
             src_pos = lax.all_gather(pos_l, ax, tiled=True)
             src_mass = lax.all_gather(mass_l, ax, tiled=True)
@@ -178,17 +193,19 @@ class ShardedForce:
                 perm = [(i, (i + 1) % d) for i in range(d)]
 
                 def body(_, carry):
-                    acc, jerk, sp, sv, sm = carry
+                    acc, jerk, ca, cj, sp, sv, sm = carry
                     da, dj = k.accel_jerk_rows(pos_l, vel_l, sp, sv, sm,
                                                eps32, G32, self.chunk)
+                    acc, ca = _two_sum(acc, ca, da)
+                    jerk, cj = _two_sum(jerk, cj, dj)
                     sp = lax.ppermute(sp, ax, perm)
                     sv = lax.ppermute(sv, ax, perm)
                     sm = lax.ppermute(sm, ax, perm)
-                    return acc + da, jerk + dj, sp, sv, sm
+                    return acc, jerk, ca, cj, sp, sv, sm
 
                 z = jnp.zeros_like(pos_l)
-                acc, jerk, _, _, _ = lax.fori_loop(
-                    0, d, body, (z, z, pos_l, vel_l, mass_l))
+                acc, jerk, _, _, _, _, _ = lax.fori_loop(
+                    0, d, body, (z, z, z, z, pos_l, vel_l, mass_l))
                 return acc, jerk
             src_pos = lax.all_gather(pos_l, ax, tiled=True)
             src_vel = lax.all_gather(vel_l, ax, tiled=True)

@@ -123,6 +123,64 @@ def test_stream_dispatch_threshold(monkeypatch):
     pg.accel_rows.clear_cache()
 
 
+def test_compensated_accumulation_beats_plain(monkeypatch):
+    """Kahan two-sum across source tiles (default for the streamed kernels)
+    must track the f64 oracle strictly better than plain f32 accumulation in
+    the many-tile regime it exists for. Shrink the tiles so 300 sources span
+    many j-tiles without a big interpret-mode matrix."""
+    monkeypatch.setattr(pg, "TI_A", 8)
+    monkeypatch.setattr(pg, "TJ_A", 128)
+    pg.accel_rows_streamed.clear_cache()
+    key = jax.random.PRNGKey(11)
+    kp, km = jax.random.split(key)
+    n_src = 16384  # 128 tiles at TJ_A=128
+    pos = jax.random.normal(kp, (n_src, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n_src,), jnp.float64, 0.5, 1.5) / n_src
+    rows = pos[:8]
+    ref = gravity.accel_rows(rows, pos, mass, 0.05, 1.0, 1024)
+    p32 = pos.astype(jnp.float32)
+    m32 = mass.astype(jnp.float32)
+    r32 = rows.astype(jnp.float32)
+    errs = {}
+    for comp in (False, True):
+        out = pg.accel_rows_streamed(r32, p32, m32, jnp.float32(0.05),
+                                     compensated=comp)
+        errs[comp] = float(jnp.max(jnp.abs(out - ref)))
+    pg.accel_rows_streamed.clear_cache()
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert errs[True] < errs[False], errs          # strictly more accurate
+    assert errs[True] <= 3e-7 * scale, errs        # near f32 rounding floor
+
+
+def test_resident_compensated_matches_oracle():
+    """compensated=True on the VMEM-resident kernels (OCN_PALLAS_COMPENSATED
+    =all) stays oracle-correct."""
+    pos, vel, mass = _cluster(300)
+    out = pg.accel_rows(pos.astype(jnp.float32), pos.astype(jnp.float32),
+                        mass.astype(jnp.float32), jnp.float32(0.05),
+                        compensated=True)
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+    acc, jerk = pg.accel_jerk_rows(
+        pos.astype(jnp.float32), vel.astype(jnp.float32),
+        pos.astype(jnp.float32), vel.astype(jnp.float32),
+        mass.astype(jnp.float32), jnp.float32(0.05), compensated=True)
+    _, jerk_ref = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-6 * jscale)
+    acc2, phi = pg.accel_potential_rows(
+        pos.astype(jnp.float32), pos.astype(jnp.float32),
+        mass.astype(jnp.float32), jnp.float32(0.05), compensated=True)
+    _, phi_ref = gravity.accel_potential_direct(pos, mass, eps=0.05)
+    phi_full = phi + gravity.self_phi(mass.astype(jnp.float32),
+                                      jnp.float32(0.05), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(phi_full), np.asarray(phi_ref),
+                               rtol=3e-5)
+
+
 def test_unguarded_matches_guarded():
     pos, _, mass = _cluster(128)
     out_g = pg.accel(pos, mass, eps=0.05, guarded=True)
