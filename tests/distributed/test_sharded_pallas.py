@@ -30,6 +30,8 @@ def _interpret_mode(monkeypatch):
     switch dryrun_multichip uses (read at call time, not import time)."""
     monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
     jitted = (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
+              pg.accel_rows_streamed, pg.accel_potential_rows_streamed,
+              pg.accel_jerk_rows_streamed,
               pg.accel, pg.accel_potential, pg.accel_jerk)
     for fn in jitted:
         fn.clear_cache()
@@ -112,6 +114,32 @@ def test_sharded_pallas_active_rows_psum():
     np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref), atol=5e-5)
     np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
                                atol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["allgather", "ring"])
+def test_sharded_streamed_pallas(mode, monkeypatch):
+    """HBM-streaming kernels INSIDE shard_map — the composition a real
+    N>=1M multi-chip run executes (per-shard source sets beyond STREAM_N
+    auto-dispatch to the streaming variants; see pallas_gravity.accel_rows).
+    Forced here by shrinking STREAM_N below the per-shard source count."""
+    monkeypatch.setattr(pg, "STREAM_N", 8)  # every shard's sources stream
+    pos, vel, mass = _cluster(n=120)
+    sf = make_sharded_force(eps=0.05, mesh=make_mesh(8), mode=mode,
+                            backend="pallas")
+    out = jax.jit(sf.accel)(pos, mass)
+    ref = gravity.accel(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+    acc, jerk = jax.jit(sf.accel_jerk)(pos, vel, mass)
+    _, jerk_ref = gravity.accel_jerk(pos, vel, mass, eps=0.05)
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-5 * jscale)
+    acc2, phi, _ = jax.jit(sf.accel_potential)(pos, mass)
+    _, phi_ref = gravity.accel_potential(pos, mass, eps=0.05)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               rtol=3e-5)
 
 
 def test_sharded_pallas_kdk_trajectory():
