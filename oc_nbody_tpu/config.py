@@ -89,7 +89,7 @@ class OutputConfig:
 @dataclasses.dataclass
 class MeshConfig:
     n_devices: int = 1           # 0 = all visible devices
-    mode: str = "auto"           # auto | allgather | ring
+    mode: str = "auto"           # auto | allgather | ring | rdma (Pallas RDMA ring)
 
 
 @dataclasses.dataclass

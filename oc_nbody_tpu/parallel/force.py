@@ -12,6 +12,11 @@ rows + ICI allreduce". Two source strategies, both expressed with
     structurally identical to ring attention (blockwise accumulation over a
     permuted source shard; SURVEY.md §5 "long-context"). D-1 permutes, no
     replication: the large-N path.
+  * ``rdma``      — the ring expressed as ONE Pallas kernel per evaluation:
+    source shards circulate via explicit `make_async_remote_copy` RDMAs
+    that overlap the tile sweep, with a semaphore handshake bounding ring
+    skew (ops/pallas_ring.py; accel only — potential/jerk fall back to
+    ``ring``). Pallas backend only.
 
 The per-shard compute is the same rows-vs-sources kernel as single-chip
 (ops.gravity / ops.pallas_gravity), so sharded == single-device up to f32
@@ -100,6 +105,14 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, mass_l):
+            if self.mode == "rdma":
+                # whole ring inside ONE Pallas kernel: explicit
+                # make_async_remote_copy RDMAs overlapped with the tile
+                # sweep (ops/pallas_ring.py). Pallas-only path.
+                from oc_nbody_tpu.ops import pallas_ring
+                return pallas_ring.accel_ring(
+                    pos_l, mass_l, eps32, G32, axis=ax,
+                    d=self.mesh.devices.size)
             if self.mode == "ring":
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
@@ -140,7 +153,8 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, mass_l):
-            if self.mode == "ring":
+            # "rdma" implements accel only; potential/jerk take the XLA ring
+            if self.mode in ("ring", "rdma"):
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
 
@@ -188,7 +202,8 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, vel_l, mass_l):
-            if self.mode == "ring":
+            # "rdma" implements accel only; potential/jerk take the XLA ring
+            if self.mode in ("ring", "rdma"):
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
 
