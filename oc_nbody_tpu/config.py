@@ -149,15 +149,51 @@ def _coerce(value, type_str):
     return value
 
 
-def load_config(path: str) -> SimConfig:
+def _load_raw(path: str) -> dict:
     if path.endswith((".toml", ".tml")):
         import tomllib
         with open(path, "rb") as f:
-            d = tomllib.load(f)
-    else:
-        with open(path) as f:
-            d = json.load(f)
-    return SimConfig.from_dict(d)
+            return tomllib.load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    """Layer ``over`` onto ``base`` (section dicts merge key-wise)."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _resolve_includes(path: str, _seen: frozenset = frozenset()) -> dict:
+    """Config presets: a top-level ``include = "base.toml"`` (string or
+    list) pulls in other config files, resolved relative to the including
+    file; the including file's own values win. Includes nest; cycles are
+    an error."""
+    import os
+    path = os.path.abspath(path)
+    if path in _seen:
+        raise ValueError(f"config include cycle via {path!r}")
+    d = _load_raw(path)
+    includes = d.pop("include", None)
+    if not includes:
+        return d
+    if isinstance(includes, str):
+        includes = [includes]
+    base: dict = {}
+    for inc in includes:
+        inc_path = os.path.join(os.path.dirname(path), inc)
+        base = _deep_merge(base,
+                           _resolve_includes(inc_path, _seen | {path}))
+    return _deep_merge(base, d)
+
+
+def load_config(path: str) -> SimConfig:
+    return SimConfig.from_dict(_resolve_includes(path))
 
 
 def apply_overrides(cfg: SimConfig, overrides: list[str]) -> SimConfig:

@@ -47,3 +47,34 @@ def test_type_coercion():
     cfg = SimConfig.from_dict({"ic": {"n": "2048"}, "integrator": {"dt": "0.01"}})
     assert cfg.ic.n == 2048 and isinstance(cfg.ic.n, int)
     assert cfg.integrator.dt == 0.01
+
+
+def test_include_presets(tmp_path):
+    """Top-level ``include`` layers base presets under the including file
+    (deep merge, includer wins; relative to the including file)."""
+    base = tmp_path / "base.toml"
+    base.write_text('[ic]\nn = 4096\nkind = "king"\nw0 = 5.0\n'
+                    '[integrator]\neta = 0.03\n')
+    run = tmp_path / "run.toml"
+    run.write_text('include = "base.toml"\n[ic]\nn = 128\n')
+    cfg = load_config(str(run))
+    assert cfg.ic.n == 128            # includer wins
+    assert cfg.ic.kind == "king"      # inherited
+    assert cfg.ic.w0 == 5.0
+    assert cfg.integrator.eta == 0.03
+
+
+def test_include_chain_and_cycle(tmp_path):
+    a = tmp_path / "a.toml"
+    b = tmp_path / "b.toml"
+    c = tmp_path / "c.toml"
+    a.write_text('include = "b.toml"\n[ic]\nn = 1\n')
+    b.write_text('include = "c.toml"\n[ic]\nkind = "king"\n')
+    c.write_text('[integrator]\ndt = 0.5\n')
+    cfg = load_config(str(a))
+    assert cfg.ic.n == 1 and cfg.ic.kind == "king"
+    assert cfg.integrator.dt == 0.5
+    # cycle
+    c.write_text('include = "a.toml"\n')
+    with pytest.raises(ValueError, match="cycle"):
+        load_config(str(a))
