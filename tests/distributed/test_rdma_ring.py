@@ -29,8 +29,10 @@ pytestmark = pytest.mark.skipif(
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
     pr.accel_ring.clear_cache()
+    pr.accel_jerk_ring.clear_cache()
     yield
     pr.accel_ring.clear_cache()
+    pr.accel_jerk_ring.clear_cache()
 
 
 def _cluster(n=120, seed=3):
@@ -50,6 +52,48 @@ def test_rdma_ring_accel_matches_oracle():
     scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-6 * scale)
+
+
+def test_rdma_ring_jerk_matches_oracle():
+    """The accel+jerk RDMA ring (Hermite at scale): pos+vel+gm slab."""
+    pos, mass = _cluster(n=112)
+    vel = 0.3 * jax.random.normal(jax.random.PRNGKey(9), pos.shape,
+                                  jnp.float64)
+    sf = make_sharded_force(eps=0.05, mesh=make_mesh(8), mode="rdma",
+                            backend="pallas")
+    acc, jerk = jax.jit(sf.accel_jerk)(pos, vel, mass)
+    acc_ref, jerk_ref = gravity.accel_jerk(pos, vel, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.linalg.norm(acc_ref, axis=1)))
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                               atol=5e-6 * ascale)
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-5 * jscale)
+
+
+def test_rdma_hermite_trajectory():
+    """Hermite-4 with the RDMA jerk ring ≡ single-device jnp."""
+    from oc_nbody_tpu.forces import make_force_model
+    from oc_nbody_tpu.integrators.hermite import Hermite4
+    from oc_nbody_tpu.models.plummer import plummer
+
+    state = plummer(96, jax.random.PRNGKey(13))
+    sf = make_sharded_force(eps=1.0 / 64, mesh=make_mesh(8), mode="rdma",
+                            backend="pallas")
+    fm = make_force_model(eps=1.0 / 64, backend="jnp")
+
+    def advance(st, f):
+        stepper = Hermite4(force=f, eta=0.02)
+        carry = stepper.init(st)
+        step = jax.jit(stepper.step)
+        for _ in range(4):
+            carry = step(carry)
+        return carry
+
+    c_sh = advance(state, sf)
+    c_ref = advance(state, fm)
+    np.testing.assert_allclose(np.asarray(c_sh.state.pos),
+                               np.asarray(c_ref.state.pos), atol=1e-5)
 
 
 def test_rdma_ring_race_free(monkeypatch, capsys):
