@@ -220,6 +220,21 @@ class SnapshotWriter:
                 if d.shape[0] > keep:
                     d.resize((keep,))
 
+    def reset_outputs(self) -> None:
+        """Remove a previous run's diagnostics and snapshots from out_dir.
+
+        A FRESH (non-resume) run into an existing directory must not leave
+        stale artifacts: appended diagnostics rows make the time series
+        repeat from t=0 (duplicated times corrupt plots/drift analysis),
+        and leftover higher-index ``snapshot_*.h5`` from a longer previous
+        run would be picked up by ``latest_snapshot`` on a later --resume,
+        silently resuming the OLD run."""
+        if os.path.exists(self._diag_path):
+            os.remove(self._diag_path)
+        for name in os.listdir(self.out_dir):
+            if name.startswith("snapshot_") and name.endswith(".h5"):
+                os.remove(os.path.join(self.out_dir, name))
+
     def read_diagnostics(self) -> dict:
         out = {}
         if not os.path.exists(self._diag_path):

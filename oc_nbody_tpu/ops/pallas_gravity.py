@@ -173,6 +173,11 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
                                    chunk, guarded, compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
+    if _resident_t() and not compensated:
+        # transposed monolithic variant: measured faster at every swept N
+        # (see the "transposed monolithic kernels" section); the grid
+        # kernel remains for compensated-resident accumulation.
+        return accel_rows_t(pos_rows, src_pos, src_mass, eps, G, guarded)
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI_A), TI_A)
     rows = _pad_rows(pos_rows, nrp)
@@ -258,6 +263,9 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
                                              compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
+    if _resident_t() and not compensated:
+        return accel_potential_rows_t(pos_rows, src_pos, src_mass, eps, G,
+                                      guarded)
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -357,6 +365,9 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
                                         compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
+    if _resident_t() and not compensated:
+        return accel_jerk_rows_t(pos_rows, vel_rows, src_pos, src_vel,
+                                 src_mass, eps, G, guarded)
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI), TI)
     rows = _pad_rows(pos_rows, nrp)
@@ -687,6 +698,335 @@ def accel_jerk_rows_streamed(pos_rows, vel_rows, src_pos, src_vel, src_mass,
             ),
         )(rows, vrows, srcT, svelT, gm, eps2)
     return acc[:nr], jerk[:nr]
+
+
+# --------------------------------------------------------------------------
+# transposed monolithic kernels
+# --------------------------------------------------------------------------
+#
+# Same arithmetic as the grid kernels above, two structural changes:
+#
+#   * Row positions and outputs are stored TRANSPOSED, (3, N) instead of
+#     (N, 3). A (N, 3) f32 VMEM array is tiled (8, 128) with 125 dead lanes
+#     — 32 MiB at N=65k; the (3, N) form pads sublanes 3->8 instead (2 MiB).
+#     Each row tile pays a handful of (1,TI)<->(TI,1) relayout reshapes,
+#     O(TI) movement against the O(TI*N) sweep.
+#   * One monolithic kernel body (fori_loop over row tiles) instead of a
+#     grid — there is nothing for the Pallas pipeline machinery to do when
+#     everything is VMEM-resident.
+#
+# Measured (slope-timed in one jit, N=65536, 1x v5 lite): accel 21.0 ms /
+# 2.04e11 int/s (grid kernel: 23.6 ms), accel+phi 25.2 ms (grid: 27.6),
+# jerk 43.7 ms / 9.8e10 (grid: 50.3). Tile sweep: accel 256x2048 21.0 |
+# 512x2048 22.4 | 512x1024 22.9 | 256x1024 23.2; jerk 256x1024 43.7 |
+# 512x512 48.0 | {256,128}x2048 50.1 — defaults are the measured optima.
+# The sweep bodies are shared with the RDMA ring kernels
+# (ops/pallas_ring.py), which read sources from their circulating slab via
+# the same `read` closure these kernels bind to the input refs.
+
+TI_T = int(_os.environ.get("OCN_PALLAS_TI_T", 256))
+TJ_T = int(_os.environ.get("OCN_PALLAS_TJ_T", 2048))
+TI_JT = int(_os.environ.get("OCN_PALLAS_TI_JT", 256))
+TJ_JT = int(_os.environ.get("OCN_PALLAS_TJ_JT", 1024))
+
+
+def _resident_t() -> bool:
+    """Route the self-interaction wrappers through the transposed kernels
+    (read at call time so tests/benches can flip it without re-import)."""
+    return _os.environ.get("OCN_PALLAS_RESIDENT_T", "1") == "1"
+
+
+def _accumulate_t(outT_ref, compT_ref, i0, ti, tileT, first, compensated):
+    """Add a (3,TI) tile into the transposed accumulator (+ Kahan comp)."""
+    sl = pl.ds(i0, ti)
+    if first:
+        outT_ref[:, sl] = tileT
+        if compensated:
+            compT_ref[:, sl] = jnp.zeros_like(tileT)
+    elif compensated:
+        t, c = _two_sum(outT_ref[:, sl], compT_ref[:, sl], tileT)
+        outT_ref[:, sl] = t
+        compT_ref[:, sl] = c
+    else:
+        outT_ref[:, sl] = outT_ref[:, sl] + tileT
+
+
+def _sweep_t_accel(rowsT_ref, read, outT_ref, compT_ref, eps2, *, ti, tj,
+                   nj, first, guarded, compensated):
+    """Accel sweep of all row tiles against one source set. ``read(c, j0)``
+    returns the (1, tj) source slice for component c (0-2 position, 3 is
+    G*mass) — bound to input refs here, to the ring slab in pallas_ring."""
+    ni = rowsT_ref.shape[1] // ti
+
+    def row_body(i, _):
+        i0 = i * ti
+        xi = rowsT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        yi = rowsT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        zi = rowsT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+
+        def j_body(j, carry):
+            ax, ay, az = carry
+            j0 = j * tj
+            dx = read(0, j0) - xi
+            dy = read(1, j0) - yi
+            dz = read(2, j0) - zi
+            u = dx * dx + dy * dy + dz * dz + eps2
+            inv = _inv_r(u, guarded)
+            w = read(3, j0) * (inv * inv * inv)
+            ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
+            ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
+            az = az + jnp.sum(w * dz, axis=1, keepdims=True)
+            return ax, ay, az
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        ax, ay, az = jax.lax.fori_loop(0, nj, j_body, (zero, zero, zero))
+        tileT = jnp.concatenate(
+            [ax.reshape(1, ti), ay.reshape(1, ti), az.reshape(1, ti)],
+            axis=0)
+        _accumulate_t(outT_ref, compT_ref, i0, ti, tileT, first, compensated)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+def _sweep_t_jerk(rowsT_ref, vrowsT_ref, read, outT_ref, joutT_ref,
+                  acompT_ref, jcompT_ref, eps2, *, ti, tj, nj, first,
+                  guarded, compensated):
+    """Accel+jerk sweep; ``read`` components: 0-2 position, 3-5 velocity,
+    6 G*mass."""
+    ni = rowsT_ref.shape[1] // ti
+
+    def row_body(i, _):
+        i0 = i * ti
+        xi = rowsT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        yi = rowsT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        zi = rowsT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+        vxi = vrowsT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        vyi = vrowsT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        vzi = vrowsT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+
+        def j_body(j, carry):
+            ax, ay, az, jx, jy, jz = carry
+            j0 = j * tj
+            dx = read(0, j0) - xi
+            dy = read(1, j0) - yi
+            dz = read(2, j0) - zi
+            dvx = read(3, j0) - vxi
+            dvy = read(4, j0) - vyi
+            dvz = read(5, j0) - vzi
+            u = dx * dx + dy * dy + dz * dz + eps2
+            inv = _inv_r(u, guarded)
+            w = read(6, j0) * (inv * inv * inv)
+            rv = dx * dvx + dy * dvy + dz * dvz
+            s = (jnp.float32(3.0) * rv) * w * (inv * inv)
+            ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
+            ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
+            az = az + jnp.sum(w * dz, axis=1, keepdims=True)
+            jx = jx + jnp.sum(w * dvx - s * dx, axis=1, keepdims=True)
+            jy = jy + jnp.sum(w * dvy - s * dy, axis=1, keepdims=True)
+            jz = jz + jnp.sum(w * dvz - s * dz, axis=1, keepdims=True)
+            return ax, ay, az, jx, jy, jz
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        ax, ay, az, jx, jy, jz = jax.lax.fori_loop(
+            0, nj, j_body, (zero,) * 6)
+        atileT = jnp.concatenate(
+            [ax.reshape(1, ti), ay.reshape(1, ti), az.reshape(1, ti)],
+            axis=0)
+        jtileT = jnp.concatenate(
+            [jx.reshape(1, ti), jy.reshape(1, ti), jz.reshape(1, ti)],
+            axis=0)
+        _accumulate_t(outT_ref, acompT_ref, i0, ti, atileT, first,
+                      compensated)
+        _accumulate_t(joutT_ref, jcompT_ref, i0, ti, jtileT, first,
+                      compensated)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+def _accel_kernel_t(rowsT_ref, src_ref, gm_ref, eps2_ref, outT_ref, *,
+                    guarded):
+    def read(c, j0):
+        if c == 3:
+            return gm_ref[0:1, pl.ds(j0, TJ_T)]
+        return src_ref[c:c + 1, pl.ds(j0, TJ_T)]
+
+    _sweep_t_accel(rowsT_ref, read, outT_ref, None, eps2_ref[0, 0],
+                   ti=TI_T, tj=TJ_T, nj=src_ref.shape[1] // TJ_T,
+                   first=True, guarded=guarded, compensated=False)
+
+
+def _sweep_t_phi(rowsT_ref, read, outT_ref, phi_ref, acompT_ref,
+                 pcomp_ref, eps2, *, ti, tj, nj, first, guarded,
+                 compensated):
+    """Accel+potential sweep; phi accumulates as a (1, N) lane vector.
+    ``read`` components: 0-2 position, 3 G*mass."""
+    ni = rowsT_ref.shape[1] // ti
+
+    def row_body(i, _):
+        i0 = i * ti
+        xi = rowsT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        yi = rowsT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        zi = rowsT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+
+        def j_body(j, carry):
+            ax, ay, az, ph = carry
+            j0 = j * tj
+            dx = read(0, j0) - xi
+            dy = read(1, j0) - yi
+            dz = read(2, j0) - zi
+            u = dx * dx + dy * dy + dz * dz + eps2
+            inv = _inv_r(u, guarded)
+            gminv = read(3, j0) * inv
+            w = gminv * (inv * inv)
+            ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
+            ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
+            az = az + jnp.sum(w * dz, axis=1, keepdims=True)
+            ph = ph - jnp.sum(gminv, axis=1, keepdims=True)
+            return ax, ay, az, ph
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        ax, ay, az, ph = jax.lax.fori_loop(0, nj, j_body, (zero,) * 4)
+        atileT = jnp.concatenate(
+            [ax.reshape(1, ti), ay.reshape(1, ti), az.reshape(1, ti)],
+            axis=0)
+        ptileT = ph.reshape(1, ti)
+        _accumulate_t(outT_ref, acompT_ref, i0, ti, atileT, first,
+                      compensated)
+        _accumulate_t(phi_ref, pcomp_ref, i0, ti, ptileT, first,
+                      compensated)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+def _accel_phi_kernel_t(rowsT_ref, src_ref, gm_ref, eps2_ref, outT_ref,
+                        phi_ref, *, guarded):
+    def read(c, j0):
+        if c == 3:
+            return gm_ref[0:1, pl.ds(j0, TJ_T)]
+        return src_ref[c:c + 1, pl.ds(j0, TJ_T)]
+
+    _sweep_t_phi(rowsT_ref, read, outT_ref, phi_ref, None, None,
+                 eps2_ref[0, 0], ti=TI_T, tj=TJ_T,
+                 nj=src_ref.shape[1] // TJ_T, first=True, guarded=guarded,
+                 compensated=False)
+
+
+def _accel_jerk_kernel_t(rowsT_ref, vrowsT_ref, src_ref, svel_ref, gm_ref,
+                         eps2_ref, outT_ref, joutT_ref, *, guarded):
+    def read(c, j0):
+        if c < 3:
+            return src_ref[c:c + 1, pl.ds(j0, TJ_JT)]
+        if c < 6:
+            return svel_ref[c - 3:c - 2, pl.ds(j0, TJ_JT)]
+        return gm_ref[0:1, pl.ds(j0, TJ_JT)]
+
+    _sweep_t_jerk(rowsT_ref, vrowsT_ref, read, outT_ref, joutT_ref,
+                  None, None, eps2_ref[0, 0],
+                  ti=TI_JT, tj=TJ_JT, nj=src_ref.shape[1] // TJ_JT,
+                  first=True, guarded=guarded, compensated=False)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_rows_t(pos_rows, src_pos, src_mass, eps, G=1.0,
+                 guarded: bool = True):
+    """Transposed monolithic accel: rows vs resident sources, f32 in/out.
+    Same contract as accel_rows (rows may overlap sources)."""
+    nr = pos_rows.shape[0]
+    nrp = _round_up(max(nr, TI_T), TI_T)
+    rowsT = jnp.pad(pos_rows.T, ((0, 0), (0, nrp - nr)))
+    srcT, gm, nsp = _src_layout(src_pos, src_mass,
+                                jnp.asarray(G, jnp.float32), tj=TJ_T)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT = _call(
+            functools.partial(_accel_kernel_t, guarded=guarded),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=22 * nrp * nsp, bytes_accessed=(nrp + nsp) * 16,
+                transcendentals=nrp * nsp,
+            ),
+        )(rowsT, srcT, gm, eps2)
+    return outT[:, :nr].T
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_rows_t(pos_rows, src_pos, src_mass, eps, G=1.0,
+                           guarded: bool = True):
+    """Transposed monolithic (accel, phi): rows vs resident sources.
+    Same contract as accel_potential_rows (caller adds ``self_phi``)."""
+    nr = pos_rows.shape[0]
+    nrp = _round_up(max(nr, TI_T), TI_T)
+    rowsT = jnp.pad(pos_rows.T, ((0, 0), (0, nrp - nr)))
+    srcT, gm, nsp = _src_layout(src_pos, src_mass,
+                                jnp.asarray(G, jnp.float32), tj=TJ_T)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT, phi = _call(
+            functools.partial(_accel_phi_kernel_t, guarded=guarded),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((1, nrp), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=26 * nrp * nsp, bytes_accessed=(nrp + nsp) * 16,
+                transcendentals=nrp * nsp,
+            ),
+        )(rowsT, srcT, gm, eps2)
+    return outT[:, :nr].T, phi[0, :nr]
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_rows_t(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
+                      G=1.0, guarded: bool = True):
+    """Transposed monolithic accel+jerk: rows vs resident sources."""
+    nr = pos_rows.shape[0]
+    nrp = _round_up(max(nr, TI_JT), TI_JT)
+    rowsT = jnp.pad(pos_rows.T, ((0, 0), (0, nrp - nr)))
+    vrowsT = jnp.pad(vel_rows.T, ((0, 0), (0, nrp - nr)))
+    srcT, gm, nsp = _src_layout(src_pos, src_mass,
+                                jnp.asarray(G, jnp.float32), tj=TJ_JT)
+    svelT = jnp.pad(src_vel.T, ((0, 0), (0, nsp - src_vel.shape[0])))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        accT, jerkT = _call(
+            functools.partial(_accel_jerk_kernel_t, guarded=guarded),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((3, nrp), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=50 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
+                transcendentals=nrp * nsp,
+            ),
+        )(rowsT, vrowsT, srcT, svelT, gm, eps2)
+    return accT[:, :nr].T, jerkT[:, :nr].T
 
 
 # --------------------------------------------------------------------------

@@ -10,8 +10,7 @@ variant: + velocities] and, at ring step k,
 
   * waits for its RIGHT neighbour to declare slot 1-k%2 free,
   * starts the RDMA of slot k%2 into the right neighbour's slot 1-k%2,
-  * sweeps the row tiles against slot k%2 (VPU force kernel, identical
-    arithmetic to ops/pallas_gravity), overlapping the transfer,
+  * sweeps the row tiles against slot k%2, overlapping the transfer,
   * waits send+recv, then tells its LEFT neighbour the just-swept slot is
     free to receive into at step k+1.
 
@@ -20,16 +19,15 @@ skew: without it a fast left neighbour could overwrite a slot the local
 chip is still sweeping (a genuine RDMA race — the interpret-mode test runs
 with InterpretParams(detect_races=True) to prove the protocol).
 
-LAYOUT: every per-particle vector array that persists across the ring —
-rows in, accel/jerk out, Kahan compensation scratch — is stored TRANSPOSED
-as (3, N). A (N, 3) f32 array in VMEM is tiled (8, 128) with 125 dead
-lanes: 32 MiB at N=65536 (measured: two (N,3) comp scratches alone blew
-the 16 MiB scoped-VMEM stack by 52 MiB). The (3, N) form pads sublanes
-3->8 instead: 2 MiB. The row sweep needs (TI,1) column vectors, so each
-row tile does a few (1,TI)<->(TI,1) relayout reshapes — O(TI) data
-movement per O(TI*Ns) tile sweep, measured to lower and round-trip
-correctly on hardware. The wrappers transpose at the XLA level (cheap,
-outside the kernel) so the public API stays (N, 3).
+The per-shard arithmetic IS the transposed monolithic sweep of
+ops/pallas_gravity (`_sweep_t_accel` / `_sweep_t_jerk`): the ring binds
+the sweep's `read` closure to its circulating slab, the single-chip
+kernels bind it to their input refs. The transposed (3, N) layout for
+rows/outputs/compensation is what keeps the ring's persistent state off
+the 16 MiB scoped-VMEM stack (a (N,3) array is lane-padded to 32 MiB at
+N=65k — measured to OOM; (3, N) sublane-pads to 2 MiB). At d == 1 the
+slab and the initial copy are skipped entirely (reads go straight to the
+input refs), so a 1-device mesh pays nothing for the ring machinery.
 
 Capability parity: SURVEY.md §3.5 ring decomposition / §5 "long-context";
 BASELINE.json:11. Validated via the TPU interpreter on the emulated CPU
@@ -52,21 +50,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from oc_nbody_tpu.ops.pallas_gravity import (
-    _inv_r, _round_up, _two_sum, COMPENSATED)
+    _round_up, _sweep_t_accel, _sweep_t_jerk, COMPENSATED)
 
-# Ring-jerk tiles: smaller than both the accel tiles (512x2048) and the
-# plain jerk tiles (256x2048) — the jerk sweep holds ~2x more live (TI,TJ)
-# temporaries than the accel sweep and the ring kernel adds its slab +
-# compensation scratch on the same scoped stack (measured on hardware:
-# 512x2048 needs 30.75M, 256x2048 needs 17.47M, vs the 16M limit).
-TI_J = int(_os.environ.get("OCN_PALLAS_TI_RJ", 256))
-TJ_J = int(_os.environ.get("OCN_PALLAS_TJ_RJ", 1024))
-
-# Ring-accel tiles: the plain accel tiles (512x2048) hold ~3.6 live (TI,TJ)
-# temporaries = 14.5 MiB, which together with the ring slab + comp scratch
-# (~5 MiB at Ns=65536) exceeds the 16 MiB scoped stack (measured: 19.51M).
+# Ring tile sizes. The ring kernel's slab + compensation scratch live on
+# the same 16 MiB scoped-VMEM stack as the sweep temporaries, so its tiles
+# are smaller than the single-kernel ones (measured OOMs on hardware:
+# accel 512x2048 -> 19.51M; jerk 512x2048 -> 30.75M, 256x2048 -> 17.47M).
 TI_R = int(_os.environ.get("OCN_PALLAS_TI_R", 256))
 TJ_R = int(_os.environ.get("OCN_PALLAS_TJ_R", 2048))
+TI_J = int(_os.environ.get("OCN_PALLAS_TI_RJ", 256))
+TJ_J = int(_os.environ.get("OCN_PALLAS_TJ_RJ", 1024))
 
 
 # Interpret-mode switch (read at call time, like ops.pallas_gravity._call).
@@ -139,69 +132,35 @@ def _ring_steps(d, right, left, buf_ref, send_sem, recv_sem, free_sem,
                     device_id_type=pltpu.DeviceIdType.LOGICAL)
 
 
-def _accumulate(outT_ref, compT_ref, i0, ti, tileT, first, compensated):
-    """Add a (3,TI) tile into the transposed accumulator (+ Kahan comp)."""
-    sl = pl.ds(i0, ti)
-    if first:
-        outT_ref[:, sl] = tileT
-        if compensated:
-            compT_ref[:, sl] = jnp.zeros_like(tileT)
-    elif compensated:
-        t, c = _two_sum(outT_ref[:, sl], compT_ref[:, sl], tileT)
-        outT_ref[:, sl] = t
-        compT_ref[:, sl] = c
-    else:
-        outT_ref[:, sl] = outT_ref[:, sl] + tileT
-
-
 def _ring_kernel(rowsT_ref, src_ref, gm_ref, eps2_ref, outT_ref,
                  buf_ref, compT_ref, send_sem, recv_sem, free_sem, *,
                  axis, d, guarded, compensated):
     """One invocation per chip; rowsT/src/gm are the chip's local shards
     in the transposed (components, N) layout."""
-    ni = rowsT_ref.shape[1] // TI_R
     nsp = src_ref.shape[1]
-    nj = nsp // TJ_R
     eps2 = eps2_ref[0, 0]
 
-    # slot 0 <- local shard (positions rows 0-2, G*mass row 3)
-    buf_ref[0, 0:3, :] = src_ref[:]
-    buf_ref[0, 3:4, :] = gm_ref[:]
+    if d > 1:
+        # slot 0 <- local shard (positions rows 0-2, G*mass row 3)
+        buf_ref[0, 0:3, :] = src_ref[:]
+        buf_ref[0, 3:4, :] = gm_ref[:]
 
     right, left = _ring_enter(axis, d)
 
     def sweep(slot, first):
-        """Accumulate forces on all row tiles from buf[slot] into outT."""
-        def row_body(i, _):
-            i0 = i * TI_R
-            xi = rowsT_ref[0:1, pl.ds(i0, TI_R)].reshape(TI_R, 1)
-            yi = rowsT_ref[1:2, pl.ds(i0, TI_R)].reshape(TI_R, 1)
-            zi = rowsT_ref[2:3, pl.ds(i0, TI_R)].reshape(TI_R, 1)
+        if d > 1:
+            def read(c, j0):
+                return buf_ref[slot, c:c + 1, pl.ds(j0, TJ_R)]
+        else:
+            # d == 1: no circulation — sweep straight off the input refs
+            def read(c, j0):
+                if c == 3:
+                    return gm_ref[0:1, pl.ds(j0, TJ_R)]
+                return src_ref[c:c + 1, pl.ds(j0, TJ_R)]
 
-            def j_body(j, carry):
-                ax, ay, az = carry
-                j0 = j * TJ_R
-                dx = buf_ref[slot, 0:1, pl.ds(j0, TJ_R)] - xi
-                dy = buf_ref[slot, 1:2, pl.ds(j0, TJ_R)] - yi
-                dz = buf_ref[slot, 2:3, pl.ds(j0, TJ_R)] - zi
-                u = dx * dx + dy * dy + dz * dz + eps2
-                inv = _inv_r(u, guarded)
-                w = buf_ref[slot, 3:4, pl.ds(j0, TJ_R)] * (inv * inv * inv)
-                ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-                ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-                az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-                return ax, ay, az
-
-            zero = jnp.zeros((TI_R, 1), jnp.float32)
-            ax, ay, az = lax.fori_loop(0, nj, j_body, (zero, zero, zero))
-            tileT = jnp.concatenate(
-                [ax.reshape(1, TI_R), ay.reshape(1, TI_R),
-                 az.reshape(1, TI_R)], axis=0)
-            _accumulate(outT_ref, compT_ref, i0, TI_R, tileT, first,
-                        compensated)
-            return 0
-
-        lax.fori_loop(0, ni, row_body, 0)
+        _sweep_t_accel(rowsT_ref, read, outT_ref, compT_ref, eps2,
+                       ti=TI_R, tj=TJ_R, nj=nsp // TJ_R, first=first,
+                       guarded=guarded, compensated=compensated)
 
     _ring_steps(d, right, left, buf_ref, send_sem, recv_sem, free_sem,
                 sweep)
@@ -213,64 +172,29 @@ def _ring_jerk_kernel(rowsT_ref, vrowsT_ref, src_ref, gm_ref, eps2_ref,
                       axis, d, guarded, compensated):
     """accel+jerk variant: the circulating slab carries positions (0-2),
     velocities (3-5) and G*mass (6); same handshake as _ring_kernel."""
-    ni = rowsT_ref.shape[1] // TI_J
     nsp = src_ref.shape[1]
-    nj = nsp // TJ_J
     eps2 = eps2_ref[0, 0]
 
-    buf_ref[0, 0:6, :] = src_ref[:]
-    buf_ref[0, 6:7, :] = gm_ref[:]
+    if d > 1:
+        buf_ref[0, 0:6, :] = src_ref[:]
+        buf_ref[0, 6:7, :] = gm_ref[:]
 
     right, left = _ring_enter(axis, d)
 
     def sweep(slot, first):
-        def row_body(i, _):
-            i0 = i * TI_J
-            xi = rowsT_ref[0:1, pl.ds(i0, TI_J)].reshape(TI_J, 1)
-            yi = rowsT_ref[1:2, pl.ds(i0, TI_J)].reshape(TI_J, 1)
-            zi = rowsT_ref[2:3, pl.ds(i0, TI_J)].reshape(TI_J, 1)
-            vxi = vrowsT_ref[0:1, pl.ds(i0, TI_J)].reshape(TI_J, 1)
-            vyi = vrowsT_ref[1:2, pl.ds(i0, TI_J)].reshape(TI_J, 1)
-            vzi = vrowsT_ref[2:3, pl.ds(i0, TI_J)].reshape(TI_J, 1)
+        if d > 1:
+            def read(c, j0):
+                return buf_ref[slot, c:c + 1, pl.ds(j0, TJ_J)]
+        else:
+            def read(c, j0):
+                if c == 6:
+                    return gm_ref[0:1, pl.ds(j0, TJ_J)]
+                return src_ref[c:c + 1, pl.ds(j0, TJ_J)]
 
-            def j_body(j, carry):
-                ax, ay, az, jx, jy, jz = carry
-                j0 = j * TJ_J
-                dx = buf_ref[slot, 0:1, pl.ds(j0, TJ_J)] - xi
-                dy = buf_ref[slot, 1:2, pl.ds(j0, TJ_J)] - yi
-                dz = buf_ref[slot, 2:3, pl.ds(j0, TJ_J)] - zi
-                dvx = buf_ref[slot, 3:4, pl.ds(j0, TJ_J)] - vxi
-                dvy = buf_ref[slot, 4:5, pl.ds(j0, TJ_J)] - vyi
-                dvz = buf_ref[slot, 5:6, pl.ds(j0, TJ_J)] - vzi
-                u = dx * dx + dy * dy + dz * dz + eps2
-                inv = _inv_r(u, guarded)
-                w = buf_ref[slot, 6:7, pl.ds(j0, TJ_J)] * (inv * inv * inv)
-                rv = dx * dvx + dy * dvy + dz * dvz
-                s = (jnp.float32(3.0) * rv) * w * (inv * inv)
-                ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-                ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-                az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-                jx = jx + jnp.sum(w * dvx - s * dx, axis=1, keepdims=True)
-                jy = jy + jnp.sum(w * dvy - s * dy, axis=1, keepdims=True)
-                jz = jz + jnp.sum(w * dvz - s * dz, axis=1, keepdims=True)
-                return ax, ay, az, jx, jy, jz
-
-            zero = jnp.zeros((TI_J, 1), jnp.float32)
-            ax, ay, az, jx, jy, jz = lax.fori_loop(
-                0, nj, j_body, (zero,) * 6)
-            atileT = jnp.concatenate(
-                [ax.reshape(1, TI_J), ay.reshape(1, TI_J),
-                 az.reshape(1, TI_J)], axis=0)
-            jtileT = jnp.concatenate(
-                [jx.reshape(1, TI_J), jy.reshape(1, TI_J),
-                 jz.reshape(1, TI_J)], axis=0)
-            _accumulate(outT_ref, acompT_ref, i0, TI_J, atileT, first,
-                        compensated)
-            _accumulate(joutT_ref, jcompT_ref, i0, TI_J, jtileT, first,
-                        compensated)
-            return 0
-
-        lax.fori_loop(0, ni, row_body, 0)
+        _sweep_t_jerk(rowsT_ref, vrowsT_ref, read, outT_ref, joutT_ref,
+                      acompT_ref, jcompT_ref, eps2,
+                      ti=TI_J, tj=TJ_J, nj=nsp // TJ_J, first=first,
+                      guarded=guarded, compensated=compensated)
 
     _ring_steps(d, right, left, buf_ref, send_sem, recv_sem, free_sem,
                 sweep)
@@ -285,6 +209,7 @@ def accel_ring(pos_local, mass_local, eps, G=1.0, *, axis: str, d: int,
     f32 in (already centred, see gravity.prepare_f32), f32 out."""
     if compensated is None:
         compensated = COMPENSATED
+    compensated = compensated and d > 1  # one sweep at d==1: nothing to compensate
     nr = pos_local.shape[0]
     nrp = _round_up(max(nr, TI_R), TI_R)
     posT = pos_local.astype(jnp.float32).T
@@ -308,8 +233,11 @@ def accel_ring(pos_local, mass_local, eps, G=1.0, *, axis: str, d: int,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, nrp), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, 4, nsp), jnp.float32),   # double buffer
-                pltpu.VMEM((3, nrp), jnp.float32),      # Kahan comp
+                # double-buffered slab; dummy-sized when d==1 (unused)
+                pltpu.VMEM((2, 4, nsp) if d > 1 else (1, 1, 128),
+                           jnp.float32),
+                pltpu.VMEM((3, nrp) if compensated else (1, 1, 128),
+                           jnp.float32),                # Kahan comp
                 pltpu.SemaphoreType.DMA,                # send
                 pltpu.SemaphoreType.DMA,                # recv
                 pltpu.SemaphoreType.REGULAR,            # free-slot handshake
@@ -337,6 +265,7 @@ def accel_jerk_ring(pos_local, vel_local, mass_local, eps, G=1.0, *,
     (Hermite-4 / block-timestep force evaluation at scale)."""
     if compensated is None:
         compensated = COMPENSATED
+    compensated = compensated and d > 1
     nr = pos_local.shape[0]
     nrp = _round_up(max(nr, TI_J), TI_J)
     posT = pos_local.astype(jnp.float32).T
@@ -365,9 +294,12 @@ def accel_jerk_ring(pos_local, vel_local, mass_local, eps, G=1.0, *,
             out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
                        jax.ShapeDtypeStruct((3, nrp), jnp.float32)),
             scratch_shapes=[
-                pltpu.VMEM((2, 7, nsp), jnp.float32),   # pos+vel+gm slab
-                pltpu.VMEM((3, nrp), jnp.float32),      # accel Kahan comp
-                pltpu.VMEM((3, nrp), jnp.float32),      # jerk Kahan comp
+                pltpu.VMEM((2, 7, nsp) if d > 1 else (1, 1, 128),
+                           jnp.float32),                # pos+vel+gm slab
+                pltpu.VMEM((3, nrp) if compensated else (1, 1, 128),
+                           jnp.float32),                # accel Kahan comp
+                pltpu.VMEM((3, nrp) if compensated else (1, 1, 128),
+                           jnp.float32),                # jerk Kahan comp
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.REGULAR,

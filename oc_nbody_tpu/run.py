@@ -88,6 +88,9 @@ def _run(cfg: SimConfig, resume: bool = False,
             # BEFORE the e0 baseline is read back below
             writer.truncate_diagnostics(t0)
     if carry is None:
+        # fresh run: a previous run's diagnostics/snapshots in this dir
+        # would otherwise be appended-to / shadow a later --resume
+        writer.reset_outputs()
         carry = stepper.init(scene.state)
 
     # donate the carry: the old state buffers are dead after each superstep,

@@ -52,6 +52,27 @@ def test_run_resume_continues(tmp_path):
     assert len(d["E_tot"]) >= 3
 
 
+def test_fresh_run_resets_stale_outputs(tmp_path):
+    """A fresh (non-resume) run into an existing out_dir must not append
+    diagnostics after the old rows (duplicated times) nor leave stale
+    higher-index snapshots that a later --resume would pick up."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.output.t_end = 1.0
+    run(cfg)
+    snaps1 = sorted(f for f in os.listdir(cfg.output.out_dir)
+                    if f.startswith("snapshot_"))
+    cfg2 = _tiny_cfg(tmp_path)  # shorter fresh run, same out_dir
+    res2 = run(cfg2)
+    t = res2.diagnostics["time"]
+    assert np.all(np.diff(t) > 0), f"non-monotonic diagnostics times: {t}"
+    snaps = sorted(f for f in os.listdir(cfg.output.out_dir)
+                   if f.startswith("snapshot_"))
+    # only the fresh (shorter) run's snapshots remain — the long run's
+    # higher indices are gone
+    assert len(snaps) < len(snaps1), (snaps, snaps1)
+    assert snaps == snaps1[:len(snaps)]
+
+
 def test_run_hermite_kind(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg.integrator.kind = "hermite"

@@ -21,6 +21,8 @@ def _interpret_mode(monkeypatch):
     jitted = (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
               pg.accel_rows_streamed, pg.accel_potential_rows_streamed,
               pg.accel_jerk_rows_streamed,
+              pg.accel_rows_t, pg.accel_potential_rows_t,
+              pg.accel_jerk_rows_t,
               pg.accel, pg.accel_potential, pg.accel_jerk)
     for fn in jitted:
         fn.clear_cache()
