@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from oc_nbody_tpu.ops.pallas_gravity import (
-    _round_up, _sweep_t_accel, _sweep_t_jerk, COMPENSATED)
+    _round_up, _sweep_t_accel, _sweep_t_jerk, _sweep_t_phi, COMPENSATED)
 
 # Ring tile sizes. The ring kernel's slab + compensation scratch live on
 # the same 16 MiB scoped-VMEM stack as the sweep temporaries, so its tiles
@@ -166,6 +166,39 @@ def _ring_kernel(rowsT_ref, src_ref, gm_ref, eps2_ref, outT_ref,
                 sweep)
 
 
+def _ring_phi_kernel(rowsT_ref, src_ref, gm_ref, eps2_ref, outT_ref,
+                     phi_ref, buf_ref, acompT_ref, pcomp_ref,
+                     send_sem, recv_sem, free_sem, *,
+                     axis, d, guarded, compensated):
+    """accel+potential variant (diagnostics at scale): same slab layout as
+    the accel ring (positions 0-2, G*mass 3); phi accumulates as (1, N)."""
+    nsp = src_ref.shape[1]
+    eps2 = eps2_ref[0, 0]
+
+    if d > 1:
+        buf_ref[0, 0:3, :] = src_ref[:]
+        buf_ref[0, 3:4, :] = gm_ref[:]
+
+    right, left = _ring_enter(axis, d)
+
+    def sweep(slot, first):
+        if d > 1:
+            def read(c, j0):
+                return buf_ref[slot, c:c + 1, pl.ds(j0, TJ_R)]
+        else:
+            def read(c, j0):
+                if c == 3:
+                    return gm_ref[0:1, pl.ds(j0, TJ_R)]
+                return src_ref[c:c + 1, pl.ds(j0, TJ_R)]
+
+        _sweep_t_phi(rowsT_ref, read, outT_ref, phi_ref, acompT_ref,
+                     pcomp_ref, eps2, ti=TI_R, tj=TJ_R, nj=nsp // TJ_R,
+                     first=first, guarded=guarded, compensated=compensated)
+
+    _ring_steps(d, right, left, buf_ref, send_sem, recv_sem, free_sem,
+                sweep)
+
+
 def _ring_jerk_kernel(rowsT_ref, vrowsT_ref, src_ref, gm_ref, eps2_ref,
                       outT_ref, joutT_ref, buf_ref, acompT_ref, jcompT_ref,
                       send_sem, recv_sem, free_sem, *,
@@ -254,6 +287,64 @@ def accel_ring(pos_local, mass_local, eps, G=1.0, *, axis: str, d: int,
             ),
         )(rowsT, srcT, gm, eps2)
     return outT[:, :nr].T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "d", "guarded", "compensated"))
+def accel_potential_ring(pos_local, mass_local, eps, G=1.0, *, axis: str,
+                         d: int, guarded: bool = True, compensated=None):
+    """(accel, phi_pair) on this chip's rows from ALL shards via the RDMA
+    ring — the sharded-diagnostics force+energy evaluation. phi excludes
+    the softened self term (caller adds ``gravity.self_phi``), same
+    contract as accel_potential_rows."""
+    if compensated is None:
+        compensated = COMPENSATED
+    compensated = compensated and d > 1
+    nr = pos_local.shape[0]
+    nrp = _round_up(max(nr, TI_R), TI_R)
+    posT = pos_local.astype(jnp.float32).T
+    rowsT = _pad_cols(posT, nrp)
+    nsp = _round_up(max(nr, TJ_R), TJ_R)
+    srcT = _pad_cols(posT, nsp)
+    gm = _pad_cols((jnp.asarray(G, jnp.float32)
+                    * mass_local.astype(jnp.float32))[None, :], nsp)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT, phi = pl.pallas_call(
+            functools.partial(_ring_phi_kernel, axis=axis, d=d,
+                              guarded=guarded, compensated=compensated),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((1, nrp), jnp.float32)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, nsp) if d > 1 else (1, 1, 128),
+                           jnp.float32),                # slab
+                pltpu.VMEM((3, nrp) if compensated else (1, 1, 128),
+                           jnp.float32),                # accel Kahan comp
+                pltpu.VMEM((1, nrp) if compensated else (1, 1, 128),
+                           jnp.float32),                # phi Kahan comp
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                collective_id=0) if d > 1 else None,
+            interpret=_interpret_params(),
+            cost_estimate=pl.CostEstimate(
+                flops=26 * nrp * nsp * d,
+                bytes_accessed=(nrp + nsp * d) * 16,
+                transcendentals=nrp * nsp * d,
+            ),
+        )(rowsT, srcT, gm, eps2)
+    return outT[:, :nr].T, phi[0, :nr]
 
 
 @functools.partial(

@@ -15,8 +15,8 @@ rows + ICI allreduce". Two source strategies, both expressed with
   * ``rdma``      — the ring expressed as ONE Pallas kernel per evaluation:
     source shards circulate via explicit `make_async_remote_copy` RDMAs
     that overlap the tile sweep, with a semaphore handshake bounding ring
-    skew (ops/pallas_ring.py; accel and accel+jerk — potential falls back
-    to ``ring``). Pallas backend only.
+    skew (ops/pallas_ring.py; accel, accel+potential and accel+jerk).
+    Pallas backend only.
 
 The per-shard compute is the same rows-vs-sources kernel as single-chip
 (ops.gravity / ops.pallas_gravity), so sharded == single-device up to f32
@@ -153,8 +153,12 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, mass_l):
-            # "rdma" implements accel/jerk; potential takes the XLA ring
-            if self.mode in ("ring", "rdma"):
+            if self.mode == "rdma":
+                from oc_nbody_tpu.ops import pallas_ring
+                return pallas_ring.accel_potential_ring(
+                    pos_l, mass_l, eps32, G32, axis=ax,
+                    d=self.mesh.devices.size)
+            if self.mode == "ring":
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
 

@@ -28,11 +28,12 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
-    pr.accel_ring.clear_cache()
-    pr.accel_jerk_ring.clear_cache()
+    jitted = (pr.accel_ring, pr.accel_potential_ring, pr.accel_jerk_ring)
+    for fn in jitted:
+        fn.clear_cache()
     yield
-    pr.accel_ring.clear_cache()
-    pr.accel_jerk_ring.clear_cache()
+    for fn in jitted:
+        fn.clear_cache()
 
 
 def _cluster(n=120, seed=3):
@@ -69,6 +70,21 @@ def test_rdma_ring_jerk_matches_oracle():
                                atol=5e-6 * ascale)
     np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
                                atol=5e-5 * jscale)
+
+
+def test_rdma_ring_potential_matches_oracle():
+    """The accel+potential RDMA ring (sharded diagnostics path)."""
+    pos, mass = _cluster(n=104)
+    sf = make_sharded_force(eps=0.05, mesh=make_mesh(8), mode="rdma",
+                            backend="pallas")
+    acc, phi, phi_ext = jax.jit(sf.accel_potential)(pos, mass)
+    acc_ref, phi_ref = gravity.accel_potential(pos, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.linalg.norm(acc_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                               atol=5e-6 * ascale)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               rtol=3e-5)
+    assert float(jnp.max(jnp.abs(phi_ext))) == 0.0
 
 
 def test_rdma_hermite_trajectory():
