@@ -173,10 +173,11 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
                                    chunk, guarded, compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
-    if _resident_t() and not compensated:
-        # transposed monolithic variant: measured faster at every swept N
-        # (see the "transposed monolithic kernels" section); the grid
-        # kernel remains for compensated-resident accumulation.
+    if (_resident_t() and not compensated
+            and src_pos.shape[0] >= RT_MIN_ACCEL):
+        # transposed monolithic variant: measured faster above the
+        # crossover (see the "transposed monolithic kernels" section); the
+        # grid kernel remains for small N and compensated-resident.
         return accel_rows_t(pos_rows, src_pos, src_mass, eps, G, guarded)
     nr = pos_rows.shape[0]
     nrp = _round_up(max(nr, TI_A), TI_A)
@@ -263,7 +264,8 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
                                              compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
-    if _resident_t() and not compensated:
+    if (_resident_t() and not compensated
+            and src_pos.shape[0] >= RT_MIN_ACCEL):
         return accel_potential_rows_t(pos_rows, src_pos, src_mass, eps, G,
                                       guarded)
     nr = pos_rows.shape[0]
@@ -365,7 +367,8 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
                                         compensated)
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
-    if _resident_t() and not compensated:
+    if (_resident_t() and not compensated
+            and src_pos.shape[0] >= RT_MIN_JERK):
         return accel_jerk_rows_t(pos_rows, vel_rows, src_pos, src_vel,
                                  src_mass, eps, G, guarded)
     nr = pos_rows.shape[0]
@@ -728,6 +731,13 @@ TI_T = int(_os.environ.get("OCN_PALLAS_TI_T", 256))
 TJ_T = int(_os.environ.get("OCN_PALLAS_TJ_T", 2048))
 TI_JT = int(_os.environ.get("OCN_PALLAS_TI_JT", 256))
 TJ_JT = int(_os.environ.get("OCN_PALLAS_TJ_JT", 1024))
+
+# Measured crossovers vs the grid kernels (slope-timed): below these source
+# counts the grid kernels win (8192: grid accel 0.32 vs T 0.36-0.55 ms,
+# grid jerk 0.41-0.78 vs T 0.83; 16384: T jerk 2.85-3.00 vs grid 3.34-3.37
+# but accel within noise). The transposed win grows with N (+12-15% at 65k).
+RT_MIN_ACCEL = int(_os.environ.get("OCN_PALLAS_RT_MIN_A", 32768))
+RT_MIN_JERK = int(_os.environ.get("OCN_PALLAS_RT_MIN_J", 16384))
 
 
 def _resident_t() -> bool:

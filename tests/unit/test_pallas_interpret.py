@@ -65,6 +65,53 @@ def test_accel_jerk_matches_oracle():
                                atol=5e-6 * jscale)
 
 
+def test_transposed_kernels_match_oracle():
+    """The (3,N) transposed monolithic kernels (accel / phi / jerk),
+    called directly — the size-thresholded dispatch picks the grid
+    kernels at these tiny test sizes, so coverage must be explicit.
+    Rows ≠ sources and non-tile-multiple sizes exercise the paddings."""
+    pos, vel, mass = _cluster(313)
+    rows, vrows = pos[:77], vel[:77]
+    f32 = lambda a: a.astype(jnp.float32)
+    eps = jnp.float32(0.05)
+
+    out = pg.accel_rows_t(f32(rows), f32(pos), f32(mass), eps)
+    ref = gravity.accel_rows(rows, pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+
+    acc, phi = pg.accel_potential_rows_t(f32(rows), f32(pos), f32(mass),
+                                         eps, jnp.float32(1.3))
+    acc_ref, phi_ref = gravity.accel_potential_rows(rows, pos, mass,
+                                                    eps=0.05, G=1.3)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               rtol=3e-5)
+
+    acc, jerk = pg.accel_jerk_rows_t(f32(rows), f32(vrows), f32(pos),
+                                     f32(vel), f32(mass), eps)
+    acc_ref, jerk_ref = gravity.accel_jerk_rows(rows, vrows, pos, vel,
+                                                mass, eps=0.05)
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-6 * jscale)
+
+
+def test_rt_dispatch_threshold(monkeypatch):
+    """accel_rows routes to the transposed kernel at/above RT_MIN_ACCEL
+    sources (and stays on the grid kernel below)."""
+    pos, _, mass = _cluster(280)
+    monkeypatch.setattr(pg, "RT_MIN_ACCEL", 64)
+    pg.accel_rows.clear_cache()
+    out = pg.accel_rows(pos.astype(jnp.float32), pos.astype(jnp.float32),
+                        mass.astype(jnp.float32), jnp.float32(0.05))
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+    pg.accel_rows.clear_cache()
+
+
 def test_streamed_accel_matches_resident():
     """HBM-streaming kernel ≡ VMEM-resident kernel ≡ oracle (rows ≠ a tile
     multiple, sources ≠ a tile multiple: exercises both paddings)."""
