@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Radial structure profiles from a snapshot: density, velocity dispersion,
+anisotropy, cumulative mass, and (for IMF-sampled runs) the stellar mass
+function inside/outside the half-mass radius (mass segregation).
+
+Capability parity: SURVEY.md §2.14 "analysis scripts" — the standard
+open-cluster structure diagnostics beyond the driver's time-series
+(plot_run.py covers evolution; this covers one snapshot's structure).
+
+Usage:
+    python analysis/profiles.py out/run/snapshot_00003.h5
+    python analysis/profiles.py snap.h5 --bins 40 --save profiles.png
+"""
+import argparse
+import sys
+
+import h5py
+import numpy as np
+
+
+def load_snapshot(path):
+    with h5py.File(path, "r") as f:
+        pos = np.asarray(f["particles/pos"], np.float64)
+        vel = np.asarray(f["particles/vel"], np.float64)
+        mass = np.asarray(f["particles/mass"], np.float64)
+        t = float(f.attrs.get("time", np.nan))
+        units = dict(f["units"].attrs) if "units" in f else {}
+    return pos, vel, mass, t, units
+
+
+def density_center(pos, mass, iterations=6, shrink=0.7):
+    """Shrinking-sphere centre (same scheme as diagnostics.density_center:
+    iteratively recentre on the mass-weighted mean inside a shrinking
+    radius — robust against tidal-tail contamination)."""
+    center = (pos * mass[:, None]).sum(0) / mass.sum()
+    radius = np.linalg.norm(pos - center, axis=1).max()
+    for _ in range(iterations):
+        radius *= shrink
+        d = np.linalg.norm(pos - center, axis=1)
+        sel = d < radius
+        if sel.sum() < 32:
+            break
+        w = mass[sel]
+        center = (pos[sel] * w[:, None]).sum(0) / w.sum()
+    return center
+
+
+def radial_profiles(pos, vel, mass, bins=30, center=None):
+    """Log-spaced radial bins -> dict of profile arrays.
+
+    sigma_r/sigma_t are the mass-weighted radial/tangential velocity
+    dispersions about the mean cluster velocity; beta = 1 - sig_t^2 /
+    (2 sig_r^2) is the Binney anisotropy parameter.
+    """
+    if center is None:
+        center = density_center(pos, mass)
+    vcom = (vel * mass[:, None]).sum(0) / mass.sum()
+    x = pos - center
+    v = vel - vcom
+    r = np.linalg.norm(x, axis=1)
+    order = np.argsort(r)
+    r_s, m_s = r[order], mass[order]
+
+    # half-mass radius from the cumulative profile
+    csum = np.cumsum(m_s)
+    r_half = float(np.interp(0.5 * csum[-1], csum, r_s))
+
+    rmin = max(np.quantile(r, 0.003), 1e-8)
+    rmax = np.quantile(r, 0.995)
+    edges = np.geomspace(rmin, rmax, bins + 1)
+    idx = np.digitize(r, edges) - 1
+
+    rhat = x / np.maximum(r[:, None], 1e-300)
+    vr = (v * rhat).sum(axis=1)
+    vt2 = (v * v).sum(axis=1) - vr * vr
+
+    out = {"r_mid": np.sqrt(edges[:-1] * edges[1:]), "edges": edges,
+           "r_half": r_half, "center": center,
+           "rho": np.full(bins, np.nan), "sigma_r": np.full(bins, np.nan),
+           "sigma_t": np.full(bins, np.nan), "beta": np.full(bins, np.nan),
+           "count": np.zeros(bins, int),
+           "m_cum": np.interp(np.sqrt(edges[:-1] * edges[1:]), r_s, csum)}
+    shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    for b in range(bins):
+        sel = idx == b
+        n = int(sel.sum())
+        out["count"][b] = n
+        if n < 2:
+            continue
+        w = mass[sel]
+        wsum = w.sum()
+        out["rho"][b] = wsum / shell_vol[b]
+        mvr = (w * vr[sel]).sum() / wsum
+        out["sigma_r"][b] = np.sqrt((w * (vr[sel] - mvr) ** 2).sum() / wsum)
+        out["sigma_t"][b] = np.sqrt((w * vt2[sel]).sum() / wsum)
+        if out["sigma_r"][b] > 0:
+            out["beta"][b] = 1.0 - out["sigma_t"][b] ** 2 / (
+                2.0 * out["sigma_r"][b] ** 2)
+    return out
+
+
+def mass_function(mass, sel, bins=20):
+    """dN/dlog10(m) histogram over a selection (equal-mass runs return
+    a single bin — callers should check the dynamic range first)."""
+    m = mass[sel]
+    lo, hi = m.min(), m.max()
+    if hi / lo < 1.001:
+        return None
+    edges = np.geomspace(lo, hi, bins + 1)
+    n, _ = np.histogram(m, bins=edges)
+    dlog = np.diff(np.log10(edges))
+    return {"m_mid": np.sqrt(edges[:-1] * edges[1:]), "dn_dlogm": n / dlog}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("snapshot")
+    ap.add_argument("--bins", type=int, default=30)
+    ap.add_argument("--save", default=None, help="write a profiles PNG")
+    args = ap.parse_args(argv)
+
+    pos, vel, mass, t, units = load_snapshot(args.snapshot)
+    p = radial_profiles(pos, vel, mass, bins=args.bins)
+    r = np.linalg.norm(pos - p["center"], axis=1)
+
+    print(f"t={t:.6g}  N={len(mass)}  r_half={p['r_half']:.4g}")
+    print(f"{'r_mid':>10} {'rho':>12} {'sigma_r':>10} {'sigma_t':>10} "
+          f"{'beta':>8} {'M(<r)':>10} {'n':>6}")
+    for b in range(args.bins):
+        if p["count"][b] == 0:
+            continue
+        print(f"{p['r_mid'][b]:10.4g} {p['rho'][b]:12.5g} "
+              f"{p['sigma_r'][b]:10.4g} {p['sigma_t'][b]:10.4g} "
+              f"{p['beta'][b]:8.3f} {p['m_cum'][b]:10.5g} "
+              f"{p['count'][b]:6d}")
+
+    mf_in = mass_function(mass, r < p["r_half"])
+    mf_out = mass_function(mass, r >= p["r_half"])
+    if mf_in is not None:
+        mean_in = mass[r < p["r_half"]].mean()
+        mean_out = mass[r >= p["r_half"]].mean()
+        print(f"mass function: <m> inside r_half = {mean_in:.4g}, outside "
+              f"= {mean_out:.4g} (ratio {mean_in / mean_out:.3f} — >1 "
+              f"indicates mass segregation)")
+
+    if args.save:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        npanels = 3 + (mf_in is not None)
+        fig, axes = plt.subplots(1, npanels, figsize=(4.2 * npanels, 3.6))
+        ok = p["count"] > 1
+        axes[0].loglog(p["r_mid"][ok], p["rho"][ok], "o-", ms=3)
+        axes[0].axvline(p["r_half"], ls=":", c="gray")
+        axes[0].set_xlabel("r")
+        axes[0].set_ylabel(r"$\rho(r)$")
+        axes[1].semilogx(p["r_mid"][ok], p["sigma_r"][ok], "o-", ms=3,
+                         label=r"$\sigma_r$")
+        axes[1].semilogx(p["r_mid"][ok], p["sigma_t"][ok] / np.sqrt(2),
+                         "s-", ms=3, label=r"$\sigma_t/\sqrt{2}$")
+        axes[1].set_xlabel("r")
+        axes[1].legend()
+        axes[2].semilogx(p["r_mid"][ok], p["m_cum"][ok], "o-", ms=3)
+        axes[2].set_xlabel("r")
+        axes[2].set_ylabel("M(<r)")
+        if mf_in is not None:
+            axes[3].loglog(mf_in["m_mid"], mf_in["dn_dlogm"], "o-", ms=3,
+                           label="r < r_half")
+            axes[3].loglog(mf_out["m_mid"], mf_out["dn_dlogm"], "s-", ms=3,
+                           label="r > r_half")
+            axes[3].set_xlabel("m")
+            axes[3].set_ylabel(r"$dN/d\log m$")
+            axes[3].legend()
+        fig.suptitle(f"t = {t:.4g}")
+        fig.tight_layout()
+        fig.savefig(args.save, dpi=130, bbox_inches="tight")
+        print(f"wrote {args.save}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,13 @@ def test_cli_run_and_analysis(tmp_path, capsys):
         snap = os.path.join(run_dir, "snapshot_00000.h5")
         inspect_snapshot.main([snap, "--plot", str(tmp_path / "xy.png")])
         assert os.path.exists(str(tmp_path / "xy.png"))
+
+        import profiles
+        profiles.main([snap, "--bins", "8",
+                       "--save", str(tmp_path / "prof.png")])
+        assert os.path.exists(str(tmp_path / "prof.png"))
+        out = capsys.readouterr().out
+        assert "r_half=" in out
     finally:
         sys.path.pop(0)
 

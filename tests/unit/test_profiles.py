@@ -1,0 +1,62 @@
+"""analysis/profiles.py vs closed-form Plummer structure (SURVEY.md §4.1
+IC statistics + §2.14 analysis scripts).
+
+For an isotropic Plummer sphere with scale a and total mass M (G=1):
+  rho(r)     = 3M/(4 pi a^3) (1 + r^2/a^2)^(-5/2)
+  sigma_1d^2 = M / (6 sqrt(r^2 + a^2))   (per-component dispersion)
+  beta       = 0 (isotropic)
+The Henon-rescaled sampler in models/plummer.py produces a = 3 pi / 16
+in N-body units (virial radius 1).
+"""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..",
+                                "analysis"))
+import profiles  # noqa: E402
+
+from oc_nbody_tpu.models.plummer import plummer  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    state = plummer(30000, jax.random.PRNGKey(11))
+    return (np.asarray(state.pos, np.float64),
+            np.asarray(state.vel, np.float64),
+            np.asarray(state.mass, np.float64))
+
+
+def test_density_profile_matches_plummer(cluster):
+    pos, vel, mass = cluster
+    a = 3.0 * np.pi / 16.0
+    p = profiles.radial_profiles(pos, vel, mass, bins=24)
+    ok = (p["count"] > 500) & (p["r_mid"] < 3.0 * a)
+    rho_analytic = (3.0 / (4.0 * np.pi * a ** 3)
+                    * (1.0 + (p["r_mid"] / a) ** 2) ** -2.5)
+    rel = np.abs(p["rho"][ok] / rho_analytic[ok] - 1.0)
+    assert np.median(rel) < 0.1, rel
+
+    # Plummer half-mass radius = a / sqrt(2^(2/3) - 1) ~= 1.3048 a
+    assert p["r_half"] == pytest.approx(1.3048 * a, rel=0.05)
+
+
+def test_dispersion_isotropic_and_matches(cluster):
+    pos, vel, mass = cluster
+    a = 3.0 * np.pi / 16.0
+    p = profiles.radial_profiles(pos, vel, mass, bins=24)
+    ok = (p["count"] > 800) & (p["r_mid"] < 2.0 * a)
+    sig_analytic = np.sqrt(1.0 / (6.0 * np.sqrt(p["r_mid"] ** 2 + a ** 2)))
+    rel = np.abs(p["sigma_r"][ok] / sig_analytic[ok] - 1.0)
+    assert np.median(rel) < 0.1, rel
+    # isotropy: |beta| small where statistics are good
+    assert np.all(np.abs(p["beta"][ok]) < 0.15), p["beta"][ok]
+
+
+def test_mass_function_none_for_equal_masses(cluster):
+    pos, vel, mass = cluster
+    r = np.linalg.norm(pos, axis=1)
+    assert profiles.mass_function(mass, r < 1.0) is None
