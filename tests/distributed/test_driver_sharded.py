@@ -1,0 +1,70 @@
+"""Full driver (config -> scene -> run) on the 8-device emulated mesh:
+the config-5 composition END-TO-END, not just the ShardedForce unit
+(SURVEY.md §4.3 — 'same test re-runs unchanged on a real v5e-8').
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.run import run
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (emulated) devices"
+)
+
+
+def _mesh_cfg(tmp_path, mode, backend="jnp", n=96):
+    cfg = SimConfig()
+    cfg.ic.n = n
+    cfg.ic.seed = 5
+    cfg.integrator.dt = 1.0 / 128
+    cfg.integrator.eps = 1.0 / 16
+    cfg.output.out_dir = str(tmp_path / f"run_{mode}")
+    cfg.output.t_end = 0.25
+    cfg.output.diag_every = 0.125
+    cfg.output.snap_every = 0.25
+    cfg.output.stdout = False
+    cfg.backend = backend
+    cfg.mesh.n_devices = 8
+    cfg.mesh.mode = mode
+    return cfg
+
+
+@pytest.mark.parametrize("mode", ["allgather", "ring"])
+def test_driver_on_mesh_matches_single_device(tmp_path, mode):
+    res = run(_mesh_cfg(tmp_path, mode))
+    cfg1 = _mesh_cfg(tmp_path, mode)
+    cfg1.mesh.n_devices = 1
+    cfg1.output.out_dir = str(tmp_path / "run_single")
+    res1 = run(cfg1)
+    np.testing.assert_allclose(np.asarray(res.state.pos),
+                               np.asarray(res1.state.pos), atol=1e-9)
+    assert abs(res.diagnostics["dE_over_E"][-1]) < 1e-5
+    assert os.path.exists(os.path.join(
+        _mesh_cfg(tmp_path, mode).output.out_dir, "diagnostics.h5"))
+
+
+def test_driver_rdma_mode_end_to_end(tmp_path, monkeypatch):
+    """mode='rdma' through the WHOLE driver (scene builds the sharded
+    force, run() steps it) with the Pallas ring kernels under the TPU
+    interpreter."""
+    import oc_nbody_tpu.ops.pallas_ring as pr
+
+    monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
+    for fn in (pr.accel_ring, pr.accel_potential_ring, pr.accel_jerk_ring):
+        fn.clear_cache()
+    try:
+        cfg = _mesh_cfg(tmp_path, "rdma", backend="pallas", n=64)
+        cfg.output.t_end = 0.125
+        cfg.output.diag_every = 0.0625
+        cfg.output.snap_every = 0.125
+        res = run(cfg)
+        assert np.all(np.isfinite(np.asarray(res.state.pos)))
+        assert abs(res.diagnostics["dE_over_E"][-1]) < 1e-4
+    finally:
+        for fn in (pr.accel_ring, pr.accel_potential_ring,
+                   pr.accel_jerk_ring):
+            fn.clear_cache()
