@@ -67,6 +67,7 @@ class IntegratorConfig:
     quantize: bool = False       # hermite: snap shared dt to dt_max/2^k
     pec2: bool = False           # hermite: second corrector pass (PEC²)
     n_levels: int = 8            # block: number of power-of-two rungs
+    precision: str = "f32"       # pairwise tier: f32 | extended | df32
 
 
 @dataclasses.dataclass

@@ -44,6 +44,11 @@ class ForceModel:
     external: Optional[Potential] = None
     backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
     chunk: int = dataclasses.field(default=1024, metadata=dict(static=True))
+    # pairwise arithmetic tier: "f32" (production kernels) | "extended"
+    # (hi/lo-corrected f32, ~5-10x lower force error at ~2x cost) |
+    # "df32" (full two-float, ~1e-10 rel — validation/tight budgets).
+    # Non-f32 tiers run the jnp df32 module on any backend.
+    precision: str = dataclasses.field(default="f32", metadata=dict(static=True))
     # eps > 0 guaranteed (known at construction): lets the Pallas kernels
     # drop the u > 0 self-pair guard (~15% fewer VPU ops)
     softened: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -54,6 +59,12 @@ class ForceModel:
 
     # ---- pairwise dispatch --------------------------------------------
     def _pair_accel(self, pos, mass):
+        if self.precision != "f32":
+            from oc_nbody_tpu.ops import df32
+            fn = (df32.accel_extended if self.precision == "extended"
+                  else df32.accel_df)
+            return fn(pos, mass, self.eps, self.G,
+                      chunk=min(self.chunk, 256), guarded=True)
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
             return pallas_gravity.accel(pos, mass, self.eps, self.G,
@@ -61,6 +72,18 @@ class ForceModel:
         return gravity.accel(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_potential(self, pos, mass):
+        if self.precision != "f32":
+            from oc_nbody_tpu.ops import df32
+            fn = (df32.accel_potential_extended
+                  if self.precision == "extended"
+                  else df32.accel_potential_df)
+            acc, phi = fn(pos, mass, self.eps, self.G,
+                          chunk=min(self.chunk, 256), guarded=True)
+            # tier phi includes the softened self term -G m/eps (u =
+            # eps^2 > 0 is not masked); cancel it to match the oracle
+            # contract (self_phi returns +G m/eps)
+            phi = phi + gravity.self_phi(mass, self.eps, self.G)
+            return acc, phi
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
             return pallas_gravity.accel_potential(pos, mass, self.eps, self.G,
@@ -68,6 +91,12 @@ class ForceModel:
         return gravity.accel_potential(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_jerk(self, pos, vel, mass):
+        if self.precision != "f32":
+            from oc_nbody_tpu.ops import df32
+            fn = (df32.accel_jerk_extended if self.precision == "extended"
+                  else df32.accel_jerk_df)
+            return fn(pos, vel, mass, self.eps, self.G,
+                      chunk=min(self.chunk, 256), guarded=True)
         if self._resolve() == "pallas":
             from oc_nbody_tpu.ops import pallas_gravity
             return pallas_gravity.accel_jerk(pos, vel, mass, self.eps, self.G,
@@ -133,7 +162,10 @@ class ForceModel:
 
 
 def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
-                     backend: str = "auto", chunk: int = 1024) -> ForceModel:
+                     backend: str = "auto", chunk: int = 1024,
+                     precision: str = "f32") -> ForceModel:
+    if precision not in ("f32", "extended", "df32"):
+        raise ValueError(f"unknown force precision {precision!r}")
     return ForceModel(
         eps=jnp.asarray(eps, jnp.float64),
         G=jnp.asarray(G, jnp.float64),
@@ -141,4 +173,5 @@ def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
         backend=backend,
         chunk=chunk,
         softened=bool(float(eps) > 0),
+        precision=precision,
     )

@@ -141,6 +141,10 @@ def build_scene(cfg: SimConfig) -> Scene:
         from oc_nbody_tpu.parallel import make_mesh, make_sharded_force
         n_dev = cfg.mesh.n_devices or len(jax.devices())
         if n_dev > 1:
+            if cfg.integrator.precision != "f32":
+                raise ValueError(
+                    "integrator.precision tiers are single-chip only; "
+                    "the sharded force path is f32")
             mode = cfg.mesh.mode if cfg.mesh.mode != "auto" else "allgather"
             force = make_sharded_force(
                 eps=cfg.integrator.eps, G=us.G, external=external,
@@ -149,7 +153,8 @@ def build_scene(cfg: SimConfig) -> Scene:
             return Scene(units=us, state=state, force=force, config=cfg,
                          rng_key=rng_key)
     force = make_force_model(
-        eps=cfg.integrator.eps, G=us.G, external=external, backend=cfg.backend
+        eps=cfg.integrator.eps, G=us.G, external=external,
+        backend=cfg.backend, precision=cfg.integrator.precision,
     )
     return Scene(units=us, state=state, force=force, config=cfg,
                  rng_key=rng_key)

@@ -90,6 +90,32 @@ def test_resume_integrator_mismatch_raises(tmp_path):
         run(cfg2, resume=True)
 
 
+def test_run_precision_tiers(tmp_path):
+    """The extended/df32 pairwise tiers drive end-to-end and conserve
+    energy at least as well as f32 (SURVEY.md §7 hard part #1)."""
+    drifts = {}
+    for prec in ("f32", "extended", "df32"):
+        cfg = _tiny_cfg(tmp_path)
+        cfg.output.out_dir = str(tmp_path / f"run_{prec}")
+        cfg.integrator.precision = prec
+        res = run(cfg)
+        drifts[prec] = abs(res.diagnostics["dE_over_E"][-1])
+    assert drifts["df32"] < 1e-5
+    # at n=48 the drift is dt-limited, so just require same order
+    assert drifts["extended"] < 10 * max(drifts["f32"], 1e-12)
+
+
+def test_run_precision_mesh_rejected(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.precision = "extended"
+    cfg.mesh.n_devices = 2
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    with pytest.raises(ValueError, match="single-chip"):
+        run(cfg)
+
+
 def test_run_block_kind(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg.integrator.kind = "block"
