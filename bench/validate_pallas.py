@@ -62,6 +62,28 @@ def main():
         if err > TOL:
             failures.append(("jerk", n, err))
 
+    # precision tiers (close-pair cluster: f32 kernels read ~6e-3 here).
+    # Hardware-only claims: the interpreter degrades the EFTs (see
+    # tests/unit/test_pallas_tiers.py).
+    from oc_nbody_tpu.ops import pallas_df
+    key = jax.random.PRNGKey(9)
+    kp, km = jax.random.split(key)
+    n = 4096
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    pos = pos.at[100:200].set(
+        pos[:100] + 1e-5 * jax.random.normal(km, (100, 3), jnp.float64))
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    ref = gravity.accel_direct(pos, mass, eps=1e-4)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    for name, fn, tol in (
+            ("extended", pallas_gravity.accel_x, 2e-5),
+            ("df32", pallas_df.accel_df_pallas, 1e-9)):
+        out = fn(pos, mass, 1e-4)
+        err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+        print(f"tier {name:9s} rel err {err:.2e} (close pairs)")
+        if err > tol:
+            failures.append((name, n, err))
+
     if failures:
         print("FAILURES:", failures)
         return 1

@@ -60,6 +60,17 @@ class ForceModel:
     # ---- pairwise dispatch --------------------------------------------
     def _pair_accel(self, pos, mass):
         if self.precision != "f32":
+            if self._resolve() == "pallas":
+                # in-register EFTs: 1.85x the f32 kernel for the extended
+                # tier, vs 13x for the XLA-compiled jnp tier (measured)
+                if self.precision == "extended":
+                    from oc_nbody_tpu.ops import pallas_gravity
+                    return pallas_gravity.accel_x(
+                        pos, mass, self.eps, self.G,
+                        guarded=not self.softened)
+                from oc_nbody_tpu.ops import pallas_df
+                return pallas_df.accel_df_pallas(
+                    pos, mass, self.eps, self.G, guarded=not self.softened)
             from oc_nbody_tpu.ops import df32
             fn = (df32.accel_extended if self.precision == "extended"
                   else df32.accel_df)

@@ -1040,6 +1040,120 @@ def accel_jerk_rows_t(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 
 
 # --------------------------------------------------------------------------
+# extended-precision transposed kernel (hi/lo split positions)
+# --------------------------------------------------------------------------
+#
+# The TPU-native answer to "more force accuracy than f32 without emulated
+# f64": positions enter as (hi, lo) f32 splits of the f64 state, pair
+# separations get the lo correction (d = hi_j - hi_i exactly rounded,
+# e = lo_j - lo_i), r^2 carries the first-order 2*d.e cross term, and the
+# hardware rsqrt (~1.1e-6/pair, measured) gets one plain-f32 Newton step.
+# Error-free transformations verified EXACT inside Mosaic kernels on
+# hardware (no XLA algebraic simplifier in the kernel body — unlike the
+# jnp tier in ops/df32.py, which needs bitmask splits + barriers).
+#
+# Accuracy/cost target: ~10x lower per-pair force error than the f32
+# kernels at ~1.7x ops. The jnp twin (ops/df32.py accel_extended) is the
+# oracle.
+
+TI_X = int(_os.environ.get("OCN_PALLAS_TI_X", 256))
+TJ_X = int(_os.environ.get("OCN_PALLAS_TJ_X", 1024))
+
+
+def _accel_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
+                    eps2_ref, outT_ref, *, guarded):
+    ti, tj = TI_X, TJ_X
+    nsp = shi_ref.shape[1]
+    nj = nsp // tj
+    ni = rhiT_ref.shape[1] // ti
+    eps2 = eps2_ref[0, 0]
+
+    def row_body(i, _):
+        i0 = i * ti
+        xi = rhiT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        yi = rhiT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        zi = rhiT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+        xli = rloT_ref[0:1, pl.ds(i0, ti)].reshape(ti, 1)
+        yli = rloT_ref[1:2, pl.ds(i0, ti)].reshape(ti, 1)
+        zli = rloT_ref[2:3, pl.ds(i0, ti)].reshape(ti, 1)
+
+        def j_body(j, carry):
+            ax, ay, az = carry
+            j0 = j * tj
+            dx = shi_ref[0:1, pl.ds(j0, tj)] - xi
+            dy = shi_ref[1:2, pl.ds(j0, tj)] - yi
+            dz = shi_ref[2:3, pl.ds(j0, tj)] - zi
+            ex = slo_ref[0:1, pl.ds(j0, tj)] - xli
+            ey = slo_ref[1:2, pl.ds(j0, tj)] - yli
+            ez = slo_ref[2:3, pl.ds(j0, tj)] - zli
+            dd = dx * dx + dy * dy + dz * dz
+            de = dx * ex + dy * ey + dz * ez
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            # Newton step: removes the VPU rsqrt's ~1.1e-6/pair error
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            w = gm_ref[0:1, pl.ds(j0, tj)] * (inv * inv * inv)
+            ax = ax + jnp.sum(w * (dx + ex), axis=1, keepdims=True)
+            ay = ay + jnp.sum(w * (dy + ey), axis=1, keepdims=True)
+            az = az + jnp.sum(w * (dz + ez), axis=1, keepdims=True)
+            return ax, ay, az
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        ax, ay, az = jax.lax.fori_loop(0, nj, j_body, (zero, zero, zero))
+        outT_ref[:, pl.ds(i0, ti)] = jnp.concatenate(
+            [ax.reshape(1, ti), ay.reshape(1, ti), az.reshape(1, ti)],
+            axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision pairwise accel on TPU: f64 in/out, hi/lo split
+    outside the kernel (cheap XLA O(N)); Pallas transposed sweep inside.
+    Resident sources only (use the jnp tier for CPU)."""
+    center = jnp.mean(pos, axis=0)
+    pc = pos - center
+    hi64 = pc.astype(jnp.float32)
+    lo = (pc - hi64.astype(pc.dtype)).astype(jnp.float32)
+    hi = hi64
+    gm = (jnp.asarray(G, jnp.float64)
+          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    n = pos.shape[0]
+    nrp = _round_up(max(n, TI_X), TI_X)
+    nsp = _round_up(max(n, TJ_X), TJ_X)
+    rhiT = jnp.pad(hi.T, ((0, 0), (0, nrp - n)))
+    rloT = jnp.pad(lo.T, ((0, 0), (0, nrp - n)))
+    shiT = jnp.pad(hi.T, ((0, 0), (0, nsp - n)))
+    sloT = jnp.pad(lo.T, ((0, 0), (0, nsp - n)))
+    gmp = jnp.pad(gm[None, :], ((0, 0), (0, nsp - n)))
+
+    with jax.enable_x64(False):
+        outT = _call(
+            functools.partial(_accel_kernel_x, guarded=guarded),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=36 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
+                transcendentals=nrp * nsp,
+            ),
+        )(rhiT, rloT, shiT, sloT, gmp, eps2)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+# --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,81 @@
+"""Pallas extended/df32 accel kernels vs the f64 oracle, on CPU via the
+Pallas interpreter (same pattern as test_pallas_interpret.py). The jnp
+tiers in ops/df32.py are the reference implementations; real-hardware
+numbers live in docs/PERFORMANCE.md."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import oc_nbody_tpu.ops.pallas_df as pd
+import oc_nbody_tpu.ops.pallas_gravity as pg
+from oc_nbody_tpu.ops import gravity
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(pg, "_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setattr(pd, "_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    for fn in (pg.accel_x, pd.accel_df_pallas):
+        fn.clear_cache()
+    yield
+    for fn in (pg.accel_x, pd.accel_df_pallas):
+        fn.clear_cache()
+
+
+def _cluster(n=600):
+    key = jax.random.PRNGKey(7)
+    kp, km = jax.random.split(key)
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    # close pairs at 1e-5 of the coordinate scale (f32 kernels: ~6e-3
+    # max-rel force error here — the tiers must crush this)
+    pos = pos.at[50:100].set(
+        pos[:50] + 1e-5 * jax.random.normal(km, (50, 3), jnp.float64))
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    return pos, mass
+
+
+def test_pallas_extended_matches_oracle():
+    pos, mass = _cluster()
+    eps = 1e-4
+    ref = gravity.accel_direct(pos, mass, eps=eps)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    out = pg.accel_x(pos, mass, eps)
+    err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+    assert err < 2e-5, err            # hardware-measured 4.3e-6
+
+
+def test_pallas_df_matches_oracle():
+    pos, mass = _cluster()
+    eps = 1e-4
+    ref = gravity.accel_direct(pos, mass, eps=eps)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    out = pd.accel_df_pallas(pos, mass, eps)
+    err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+    # interpret mode executes the kernel body through XLA CPU, whose
+    # algebraic simplifier partially degrades the barrier-free EFTs to
+    # ~1e-7 (still 4 decades under f32). On hardware Mosaic compiles the
+    # EFT patterns verbatim and the kernel measures 2.05e-10 max-rel
+    # (bench/validate_pallas.py asserts the hardware number).
+    assert err < 5e-7, err
+
+
+def test_forcemodel_routes_tiers_to_pallas(monkeypatch):
+    """backend='pallas' + precision tiers must dispatch to the Pallas
+    kernels (interpret here), matching the jnp tier."""
+    from oc_nbody_tpu.forces import make_force_model
+
+    pos, mass = _cluster(320)
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    # df32 tolerance is interpret-limited (see test_pallas_df_matches_oracle)
+    for prec, tol in (("extended", 2e-5), ("df32", 5e-7)):
+        fm = make_force_model(eps=0.05, backend="pallas", precision=prec)
+        out = fm.accel(pos, mass)
+        err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+        assert err < tol, (prec, err)
