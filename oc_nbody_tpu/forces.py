@@ -103,6 +103,11 @@ class ForceModel:
 
     def _pair_accel_jerk(self, pos, vel, mass):
         if self.precision != "f32":
+            if self.precision == "extended" and self._resolve() == "pallas":
+                from oc_nbody_tpu.ops import pallas_gravity
+                return pallas_gravity.accel_jerk_x(
+                    pos, vel, mass, self.eps, self.G,
+                    guarded=not self.softened)
             from oc_nbody_tpu.ops import df32
             fn = (df32.accel_jerk_extended if self.precision == "extended"
                   else df32.accel_jerk_df)

@@ -1153,6 +1153,110 @@ def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     return outT[:, :n].T.astype(pos.dtype)
 
 
+TI_XJ = int(_os.environ.get("OCN_PALLAS_TI_XJ", 128))
+TJ_XJ = int(_os.environ.get("OCN_PALLAS_TJ_XJ", 1024))
+
+
+def _accel_jerk_kernel_x(rhiT_ref, rloT_ref, vhiT_ref, vloT_ref, shi_ref,
+                         slo_ref, svhi_ref, svlo_ref, gm_ref, eps2_ref,
+                         outT_ref, joutT_ref, *, guarded):
+    """Extended-precision accel+jerk sweep: hi/lo positions AND
+    velocities; rv carries the first-order lo cross terms."""
+    ti, tj = TI_XJ, TJ_XJ
+    nsp = shi_ref.shape[1]
+    nj = nsp // tj
+    ni = rhiT_ref.shape[1] // ti
+    eps2 = eps2_ref[0, 0]
+
+    def row_body(i, _):
+        i0 = i * ti
+
+        def col(ref, c):
+            return ref[c:c + 1, pl.ds(i0, ti)].reshape(ti, 1)
+
+        xi = [col(rhiT_ref, c) for c in range(3)]
+        xli = [col(rloT_ref, c) for c in range(3)]
+        vi = [col(vhiT_ref, c) for c in range(3)]
+        vli = [col(vloT_ref, c) for c in range(3)]
+
+        def j_body(j, carry):
+            acc, jrk = carry[:3], carry[3:]
+            j0 = j * tj
+            sl = pl.ds(j0, tj)
+            d = [shi_ref[c:c + 1, sl] - xi[c] for c in range(3)]
+            e = [slo_ref[c:c + 1, sl] - xli[c] for c in range(3)]
+            dv = [(svhi_ref[c:c + 1, sl] - vi[c])
+                  + (svlo_ref[c:c + 1, sl] - vli[c]) for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            w = gm_ref[0:1, sl] * (inv * inv * inv)
+            rv = ((d[0] + e[0]) * dv[0] + (d[1] + e[1]) * dv[1]
+                  + (d[2] + e[2]) * dv[2])
+            s = (jnp.float32(3.0) * rv) * w * (inv * inv)
+            out = []
+            for c in range(3):
+                out.append(acc[c] + jnp.sum(w * (d[c] + e[c]), axis=1,
+                                            keepdims=True))
+            for c in range(3):
+                out.append(jrk[c] + jnp.sum(
+                    w * dv[c] - s * (d[c] + e[c]), axis=1, keepdims=True))
+            return tuple(out)
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        res = jax.lax.fori_loop(0, nj, j_body, (zero,) * 6)
+        outT_ref[:, pl.ds(i0, ti)] = jnp.concatenate(
+            [res[c].reshape(1, ti) for c in range(3)], axis=0)
+        joutT_ref[:, pl.ds(i0, ti)] = jnp.concatenate(
+            [res[3 + c].reshape(1, ti) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision (accel, jerk) on TPU; f64 in/out (the Hermite
+    force evaluation at the extended tier)."""
+    center = jnp.mean(pos, axis=0)
+    vcenter = jnp.mean(vel, axis=0)
+    pc, vc = pos - center, vel - vcenter
+    hi = pc.astype(jnp.float32)
+    lo = (pc - hi.astype(pc.dtype)).astype(jnp.float32)
+    vhi = vc.astype(jnp.float32)
+    vlo = (vc - vhi.astype(vc.dtype)).astype(jnp.float32)
+    gm = (jnp.asarray(G, jnp.float64)
+          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    n = pos.shape[0]
+    nrp = _round_up(max(n, TI_XJ), TI_XJ)
+    nsp = _round_up(max(n, TJ_XJ), TJ_XJ)
+    padT = lambda a, m: jnp.pad(a.T, ((0, 0), (0, m - n)))
+
+    with jax.enable_x64(False):
+        outT, joutT = _call(
+            functools.partial(_accel_jerk_kernel_x, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((3, nrp), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=70 * nrp * nsp, bytes_accessed=(nrp + nsp) * 56,
+                transcendentals=nrp * nsp,
+            ),
+        )(padT(hi, nrp), padT(lo, nrp), padT(vhi, nrp), padT(vlo, nrp),
+          padT(hi, nsp), padT(lo, nsp), padT(vhi, nsp), padT(vlo, nsp),
+          jnp.pad(gm[None, :], ((0, 0), (0, nsp - n))), eps2)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
 # --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------

@@ -21,10 +21,11 @@ def _interpret_mode(monkeypatch):
                         functools.partial(pl.pallas_call, interpret=True))
     monkeypatch.setattr(pd, "_call",
                         functools.partial(pl.pallas_call, interpret=True))
-    for fn in (pg.accel_x, pd.accel_df_pallas):
+    jitted = (pg.accel_x, pg.accel_jerk_x, pd.accel_df_pallas)
+    for fn in jitted:
         fn.clear_cache()
     yield
-    for fn in (pg.accel_x, pd.accel_df_pallas):
+    for fn in jitted:
         fn.clear_cache()
 
 
@@ -63,6 +64,23 @@ def test_pallas_df_matches_oracle():
     # EFT patterns verbatim and the kernel measures 2.05e-10 max-rel
     # (bench/validate_pallas.py asserts the hardware number).
     assert err < 5e-7, err
+
+
+def test_pallas_extended_jerk_matches_oracle():
+    pos, mass = _cluster()
+    key = jax.random.PRNGKey(3)
+    vel = 0.3 * jax.random.normal(key, pos.shape, jnp.float64)
+    eps = 1e-4
+    _, jref = gravity.accel_jerk_direct(pos, vel, mass, eps=eps)
+    jscale = float(jnp.max(jnp.linalg.norm(jref, axis=1)))
+    acc, jerk = pg.accel_jerk_x(pos, vel, mass, eps)
+    jerr = float(jnp.max(jnp.linalg.norm(jerk - jref, axis=1))) / jscale
+    assert jerr < 5e-5, jerr
+
+    aref = gravity.accel_direct(pos, mass, eps=eps)
+    ascale = float(jnp.max(jnp.linalg.norm(aref, axis=1)))
+    aerr = float(jnp.max(jnp.linalg.norm(acc - aref, axis=1))) / ascale
+    assert aerr < 2e-5, aerr
 
 
 def test_forcemodel_routes_tiers_to_pallas(monkeypatch):
