@@ -84,12 +84,17 @@ class ForceModel:
 
     def _pair_accel_potential(self, pos, mass):
         if self.precision != "f32":
-            from oc_nbody_tpu.ops import df32
-            fn = (df32.accel_potential_extended
-                  if self.precision == "extended"
-                  else df32.accel_potential_df)
-            acc, phi = fn(pos, mass, self.eps, self.G,
-                          chunk=min(self.chunk, 256), guarded=True)
+            if self.precision == "extended" and self._resolve() == "pallas":
+                from oc_nbody_tpu.ops import pallas_gravity
+                acc, phi = pallas_gravity.accel_potential_x(
+                    pos, mass, self.eps, self.G, guarded=not self.softened)
+            else:
+                from oc_nbody_tpu.ops import df32
+                fn = (df32.accel_potential_extended
+                      if self.precision == "extended"
+                      else df32.accel_potential_df)
+                acc, phi = fn(pos, mass, self.eps, self.G,
+                              chunk=min(self.chunk, 256), guarded=True)
             # tier phi includes the softened self term -G m/eps (u =
             # eps^2 > 0 is not masked); cancel it to match the oracle
             # contract (self_phi returns +G m/eps)

@@ -1153,6 +1153,94 @@ def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     return outT[:, :n].T.astype(pos.dtype)
 
 
+def _accel_phi_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
+                        eps2_ref, outT_ref, phi_ref, *, guarded):
+    """Extended-precision accel+potential sweep (diagnostics tier)."""
+    ti, tj = TI_X, TJ_X
+    nsp = shi_ref.shape[1]
+    nj = nsp // tj
+    ni = rhiT_ref.shape[1] // ti
+    eps2 = eps2_ref[0, 0]
+
+    def row_body(i, _):
+        i0 = i * ti
+
+        def col(ref, c):
+            return ref[c:c + 1, pl.ds(i0, ti)].reshape(ti, 1)
+
+        xi = [col(rhiT_ref, c) for c in range(3)]
+        xli = [col(rloT_ref, c) for c in range(3)]
+
+        def j_body(j, carry):
+            ax, ay, az, ph = carry
+            j0 = j * tj
+            sl = pl.ds(j0, tj)
+            d = [shi_ref[c:c + 1, sl] - xi[c] for c in range(3)]
+            e = [slo_ref[c:c + 1, sl] - xli[c] for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            gminv = gm_ref[0:1, sl] * inv
+            w = gminv * (inv * inv)
+            ax = ax + jnp.sum(w * (d[0] + e[0]), axis=1, keepdims=True)
+            ay = ay + jnp.sum(w * (d[1] + e[1]), axis=1, keepdims=True)
+            az = az + jnp.sum(w * (d[2] + e[2]), axis=1, keepdims=True)
+            ph = ph - jnp.sum(gminv, axis=1, keepdims=True)
+            return ax, ay, az, ph
+
+        zero = jnp.zeros((ti, 1), jnp.float32)
+        ax, ay, az, ph = jax.lax.fori_loop(0, nj, j_body, (zero,) * 4)
+        outT_ref[:, pl.ds(i0, ti)] = jnp.concatenate(
+            [ax.reshape(1, ti), ay.reshape(1, ti), az.reshape(1, ti)],
+            axis=0)
+        phi_ref[:, pl.ds(i0, ti)] = ph.reshape(1, ti)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision (accel, phi_pair) on TPU; f64 in/out. phi
+    includes the softened self term when guarded=False and eps > 0 (same
+    as the other kernels: the caller's contract adds self_phi)."""
+    center = jnp.mean(pos, axis=0)
+    pc = pos - center
+    hi = pc.astype(jnp.float32)
+    lo = (pc - hi.astype(pc.dtype)).astype(jnp.float32)
+    gm = (jnp.asarray(G, jnp.float64)
+          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    n = pos.shape[0]
+    nrp = _round_up(max(n, TI_X), TI_X)
+    nsp = _round_up(max(n, TJ_X), TJ_X)
+
+    with jax.enable_x64(False):
+        outT, phi = _call(
+            functools.partial(_accel_phi_kernel_x, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((1, nrp), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=40 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
+                transcendentals=nrp * nsp,
+            ),
+        )(jnp.pad(hi.T, ((0, 0), (0, nrp - n))),
+          jnp.pad(lo.T, ((0, 0), (0, nrp - n))),
+          jnp.pad(hi.T, ((0, 0), (0, nsp - n))),
+          jnp.pad(lo.T, ((0, 0), (0, nsp - n))),
+          jnp.pad(gm[None, :], ((0, 0), (0, nsp - n))), eps2)
+    return (outT[:, :n].T.astype(pos.dtype),
+            phi[0, :n].astype(pos.dtype))
+
+
 TI_XJ = int(_os.environ.get("OCN_PALLAS_TI_XJ", 128))
 TJ_XJ = int(_os.environ.get("OCN_PALLAS_TJ_XJ", 1024))
 

@@ -21,7 +21,8 @@ def _interpret_mode(monkeypatch):
                         functools.partial(pl.pallas_call, interpret=True))
     monkeypatch.setattr(pd, "_call",
                         functools.partial(pl.pallas_call, interpret=True))
-    jitted = (pg.accel_x, pg.accel_jerk_x, pd.accel_df_pallas)
+    jitted = (pg.accel_x, pg.accel_potential_x, pg.accel_jerk_x,
+              pd.accel_df_pallas)
     for fn in jitted:
         fn.clear_cache()
     yield
@@ -64,6 +65,20 @@ def test_pallas_df_matches_oracle():
     # EFT patterns verbatim and the kernel measures 2.05e-10 max-rel
     # (bench/validate_pallas.py asserts the hardware number).
     assert err < 5e-7, err
+
+
+def test_pallas_extended_potential_matches_oracle():
+    pos, mass = _cluster()
+    eps = 1e-4
+    _, phi_ref = gravity.accel_potential_direct(pos, mass, eps=eps, G=1.3)
+    _, phi = pg.accel_potential_x(pos, mass, eps, 1.3)
+    phi = phi + gravity.self_phi(mass, jnp.float64(eps), jnp.float64(1.3))
+    err = float(jnp.max(jnp.abs(phi - phi_ref))
+                / jnp.max(jnp.abs(phi_ref)))
+    # at eps=1e-4 the included-then-cancelled softened self term -G m/eps
+    # dominates each row's sum; its f32 rounding bounds the comparison at
+    # ~1e-6 (the f32 kernels share the same contract and bound)
+    assert err < 5e-6, err
 
 
 def test_pallas_extended_jerk_matches_oracle():
