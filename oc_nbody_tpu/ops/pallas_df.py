@@ -145,6 +145,10 @@ def _accel_kernel_df(rhiT_ref, rloT_ref, shi_ref, slo_ref, gmhi_ref,
             inv = _df_rsqrt(u, guarded)
             gm = (gmhi_ref[0:1, pl.ds(j0, tj)],
                   gmlo_ref[0:1, pl.ds(j0, tj)])
+            # kept fully df: a first-order w (plain-f32 ih^3 + lo
+            # corrections) was measured out — the uncaptured ih^3
+            # rounding (~1.8e-7 rel) breaks the tier, and capturing it
+            # with two_prods saves only ~4% of kernel ops
             w = _df_mul(gm, _df_mul(_df_sqr(inv), inv))
             out = []
             for c in range(3):
