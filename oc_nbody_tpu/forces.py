@@ -162,6 +162,18 @@ class ForceModel:
         vrows_c = (vel_rows - vcenter).astype(jnp.float32)
         src_c = (src_pos - center).astype(jnp.float32)
         svel_c = (src_vel - vcenter).astype(jnp.float32)
+        if self.precision == "extended" and self._resolve() == "pallas":
+            # extended-tier active-row evaluation (block timesteps)
+            from oc_nbody_tpu.ops import pallas_gravity
+            acc, jerk = pallas_gravity.accel_jerk_rows_x(
+                pos_rows, vel_rows, src_pos, src_vel, src_mass,
+                self.eps, self.G, guarded=not self.softened)
+            if self.external is not None:
+                a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
+                                        (vel_rows,))
+                acc = acc + a_ext
+                jerk = jerk + da_ext
+            return acc, jerk
         mass_c = jnp.asarray(src_mass, jnp.float32)
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)

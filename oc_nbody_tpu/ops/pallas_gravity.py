@@ -1305,25 +1305,36 @@ def _accel_jerk_kernel_x(rhiT_ref, rloT_ref, vhiT_ref, vloT_ref, shi_ref,
     jax.lax.fori_loop(0, ni, row_body, 0)
 
 
+def _split_rows(a, center):
+    """f64 -> centred (hi, lo) f32 pair."""
+    c = a - center
+    hi = c.astype(jnp.float32)
+    lo = (c - hi.astype(c.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
 @functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-precision (accel, jerk) on TPU; f64 in/out (the Hermite
-    force evaluation at the extended tier)."""
-    center = jnp.mean(pos, axis=0)
-    vcenter = jnp.mean(vel, axis=0)
-    pc, vc = pos - center, vel - vcenter
-    hi = pc.astype(jnp.float32)
-    lo = (pc - hi.astype(pc.dtype)).astype(jnp.float32)
-    vhi = vc.astype(jnp.float32)
-    vlo = (vc - vhi.astype(vc.dtype)).astype(jnp.float32)
+def accel_jerk_rows_x(pos_rows, vel_rows, src_pos, src_vel, src_mass,
+                      eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision (accel, jerk) on a row subset vs the full
+    source set (the block-timestep active-row evaluation at the extended
+    tier); f64 in/out. Rows and sources are centred on the source means
+    before splitting so both hi planes share one frame."""
+    center = jnp.mean(src_pos, axis=0)
+    vcenter = jnp.mean(src_vel, axis=0)
+    rhi, rlo = _split_rows(pos_rows, center)
+    rvhi, rvlo = _split_rows(vel_rows, vcenter)
+    shi, slo = _split_rows(src_pos, center)
+    svhi, svlo = _split_rows(src_vel, vcenter)
     gm = (jnp.asarray(G, jnp.float64)
-          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+          * jnp.asarray(src_mass, jnp.float64)).astype(jnp.float32)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
 
-    n = pos.shape[0]
-    nrp = _round_up(max(n, TI_XJ), TI_XJ)
-    nsp = _round_up(max(n, TJ_XJ), TJ_XJ)
-    padT = lambda a, m: jnp.pad(a.T, ((0, 0), (0, m - n)))
+    nr = pos_rows.shape[0]
+    ns = src_pos.shape[0]
+    nrp = _round_up(max(nr, TI_XJ), TI_XJ)
+    nsp = _round_up(max(ns, TJ_XJ), TJ_XJ)
+    padT = lambda a, m: jnp.pad(a.T, ((0, 0), (0, m - a.shape[0])))
 
     with jax.enable_x64(False):
         outT, joutT = _call(
@@ -1338,11 +1349,18 @@ def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
                 flops=70 * nrp * nsp, bytes_accessed=(nrp + nsp) * 56,
                 transcendentals=nrp * nsp,
             ),
-        )(padT(hi, nrp), padT(lo, nrp), padT(vhi, nrp), padT(vlo, nrp),
-          padT(hi, nsp), padT(lo, nsp), padT(vhi, nsp), padT(vlo, nsp),
-          jnp.pad(gm[None, :], ((0, 0), (0, nsp - n))), eps2)
-    return (outT[:, :n].T.astype(pos.dtype),
-            joutT[:, :n].T.astype(pos.dtype))
+        )(padT(rhi, nrp), padT(rlo, nrp), padT(rvhi, nrp),
+          padT(rvlo, nrp), padT(shi, nsp), padT(slo, nsp),
+          padT(svhi, nsp), padT(svlo, nsp),
+          jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))), eps2)
+    return (outT[:, :nr].T.astype(pos_rows.dtype),
+            joutT[:, :nr].T.astype(pos_rows.dtype))
+
+
+def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision (accel, jerk), self-interaction form (the
+    Hermite shared-step force evaluation at the extended tier)."""
+    return accel_jerk_rows_x(pos, vel, pos, vel, mass, eps, G, guarded)
 
 
 # --------------------------------------------------------------------------

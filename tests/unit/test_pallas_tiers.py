@@ -21,7 +21,7 @@ def _interpret_mode(monkeypatch):
                         functools.partial(pl.pallas_call, interpret=True))
     monkeypatch.setattr(pd, "_call",
                         functools.partial(pl.pallas_call, interpret=True))
-    jitted = (pg.accel_x, pg.accel_potential_x, pg.accel_jerk_x,
+    jitted = (pg.accel_x, pg.accel_potential_x, pg.accel_jerk_rows_x,
               pd.accel_df_pallas)
     for fn in jitted:
         fn.clear_cache()
@@ -96,6 +96,27 @@ def test_pallas_extended_jerk_matches_oracle():
     ascale = float(jnp.max(jnp.linalg.norm(aref, axis=1)))
     aerr = float(jnp.max(jnp.linalg.norm(acc - aref, axis=1))) / ascale
     assert aerr < 2e-5, aerr
+
+
+def test_extended_rows_path_matches_oracle():
+    """The block-timestep active-row evaluation at the extended tier
+    (ForceModel.accel_jerk_on_rows -> accel_jerk_rows_x)."""
+    from oc_nbody_tpu.forces import make_force_model
+
+    pos, mass = _cluster(512)
+    key = jax.random.PRNGKey(5)
+    vel = 0.3 * jax.random.normal(key, pos.shape, jnp.float64)
+    rows = slice(0, 120)
+    fm = make_force_model(eps=0.05, backend="pallas", precision="extended")
+    acc, jerk = fm.accel_jerk_on_rows(pos[rows], vel[rows], pos, vel, mass)
+    acc_ref, jerk_ref = gravity.accel_jerk_rows(pos[rows], vel[rows], pos,
+                                                vel, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.linalg.norm(acc_ref, axis=1)))
+    jscale = float(jnp.max(jnp.linalg.norm(jerk_ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                               atol=2e-5 * ascale)
+    np.testing.assert_allclose(np.asarray(jerk), np.asarray(jerk_ref),
+                               atol=5e-5 * jscale)
 
 
 def test_forcemodel_routes_tiers_to_pallas(monkeypatch):
