@@ -108,11 +108,19 @@ class ForceModel:
 
     def _pair_accel_jerk(self, pos, vel, mass):
         if self.precision != "f32":
-            if self.precision == "extended" and self._resolve() == "pallas":
-                from oc_nbody_tpu.ops import pallas_gravity
-                return pallas_gravity.accel_jerk_x(
+            if self._resolve() == "pallas":
+                if self.precision == "extended":
+                    from oc_nbody_tpu.ops import pallas_gravity
+                    return pallas_gravity.accel_jerk_x(
+                        pos, vel, mass, self.eps, self.G,
+                        guarded=not self.softened)
+                # df32 jerk: emulated f64 measured FASTER than the df32
+                # Pallas kernel on this hardware (12.0 vs 19.0 ms at
+                # N=8192) and exact — route accordingly; the kernel
+                # stays available as ops.pallas_df.accel_jerk_df_pallas
+                return gravity.accel_jerk(
                     pos, vel, mass, self.eps, self.G,
-                    guarded=not self.softened)
+                    compute_dtype=jnp.float64, chunk=min(self.chunk, 256))
             from oc_nbody_tpu.ops import df32
             fn = (df32.accel_jerk_extended if self.precision == "extended"
                   else df32.accel_jerk_df)

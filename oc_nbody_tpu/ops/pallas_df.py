@@ -174,6 +174,140 @@ def _accel_kernel_df(rhiT_ref, rloT_ref, shi_ref, slo_ref, gmhi_ref,
     jax.lax.fori_loop(0, ni, row_body, 0)
 
 
+# jerk variant holds ~2x the live temporaries of the accel sweep
+TI_DFJ = int(_os.environ.get("OCN_PALLAS_TI_DFJ", 128))
+TJ_DFJ = int(_os.environ.get("OCN_PALLAS_TJ_DFJ", 256))
+
+
+def _accel_jerk_kernel_df(rhiT_ref, rloT_ref, rvhiT_ref, rvloT_ref,
+                          shi_ref, slo_ref, svhi_ref, svlo_ref,
+                          gmhi_ref, gmlo_ref, eps2_ref,
+                          ahiT_ref, aloT_ref, jhiT_ref, jloT_ref, *,
+                          guarded):
+    ti, tj = TI_DFJ, TJ_DFJ
+    nsp = shi_ref.shape[1]
+    nj = nsp // tj
+    ni = rhiT_ref.shape[1] // ti
+    e2 = (eps2_ref[0, 0], eps2_ref[0, 1])
+
+    def row_body(i, _):
+        i0 = i * ti
+
+        def col(ref, c):
+            return ref[c:c + 1, pl.ds(i0, ti)].reshape(ti, 1)
+
+        xi = [col(rhiT_ref, c) for c in range(3)]
+        xli = [col(rloT_ref, c) for c in range(3)]
+        vi = [col(rvhiT_ref, c) for c in range(3)]
+        vli = [col(rvloT_ref, c) for c in range(3)]
+
+        def pair_df(hi_ref, lo_ref, c, hic, loc, j0):
+            d, e = _two_sum(hi_ref[c:c + 1, pl.ds(j0, tj)], -hic)
+            e = e + (lo_ref[c:c + 1, pl.ds(j0, tj)] - loc)
+            return _two_sum(d, e)
+
+        def j_body(j, carry):
+            ah, al = carry[:3], carry[3:6]
+            jh, jl = carry[6:9], carry[9:]
+            j0 = j * tj
+            dd = [pair_df(shi_ref, slo_ref, c, xi[c], xli[c], j0)
+                  for c in range(3)]
+            vv = [pair_df(svhi_ref, svlo_ref, c, vi[c], vli[c], j0)
+                  for c in range(3)]
+            u = _df_add(_df_add(_df_sqr(dd[0]), _df_sqr(dd[1])),
+                        _df_add(_df_sqr(dd[2]), e2))
+            inv = _df_rsqrt(u, guarded)
+            gm = (gmhi_ref[0:1, pl.ds(j0, tj)],
+                  gmlo_ref[0:1, pl.ds(j0, tj)])
+            inv2 = _df_sqr(inv)
+            w = _df_mul(gm, _df_mul(inv2, inv))
+            rv = _df_add(_df_add(_df_mul(dd[0], vv[0]),
+                                 _df_mul(dd[1], vv[1])),
+                         _df_mul(dd[2], vv[2]))
+            # s = 3 rv w inv^2
+            s3 = (jnp.float32(3.0) * rv[0], jnp.float32(3.0) * rv[1])
+            s = _df_mul(s3, _df_mul(w, inv2))
+            out = []
+            for c in range(3):
+                out.append(_df_add((ah[c], al[c]), _df_mul(w, dd[c])))
+            jtiles = []
+            for c in range(3):
+                t = _df_add(_df_mul(w, vv[c]),
+                            _df_mul((-s[0], -s[1]), dd[c]))
+                jtiles.append(_df_add((jh[c], jl[c]), t))
+            return (out[0][0], out[1][0], out[2][0],
+                    out[0][1], out[1][1], out[2][1],
+                    jtiles[0][0], jtiles[1][0], jtiles[2][0],
+                    jtiles[0][1], jtiles[1][1], jtiles[2][1])
+
+        zero = jnp.zeros((ti, tj), jnp.float32)
+        acc = jax.lax.fori_loop(0, nj, j_body, (zero,) * 12)
+        packs = [(ahiT_ref, aloT_ref, 0), (jhiT_ref, jloT_ref, 6)]
+        for href, lref, base in packs:
+            his, los = [], []
+            for c in range(3):
+                h, l = _df_reduce_lanes((acc[base + c], acc[base + 3 + c]))
+                his.append(h.reshape(1, ti))
+                los.append(l.reshape(1, ti))
+            href[:, pl.ds(i0, ti)] = jnp.concatenate(his, axis=0)
+            lref[:, pl.ds(i0, ti)] = jnp.concatenate(los, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ni, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_df_pallas(pos, vel, mass, eps=0.0, G=1.0,
+                         guarded: bool = True):
+    """Full-df32 (accel, jerk) on TPU; f64 in/out — the Hermite force
+    evaluation at the df32 tier."""
+    center = jnp.mean(pos, axis=0)
+    vcenter = jnp.mean(vel, axis=0)
+
+    def split(a, c):
+        d = a - c
+        hi = d.astype(jnp.float32)
+        return hi, (d - hi.astype(d.dtype)).astype(jnp.float32)
+
+    hi, lo = split(pos, center)
+    vhi, vlo = split(vel, vcenter)
+    gm64 = jnp.asarray(G, jnp.float64) * jnp.asarray(mass, jnp.float64)
+    gm_hi = gm64.astype(jnp.float32)
+    gm_lo = (gm64 - gm_hi.astype(jnp.float64)).astype(jnp.float32)
+    e2_64 = jnp.asarray(eps, jnp.float64) ** 2
+    e2_hi = e2_64.astype(jnp.float32)
+    e2_lo = (e2_64 - e2_hi.astype(jnp.float64)).astype(jnp.float32)
+    eps2 = jnp.stack([e2_hi, e2_lo]).reshape(1, 2)
+
+    n = pos.shape[0]
+    nrp = _round_up(max(n, TI_DFJ), TI_DFJ)
+    nsp = _round_up(max(n, TJ_DFJ), TJ_DFJ)
+    padT = lambda a, m: jnp.pad(a.T, ((0, 0), (0, m - n)))
+
+    with jax.enable_x64(False):
+        ahiT, aloT, jhiT, jloT = _call(
+            functools.partial(_accel_jerk_kernel_df, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(4)),
+            out_shape=tuple(jax.ShapeDtypeStruct((3, nrp), jnp.float32)
+                            for _ in range(4)),
+            cost_estimate=pl.CostEstimate(
+                flops=400 * nrp * nsp, bytes_accessed=(nrp + nsp) * 112,
+                transcendentals=nrp * nsp,
+            ),
+        )(padT(hi, nrp), padT(lo, nrp), padT(vhi, nrp), padT(vlo, nrp),
+          padT(hi, nsp), padT(lo, nsp), padT(vhi, nsp), padT(vlo, nsp),
+          jnp.pad(gm_hi[None, :], ((0, 0), (0, nsp - n))),
+          jnp.pad(gm_lo[None, :], ((0, 0), (0, nsp - n))), eps2)
+    acc = (ahiT[:, :n].T.astype(jnp.float64)
+           + aloT[:, :n].T.astype(jnp.float64))
+    jerk = (jhiT[:, :n].T.astype(jnp.float64)
+            + jloT[:, :n].T.astype(jnp.float64))
+    return acc.astype(pos.dtype), jerk.astype(pos.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_df_pallas(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     """Full-df32 pairwise accel on TPU; f64 in/out. ~1e-10 rel force

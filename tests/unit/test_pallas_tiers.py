@@ -22,7 +22,7 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pd, "_call",
                         functools.partial(pl.pallas_call, interpret=True))
     jitted = (pg.accel_x, pg.accel_potential_x, pg.accel_jerk_rows_x,
-              pd.accel_df_pallas)
+              pd.accel_df_pallas, pd.accel_jerk_df_pallas)
     for fn in jitted:
         fn.clear_cache()
     yield
@@ -65,6 +65,22 @@ def test_pallas_df_matches_oracle():
     # EFT patterns verbatim and the kernel measures 2.05e-10 max-rel
     # (bench/validate_pallas.py asserts the hardware number).
     assert err < 5e-7, err
+
+
+def test_pallas_df_jerk_matches_oracle():
+    pos, mass = _cluster(512)
+    key = jax.random.PRNGKey(4)
+    vel = 0.3 * jax.random.normal(key, pos.shape, jnp.float64)
+    eps = 1e-4
+    aref, jref = gravity.accel_jerk_direct(pos, vel, mass, eps=eps)
+    acc, jerk = pd.accel_jerk_df_pallas(pos, vel, mass, eps)
+    ascale = float(jnp.max(jnp.linalg.norm(aref, axis=1)))
+    jscale = float(jnp.max(jnp.linalg.norm(jref, axis=1)))
+    aerr = float(jnp.max(jnp.linalg.norm(acc - aref, axis=1))) / ascale
+    jerr = float(jnp.max(jnp.linalg.norm(jerk - jref, axis=1))) / jscale
+    # interpret-limited (XLA CPU simplifier); hardware is df32-exact
+    assert aerr < 5e-7, aerr
+    assert jerr < 5e-6, jerr
 
 
 def test_pallas_extended_potential_matches_oracle():
