@@ -84,6 +84,12 @@ class ForceModel:
 
     def _pair_accel_potential(self, pos, mass):
         if self.precision != "f32":
+            if self.precision == "df32" and self._resolve() == "pallas":
+                # same honest routing as jerk: emulated f64 beats the
+                # XLA-compiled jnp df tier on TPU and is exact
+                return gravity.accel_potential(
+                    pos, mass, self.eps, self.G,
+                    compute_dtype=jnp.float64, chunk=min(self.chunk, 256))
             if self.precision == "extended" and self._resolve() == "pallas":
                 from oc_nbody_tpu.ops import pallas_gravity
                 acc, phi = pallas_gravity.accel_potential_x(
