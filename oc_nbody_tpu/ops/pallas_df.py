@@ -1,12 +1,16 @@
-"""Full two-float (df32) pairwise accel as a Pallas TPU kernel.
+"""Full two-float (df32) pairwise kernels (accel, accel+jerk) on TPU.
 
-The high-accuracy force tier at hardware speed: every pair quantity —
-separation, r², rsqrt, weight, and the cross-tile accumulation — is a
-(hi, lo) pair of f32s (~48-bit significand). Measured accuracy ~1e-10
-relative vs the f64 oracle including close pairs, i.e. f64-class forces
-on hardware with no native f64, at a fraction of the cost of XLA's
-software-emulated f64 (which lowers every multiply to many f32 ops AND
-carries f64 memory traffic).
+Every pair quantity — separation, r², rsqrt, weight, and the cross-tile
+accumulation — is a (hi, lo) pair of f32s (~48-bit significand).
+Measured accuracy ~1e-10 relative vs the f64 oracle including close
+pairs, i.e. f64-class forces on hardware with no native f64.
+
+Honest cost picture vs XLA's software-emulated f64 (slope-timed):
+accel 45.5 vs 48.5 ms at N=16384 — df32 wins narrowly; jerk 19.0 vs
+12.0 ms at N=8192 — emulated f64 WINS (the ~400 df ops/pair overtake
+the emulation). ForceModel's precision="df32" therefore routes accel
+here and jerk/potential to emulated f64; both kernels stay available
+and tested as the TPU-native two-float reference implementation.
 
 Error-free transformations are verified EXACT inside Mosaic kernels on
 this hardware (tests + measured): unlike the XLA-compiled jnp tier
