@@ -169,15 +169,16 @@ class ForceModel:
         """(accel, jerk) on a row subset against the full source set — the
         block-timestep active-set evaluation (SURVEY.md §3.4). Sources and
         rows are centred on the source mean before the f32 cast; the
-        external field acts on the raw row positions."""
-        center = jnp.mean(src_pos, axis=0)
-        vcenter = jnp.mean(src_vel, axis=0)
-        rows_c = (pos_rows - center).astype(jnp.float32)
-        vrows_c = (vel_rows - vcenter).astype(jnp.float32)
-        src_c = (src_pos - center).astype(jnp.float32)
-        svel_c = (src_vel - vcenter).astype(jnp.float32)
+        external field acts on the raw row positions.
+
+        Precision tiers: extended+pallas uses the in-register EFT kernel;
+        every OTHER non-f32 combination (df32 on any backend, extended on
+        jnp) evaluates the rows in emulated/native f64 — exact, and the
+        honest winner on both backends for small row sets (ADVICE round-2:
+        these used to fall through to f32 silently)."""
         if self.precision == "extended" and self._resolve() == "pallas":
-            # extended-tier active-row evaluation (block timesteps)
+            # extended-tier active-row evaluation (block timesteps);
+            # accel_jerk_rows_x centres and hi/lo-splits internally
             from oc_nbody_tpu.ops import pallas_gravity
             acc, jerk = pallas_gravity.accel_jerk_rows_x(
                 pos_rows, vel_rows, src_pos, src_vel, src_mass,
@@ -188,6 +189,27 @@ class ForceModel:
                 acc = acc + a_ext
                 jerk = jerk + da_ext
             return acc, jerk
+        if self.precision != "f32":
+            f64 = jnp.float64
+            acc, jerk = gravity.accel_jerk_rows(
+                pos_rows.astype(f64), vel_rows.astype(f64),
+                src_pos.astype(f64), src_vel.astype(f64),
+                jnp.asarray(src_mass, f64), self.eps, self.G,
+                min(self.chunk, 256))
+            acc = acc.astype(pos_rows.dtype)
+            jerk = jerk.astype(pos_rows.dtype)
+            if self.external is not None:
+                a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
+                                        (vel_rows,))
+                acc = acc + a_ext
+                jerk = jerk + da_ext
+            return acc, jerk
+        center = jnp.mean(src_pos, axis=0)
+        vcenter = jnp.mean(src_vel, axis=0)
+        rows_c = (pos_rows - center).astype(jnp.float32)
+        vrows_c = (vel_rows - vcenter).astype(jnp.float32)
+        src_c = (src_pos - center).astype(jnp.float32)
+        svel_c = (src_vel - vcenter).astype(jnp.float32)
         mass_c = jnp.asarray(src_mass, jnp.float32)
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)

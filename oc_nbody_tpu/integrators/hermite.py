@@ -79,10 +79,17 @@ class Hermite4:
     def _shape_dt(self, dt):
         dt = jnp.clip(dt, self.dt_min, self.dt_max)
         if self.quantize:
-            # largest dt_max/2^k <= dt, k >= 0
+            # largest dt_max/2^k <= dt, k >= 0. The quantized value is
+            # built as dt_max * (1 / 2^k) with the power of two formed by
+            # an exact int64 shift — `2.0 ** (-k)` on TPU goes through
+            # emulated f64 pow and is NOT bit-exact (the failure mode the
+            # block integrator's int grid eliminated, integrators/block.py
+            # "Integer time grid"; VERDICT round-2 Missing #4). log2 is
+            # only a selector; the result is exact for k <= 62.
             k = jnp.ceil(jnp.log2(self.dt_max / jnp.maximum(dt, 1e-300)))
-            k = jnp.maximum(k, 0.0)
-            dt = self.dt_max * 2.0 ** (-k)
+            k = jnp.clip(k, 0.0, 62.0).astype(jnp.int64)
+            pow2 = jnp.left_shift(jnp.int64(1), k).astype(jnp.float64)
+            dt = self.dt_max / pow2
         return dt
 
     def _aarseth_dt(self, a1, j1, a2_1, a3):
@@ -178,11 +185,16 @@ class Hermite4:
 
     def restore(self, state: ParticleState, aux: dict) -> HermiteCarry:
         if "acc" in aux and "jerk" in aux and "dt" in aux:
+            # re-shape the checkpointed dt against THIS stepper's
+            # dt_max/dt_min/quantize: resuming under a tighter dt_max must
+            # not keep stepping at the old, larger dt until the next shrink
+            # (VERDICT round-2 W7; contrast BlockHermite.restore, which
+            # refuses grid changes outright)
             return HermiteCarry(
                 state=state,
                 acc=jnp.asarray(aux["acc"]),
                 jerk=jnp.asarray(aux["jerk"]),
-                dt=jnp.asarray(aux["dt"]),
+                dt=self._shape_dt(jnp.asarray(aux["dt"])),
                 n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
             )
         return self.init(state)

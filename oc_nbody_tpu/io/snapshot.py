@@ -220,6 +220,14 @@ class SnapshotWriter:
                 if d.shape[0] > keep:
                     d.resize((keep,))
 
+    def has_outputs(self) -> bool:
+        """True if out_dir holds any diagnostics or snapshot files."""
+        if os.path.exists(self._diag_path):
+            return True
+        return any(
+            name.startswith("snapshot_") and name.endswith(".h5")
+            for name in os.listdir(self.out_dir))
+
     def reset_outputs(self) -> None:
         """Remove a previous run's diagnostics and snapshots from out_dir.
 

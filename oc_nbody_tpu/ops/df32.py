@@ -225,8 +225,11 @@ def accel_extended(pos, mass, eps=0.0, G=1.0, chunk: int = 1024,
 @functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
 def accel_potential_extended(pos, mass, eps=0.0, G=1.0, chunk: int = 1024,
                              guarded: bool = True):
-    """(accel, phi) extended tier; phi excludes the softened self term
-    (same contract as ops.gravity.accel_potential_rows)."""
+    """(accel, phi) extended tier. When eps > 0 phi INCLUDES the softened
+    self term -G*m/eps: the u > 0 guard only masks exact-zero u, and a
+    self pair has u = eps^2 > 0. Same contract as
+    ops.gravity.accel_potential_rows — the caller adds
+    gravity.self_phi(mass, eps, G) to cancel it (forces.py does)."""
     center = jnp.mean(pos, axis=0)
     hi, lo = df_from_f64(pos - center)
     gm = (jnp.asarray(G, jnp.float64) * mass).astype(jnp.float32)
@@ -242,9 +245,6 @@ def accel_potential_extended(pos, mass, eps=0.0, G=1.0, chunk: int = 1024,
                               want_phi=True)
 
     acc, phi = _ext_chunked(n, chunk, block)
-    if guarded:
-        # the guard already zeroed self pairs; nothing to add back
-        pass
     return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
 
@@ -375,7 +375,10 @@ def accel_df(pos, mass, eps=0.0, G=1.0, chunk: int = 256,
 @functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
 def accel_potential_df(pos, mass, eps=0.0, G=1.0, chunk: int = 256,
                        guarded: bool = True):
-    """(accel, phi) full-df32 tier; phi excludes the softened self term."""
+    """(accel, phi) full-df32 tier. When eps > 0 phi INCLUDES the
+    softened self term -G*m/eps (self pairs have u = eps^2 > 0, so the
+    u > 0 guard does not zero them); the caller cancels it by adding
+    gravity.self_phi (forces.py does)."""
     hi, lo, gm_hi, gm_lo, e2h, e2l = _df_prepare(pos, mass, eps, G)
     n = pos.shape[0]
     nb = -(-n // chunk)

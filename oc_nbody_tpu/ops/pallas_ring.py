@@ -294,8 +294,10 @@ def accel_ring(pos_local, mass_local, eps, G=1.0, *, axis: str, d: int,
 def accel_potential_ring(pos_local, mass_local, eps, G=1.0, *, axis: str,
                          d: int, guarded: bool = True, compensated=None):
     """(accel, phi_pair) on this chip's rows from ALL shards via the RDMA
-    ring — the sharded-diagnostics force+energy evaluation. phi excludes
-    the softened self term (caller adds ``gravity.self_phi``), same
+    ring — the sharded-diagnostics force+energy evaluation. When eps > 0
+    phi INCLUDES the softened self term -G*m/eps (self pairs have
+    u = eps^2 > 0, unmasked); the caller cancels it by adding
+    ``gravity.self_phi``, same
     contract as accel_potential_rows."""
     if compensated is None:
         compensated = COMPENSATED

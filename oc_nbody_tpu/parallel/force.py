@@ -50,9 +50,17 @@ def _two_sum(acc, comp, partial):
     """Kahan step for the ring accumulation across D source shards: the
     cross-shard sum is the one f32 accumulation the kernels cannot see
     (they compensate only across their own source tiles), so compensate it
-    here — O(N/D) extra flops per ring step vs the O(N^2/D^2) kernel."""
+    here — O(N/D) extra flops per ring step vs the O(N^2/D^2) kernel.
+
+    The rounded sum passes through ``optimization_barrier``: this loop
+    compiles through XLA (shard_map/fori_loop), whose algebraic simplifier
+    rewrites the ``(t - acc) - y`` residual to zero inside fused graphs
+    (measured — see ops/df32.two_sum), silently degrading the compensation
+    to plain f32 summation. The barrier pins t as an opaque f32 value
+    (ADVICE round 2, medium; pinned by
+    tests/distributed/test_ring_compensation.py)."""
     y = partial - comp
-    t = acc + y
+    t = jax.lax.optimization_barrier(acc + y)
     comp = (t - acc) - y
     return t, comp
 
@@ -292,6 +300,16 @@ class ShardedForce:
 def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        mode: str = "allgather", backend: str = "auto",
                        chunk: int = 1024) -> ShardedForce:
+    if mode not in ("allgather", "ring", "rdma"):
+        raise ValueError(f"unknown sharded-force mode {mode!r}")
+    if mode == "rdma" and backend == "jnp":
+        # the rdma path IS a Pallas kernel (ops/pallas_ring.py); with the
+        # jnp backend it would import and Mosaic-lower anyway and fail much
+        # later with an opaque lowering error (VERDICT round-2 W6)
+        raise ValueError(
+            "mode='rdma' requires the Pallas backend (the ring is a single "
+            "Pallas kernel, ops/pallas_ring.py); use backend='pallas'/'auto' "
+            "or mode='ring' for the XLA-collective path")
     if mesh is None:
         from oc_nbody_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()

@@ -57,14 +57,20 @@ def _run(cfg: SimConfig, resume: bool = False,
          progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
     stepper, kind = make_stepper(cfg, scene.force)
+    # physical-time fields (Myr) override the code-unit ones. The converted
+    # values live on a local copy: mutating cfg.output in place made a
+    # second run(cfg) — or reading cfg.output.t_end afterwards — silently
+    # see converted values (VERDICT round-2 W4).
     out = cfg.output
-    # physical-time fields (Myr) override the code-unit ones
+    _myr = {}
     if out.t_end_myr is not None:
-        out.t_end = out.t_end_myr / scene.units.time_myr
+        _myr["t_end"] = out.t_end_myr / scene.units.time_myr
     if out.diag_every_myr is not None:
-        out.diag_every = out.diag_every_myr / scene.units.time_myr
+        _myr["diag_every"] = out.diag_every_myr / scene.units.time_myr
     if out.snap_every_myr is not None:
-        out.snap_every = out.snap_every_myr / scene.units.time_myr
+        _myr["snap_every"] = out.snap_every_myr / scene.units.time_myr
+    if _myr:
+        out = dataclasses.replace(out, **_myr)
     writer = SnapshotWriter(out.out_dir, units=scene.units,
                             config_json=cfg.to_json())
 
@@ -74,6 +80,16 @@ def _run(cfg: SimConfig, resume: bool = False,
     rng_key = scene.rng_key  # persisted in every snapshot (SURVEY.md §4.4)
     if resume:
         path = latest_snapshot(out.out_dir)
+        if path is None and writer.has_outputs():
+            # resume was requested but there is nothing to resume FROM, yet
+            # the directory holds outputs (e.g. diagnostics from a run that
+            # crashed before its first snapshot). Falling through to the
+            # fresh-run path would reset_outputs() and destroy them
+            # (ADVICE round-2, low) — refuse instead.
+            raise FileNotFoundError(
+                f"--resume requested but no snapshot exists in "
+                f"{out.out_dir!r} (it does hold other outputs; delete them "
+                f"or drop --resume to start fresh)")
         if path is not None:
             snap = read_snapshot(path)
             if snap.integrator_kind is not None and snap.integrator_kind != kind:
@@ -106,7 +122,11 @@ def _run(cfg: SimConfig, resume: bool = False,
     # adaptive dispatch sizing: aim for ~20 s per dispatch (long single
     # dispatches trip the runtime watchdog, tiny ones pay dispatch
     # overhead). Sizes are a small static set so at most a few recompiles.
-    _sizes = [s for s in (256, 1024, 4096, 16384, 65536) if s <= max_steps]
+    # The ladder STARTS AT 1: the first dispatch probes the per-step cost
+    # before committing to a size — at N=1M a single step is ~7 s, and the
+    # old 256-step opener was a ~30 min XLA program that crashed the TPU
+    # worker (watchdog) before any measurement existed (round-3 c6 run).
+    _sizes = [s for s in (1, 16, 256, 4096, 65536) if s <= max_steps]
     _sizes = _sizes or [max_steps]
     _target_s = 20.0
     _state = {"size": _sizes[0]}
