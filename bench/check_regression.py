@@ -56,8 +56,11 @@ def main():
     eps = 1.0 / 256
     state = plummer(args.n, jax.random.PRNGKey(0))
     if on_tpu:
+        # gate on the PRODUCTION dispatch (guarded=False under eps > 0,
+        # matching ForceModel's softened routing) — round-2 W1: the gate
+        # must read the same numbers the docs claim
         from oc_nbody_tpu.ops import pallas_gravity as k
-        fn = jax.jit(lambda p, m: k.accel(p, m, eps, 1.0))
+        fn = jax.jit(lambda p, m: k.accel(p, m, eps, 1.0, guarded=False))
     else:
         from oc_nbody_tpu.ops import gravity as k
         fn = jax.jit(lambda p, m: k.accel(p, m, eps, 1.0))

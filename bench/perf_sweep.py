@@ -72,11 +72,24 @@ def main():
         if on_tpu:
             from oc_nbody_tpu.ops import pallas_gravity
             # past STREAM_N sources these dispatch to the HBM-streaming
-            # kernels automatically — the N=1M large-N path
+            # kernels automatically — the N=1M large-N path.
+            #
+            # PRODUCTION guard mode: eps > 0 here, so the driver's
+            # ForceModel dispatches guarded=False (softened=True drops the
+            # self-pair compare/select). Round-2 W1: the committed sweep
+            # measured guarded=True while docs/PERFORMANCE.md quoted the
+            # unguarded numbers — the artifacts told opposite stories.
+            # The primary columns now measure the production dispatch;
+            # the guarded variant is its own column.
             kernels["pallas_accel"] = jax.jit(
-                lambda p, m: pallas_gravity.accel(p, m, eps, 1.0))
+                lambda p, m: pallas_gravity.accel(p, m, eps, 1.0,
+                                                  guarded=False))
+            kernels["pallas_accel_guarded"] = jax.jit(
+                lambda p, m: pallas_gravity.accel(p, m, eps, 1.0,
+                                                  guarded=True))
             kernels["pallas_accel_jerk"] = jax.jit(
-                lambda p, v, m: pallas_gravity.accel_jerk(p, v, m, eps, 1.0))
+                lambda p, v, m: pallas_gravity.accel_jerk(p, v, m, eps, 1.0,
+                                                          guarded=False))
         for name, fn in kernels.items():
             if "jerk" in name:
                 dt = timeit(fn, state.pos, state.vel, state.mass,

@@ -77,6 +77,11 @@ class BlockHermite:
     # active-set compaction: bucket sizes are n >> l for l in 0..n_buckets-1
     # (0 disables compaction: masked full-row evaluation)
     n_buckets: int = 4
+    # PEC²: a second (evaluate, correct) pass on the ACTIVE rows at their
+    # corrected state — same scheme as Hermite4.pec2, restricted to the
+    # active subset (the inactive sources stay at their prediction, which
+    # is all the first pass saw too). Doubles the active-row force work.
+    pec2: bool = False
 
     @property
     def dt_min(self) -> float:
@@ -186,6 +191,17 @@ class BlockHermite:
         a0, j0 = carry.acc, carry.jerk
         v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
         x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
+
+        if self.pec2:
+            # re-evaluate at the corrected active rows (inactive sources
+            # keep their prediction — identical to what pass 1 saw) and
+            # iterate the corrector once toward its fixed point
+            am0 = active[:, None]
+            xp2 = jnp.where(am0, x1, xp)
+            vp2 = jnp.where(am0, v1, vp)
+            a1_full, j1_full = self._eval_active(xp2, vp2, s.mass, active, n)
+            v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
+            x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
 
         # new rung: Aarseth criterion applied to the pairwise and external
         # force components SEPARATELY (see BlockCarry docstring), rung = min.

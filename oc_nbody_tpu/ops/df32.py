@@ -275,6 +275,67 @@ def accel_jerk_extended(pos, vel, mass, eps=0.0, G=1.0, chunk: int = 1024,
 
 
 # --------------------------------------------------------------------------
+# extended tier, pre-split (hi, lo)-plane entry points
+# --------------------------------------------------------------------------
+#
+# jnp twins of ops/pallas_gravity's *_x_hilo functions (same contract:
+# all-f32 in/out on planes the caller split under ONE global centring).
+# They serve two roles: oracle for the Pallas kernels (interpret-mode
+# equivalence tests) and the jnp backend of the sharded extended tier
+# (parallel/force.py on CPU meshes).
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_rows_x_hilo(rhi, rlo, shi, slo, gm, eps, chunk: int = 256,
+                      guarded: bool = True):
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nr = rhi.shape[0]
+    nb = -(-nr // chunk)
+    rh, rl = _pad0(rhi, nb * chunk), _pad0(rlo, nb * chunk)
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_row_block(sl(rh), sl(rl), shi, slo, gm, eps2, guarded)
+
+    return _ext_chunked(nr, chunk, block)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_potential_rows_x_hilo(rhi, rlo, shi, slo, gm, eps,
+                                chunk: int = 256, guarded: bool = True):
+    """When eps > 0 phi INCLUDES the softened self term for rows that are
+    also sources (caller adds gravity.self_phi)."""
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nr = rhi.shape[0]
+    nb = -(-nr // chunk)
+    rh, rl = _pad0(rhi, nb * chunk), _pad0(rlo, nb * chunk)
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_row_block(sl(rh), sl(rl), shi, slo, gm, eps2, guarded,
+                              want_phi=True)
+
+    return _ext_chunked(nr, chunk, block)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
+                           eps, chunk: int = 256, guarded: bool = True):
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nr = rhi.shape[0]
+    nb = -(-nr // chunk)
+    rh, rl = _pad0(rhi, nb * chunk), _pad0(rlo, nb * chunk)
+    vh, vl = _pad0(vhi, nb * chunk), _pad0(vlo, nb * chunk)
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_row_block(sl(rh), sl(rl), shi, slo, gm, eps2, guarded,
+                              rows_vhi=sl(vh), rows_vlo=sl(vl),
+                              src_vhi=svhi, src_vlo=svlo)
+
+    return _ext_chunked(nr, chunk, block)
+
+
+# --------------------------------------------------------------------------
 # full df32 tier (~48-bit pairwise arithmetic)
 # --------------------------------------------------------------------------
 

@@ -1112,45 +1112,15 @@ def _accel_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     """Extended-precision pairwise accel on TPU: f64 in/out, hi/lo split
-    outside the kernel (cheap XLA O(N)); Pallas transposed sweep inside.
-    Resident sources only (use the jnp tier for CPU)."""
+    outside the kernel (cheap XLA O(N)); Pallas sweep inside. Dispatches
+    through accel_rows_x_hilo, so sources beyond STREAM_N stream from
+    HBM (round-2 Missing #1: no VMEM cap on the extended tier)."""
     center = jnp.mean(pos, axis=0)
-    pc = pos - center
-    hi64 = pc.astype(jnp.float32)
-    lo = (pc - hi64.astype(pc.dtype)).astype(jnp.float32)
-    hi = hi64
+    hi, lo = _split_rows(pos, center)
     gm = (jnp.asarray(G, jnp.float64)
           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    n = pos.shape[0]
-    nrp = _round_up(max(n, TI_X), TI_X)
-    nsp = _round_up(max(n, TJ_X), TJ_X)
-    rhiT = jnp.pad(hi.T, ((0, 0), (0, nrp - n)))
-    rloT = jnp.pad(lo.T, ((0, 0), (0, nrp - n)))
-    shiT = jnp.pad(hi.T, ((0, 0), (0, nsp - n)))
-    sloT = jnp.pad(lo.T, ((0, 0), (0, nsp - n)))
-    gmp = jnp.pad(gm[None, :], ((0, 0), (0, nsp - n)))
-
-    with jax.enable_x64(False):
-        outT = _call(
-            functools.partial(_accel_kernel_x, guarded=guarded),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, nrp), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=36 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
-                transcendentals=nrp * nsp,
-            ),
-        )(rhiT, rloT, shiT, sloT, gmp, eps2)
-    return outT[:, :n].T.astype(pos.dtype)
+    return accel_rows_x_hilo(hi, lo, hi, lo, gm, eps,
+                             guarded=guarded).astype(pos.dtype)
 
 
 def _accel_phi_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
@@ -1204,41 +1174,17 @@ def _accel_phi_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
 
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_potential_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-precision (accel, phi_pair) on TPU; f64 in/out. phi
-    includes the softened self term when guarded=False and eps > 0 (same
-    as the other kernels: the caller's contract adds self_phi)."""
+    """Extended-precision (accel, phi_pair) on TPU; f64 in/out. When
+    eps > 0 phi INCLUDES the softened self term -G*m/eps (the caller's
+    contract adds self_phi to cancel, same as the other kernels).
+    Streams sources from HBM past STREAM_N via the hilo entry point."""
     center = jnp.mean(pos, axis=0)
-    pc = pos - center
-    hi = pc.astype(jnp.float32)
-    lo = (pc - hi.astype(pc.dtype)).astype(jnp.float32)
+    hi, lo = _split_rows(pos, center)
     gm = (jnp.asarray(G, jnp.float64)
           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    n = pos.shape[0]
-    nrp = _round_up(max(n, TI_X), TI_X)
-    nsp = _round_up(max(n, TJ_X), TJ_X)
-
-    with jax.enable_x64(False):
-        outT, phi = _call(
-            functools.partial(_accel_phi_kernel_x, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
-                       jax.ShapeDtypeStruct((1, nrp), jnp.float32)),
-            cost_estimate=pl.CostEstimate(
-                flops=40 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
-                transcendentals=nrp * nsp,
-            ),
-        )(jnp.pad(hi.T, ((0, 0), (0, nrp - n))),
-          jnp.pad(lo.T, ((0, 0), (0, nrp - n))),
-          jnp.pad(hi.T, ((0, 0), (0, nsp - n))),
-          jnp.pad(lo.T, ((0, 0), (0, nsp - n))),
-          jnp.pad(gm[None, :], ((0, 0), (0, nsp - n))), eps2)
-    return (outT[:, :n].T.astype(pos.dtype),
-            phi[0, :n].astype(pos.dtype))
+    acc, phi = accel_potential_rows_x_hilo(hi, lo, hi, lo, gm, eps,
+                                           guarded=guarded)
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
 
 TI_XJ = int(_os.environ.get("OCN_PALLAS_TI_XJ", 128))
@@ -1319,7 +1265,8 @@ def accel_jerk_rows_x(pos_rows, vel_rows, src_pos, src_vel, src_mass,
     """Extended-precision (accel, jerk) on a row subset vs the full
     source set (the block-timestep active-row evaluation at the extended
     tier); f64 in/out. Rows and sources are centred on the source means
-    before splitting so both hi planes share one frame."""
+    before splitting so both hi planes share one frame. Streams sources
+    from HBM past STREAM_N via the hilo entry point."""
     center = jnp.mean(src_pos, axis=0)
     vcenter = jnp.mean(src_vel, axis=0)
     rhi, rlo = _split_rows(pos_rows, center)
@@ -1328,14 +1275,354 @@ def accel_jerk_rows_x(pos_rows, vel_rows, src_pos, src_vel, src_mass,
     svhi, svlo = _split_rows(src_vel, vcenter)
     gm = (jnp.asarray(G, jnp.float64)
           * jnp.asarray(src_mass, jnp.float64)).astype(jnp.float32)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    acc, jerk = accel_jerk_rows_x_hilo(rhi, rlo, rvhi, rvlo, shi, slo,
+                                       svhi, svlo, gm, eps, guarded=guarded)
+    return acc.astype(pos_rows.dtype), jerk.astype(pos_rows.dtype)
 
-    nr = pos_rows.shape[0]
-    ns = src_pos.shape[0]
+
+def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-precision (accel, jerk), self-interaction form (the
+    Hermite shared-step force evaluation at the extended tier)."""
+    return accel_jerk_rows_x(pos, vel, pos, vel, mass, eps, G, guarded)
+
+
+# --------------------------------------------------------------------------
+# extended tier: HBM-streamed + pre-split (hi, lo)-plane entry points
+# --------------------------------------------------------------------------
+#
+# Round-2 VERDICT Missing #1: the extended tier existed only in the
+# single-chip VMEM-resident regime, locking the accuracy lever out of
+# exactly the runs where f32 force error accumulates worst (sharded c5,
+# streamed c6). Two additions close the seam:
+#
+#   * STREAMED kernels: hi and lo source planes ride the second grid
+#     dimension exactly like the f32 streamed family above; the row block
+#     stays VMEM-resident and accumulates ACROSS source tiles with Kahan
+#     compensation unconditionally — the tier exists for accuracy, so the
+#     cross-tile sum must not grow ~sqrt(n_tiles)·eps_f32 at N=1M.
+#   * PRE-SPLIT (hi, lo) planes as the public interface
+#     (``*_x_hilo``): the sharded engine (parallel/force.py) splits ONCE
+#     under the global source centring outside shard_map and hands each
+#     chip its slab, so every chip's hi plane shares one frame — a
+#     per-shard centring would break the hi/lo invariant as slabs
+#     circulate the ring. Single-chip callers (accel_x and friends)
+#     split internally and forward here, which also gives them the
+#     streamed dispatch for free.
+#
+# The jnp twins (ops/df32.accel_rows_x_hilo etc.) are the oracles; tested
+# in interpret mode in tests/distributed/test_sharded_extended.py.
+
+TI_XS = int(_os.environ.get("OCN_PALLAS_TI_XS", 256))
+TJ_XS = int(_os.environ.get("OCN_PALLAS_TJ_XS", 1024))
+
+
+def _ext_tile(rows_slc, src_slc, eps2, guarded):
+    """Shared extended-pair geometry for one (TI, TJ) tile.
+
+    rows_slc: ((TI,1) hi xyz, (TI,1) lo xyz); src_slc: ((1,TJ) hi xyz,
+    (1,TJ) lo xyz). Returns (d, e, inv) with d+e the lo-corrected
+    separation and inv the Newton-refined 1/r."""
+    (xh, yh, zh), (xl, yl, zl) = rows_slc
+    (sxh, syh, szh), (sxl, syl, szl) = src_slc
+    d = (sxh - xh, syh - yh, szh - zh)
+    e = (sxl - xl, syl - yl, szl - zl)
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+    u = dd + (jnp.float32(2.0) * de + eps2)
+    inv = _inv_r(u, guarded)
+    inv = inv * (jnp.float32(1.5) - (jnp.float32(0.5) * u) * (inv * inv))
+    return d, e, inv
+
+
+def _rows_cols(hi_ref, lo_ref):
+    return ((hi_ref[:, 0:1], hi_ref[:, 1:2], hi_ref[:, 2:3]),
+            (lo_ref[:, 0:1], lo_ref[:, 1:2], lo_ref[:, 2:3]))
+
+
+def _src_rows(hi_ref, lo_ref):
+    return ((hi_ref[0:1, :], hi_ref[1:2, :], hi_ref[2:3, :]),
+            (lo_ref[0:1, :], lo_ref[1:2, :], lo_ref[2:3, :]))
+
+
+def _accel_stream_kernel_x(rhi_ref, rlo_ref, shi_ref, slo_ref, gm_ref,
+                           eps2_ref, out_ref, comp_ref, *, guarded):
+    j = pl.program_id(1)
+    d, e, inv = _ext_tile(_rows_cols(rhi_ref, rlo_ref),
+                          _src_rows(shi_ref, slo_ref),
+                          eps2_ref[0, 0], guarded)
+    w = gm_ref[0:1, :] * (inv * inv * inv)
+    partial = jnp.concatenate(
+        [jnp.sum(w * (d[c] + e[c]), axis=1, keepdims=True)
+         for c in range(3)], axis=1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = partial
+        comp_ref[:] = jnp.zeros_like(comp_ref)
+
+    @pl.when(j != 0)
+    def _accumulate():
+        t, c = _two_sum(out_ref[:], comp_ref[:], partial)
+        out_ref[:] = t
+        comp_ref[:] = c
+
+
+def _accel_phi_stream_kernel_x(rhi_ref, rlo_ref, shi_ref, slo_ref, gm_ref,
+                               eps2_ref, out_ref, phi_ref, comp_ref,
+                               pcomp_ref, *, guarded):
+    j = pl.program_id(1)
+    d, e, inv = _ext_tile(_rows_cols(rhi_ref, rlo_ref),
+                          _src_rows(shi_ref, slo_ref),
+                          eps2_ref[0, 0], guarded)
+    gminv = gm_ref[0:1, :] * inv
+    w = gminv * (inv * inv)
+    partial = jnp.concatenate(
+        [jnp.sum(w * (d[c] + e[c]), axis=1, keepdims=True)
+         for c in range(3)], axis=1)
+    ph = -jnp.sum(gminv, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = partial
+        phi_ref[:] = ph
+        comp_ref[:] = jnp.zeros_like(comp_ref)
+        pcomp_ref[:] = jnp.zeros_like(pcomp_ref)
+
+    @pl.when(j != 0)
+    def _accumulate():
+        t, c = _two_sum(out_ref[:], comp_ref[:], partial)
+        out_ref[:] = t
+        comp_ref[:] = c
+        tp, cp = _two_sum(phi_ref[:], pcomp_ref[:], ph)
+        phi_ref[:] = tp
+        pcomp_ref[:] = cp
+
+
+def _accel_jerk_stream_kernel_x(rhi_ref, rlo_ref, vhi_ref, vlo_ref,
+                                shi_ref, slo_ref, svhi_ref, svlo_ref,
+                                gm_ref, eps2_ref, out_ref, jout_ref,
+                                acomp_ref, jcomp_ref, *, guarded):
+    j = pl.program_id(1)
+    d, e, inv = _ext_tile(_rows_cols(rhi_ref, rlo_ref),
+                          _src_rows(shi_ref, slo_ref),
+                          eps2_ref[0, 0], guarded)
+    (vh, vl) = _rows_cols(vhi_ref, vlo_ref)
+    (svh, svl) = _src_rows(svhi_ref, svlo_ref)
+    dv = tuple((svh[c] - vh[c]) + (svl[c] - vl[c]) for c in range(3))
+    w = gm_ref[0:1, :] * (inv * inv * inv)
+    rv = ((d[0] + e[0]) * dv[0] + (d[1] + e[1]) * dv[1]
+          + (d[2] + e[2]) * dv[2])
+    s = (jnp.float32(3.0) * rv) * w * (inv * inv)
+    pa = jnp.concatenate(
+        [jnp.sum(w * (d[c] + e[c]), axis=1, keepdims=True)
+         for c in range(3)], axis=1)
+    pj = jnp.concatenate(
+        [jnp.sum(w * dv[c] - s * (d[c] + e[c]), axis=1, keepdims=True)
+         for c in range(3)], axis=1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = pa
+        jout_ref[:] = pj
+        acomp_ref[:] = jnp.zeros_like(acomp_ref)
+        jcomp_ref[:] = jnp.zeros_like(jcomp_ref)
+
+    @pl.when(j != 0)
+    def _accumulate():
+        ta, ca = _two_sum(out_ref[:], acomp_ref[:], pa)
+        out_ref[:] = ta
+        acomp_ref[:] = ca
+        tj, cj = _two_sum(jout_ref[:], jcomp_ref[:], pj)
+        jout_ref[:] = tj
+        jcomp_ref[:] = cj
+
+
+def _padT(a, m):
+    """(N, k) -> (k, M) transposed zero-pad."""
+    return jnp.pad(a.T, ((0, 0), (0, m - a.shape[0])))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_rows_x_hilo(rhi, rlo, shi, slo, gm, eps, guarded: bool = True):
+    """Extended-tier rows-vs-sources accel on pre-split (hi, lo) f32
+    planes; all-f32 in/out. Sources beyond STREAM_N dispatch to the
+    HBM-streamed kernel; below, the VMEM-resident transposed kernel
+    (_accel_kernel_x) runs — the same body as accel_x."""
+    nr, ns = rhi.shape[0], shi.shape[0]
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    if ns > STREAM_N:
+        nrp = _round_up(max(nr, TI_XS), TI_XS)
+        nsp = _round_up(max(ns, TJ_XS), TJ_XS)
+        with jax.enable_x64(False):
+            out = _call(
+                functools.partial(_accel_stream_kernel_x, guarded=guarded),
+                grid=(nrp // TI_XS, nsp // TJ_XS),
+                in_specs=[
+                    pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((TI_XS, 3), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+                cost_estimate=pl.CostEstimate(
+                    flops=40 * nrp * nsp,
+                    bytes_accessed=nrp * 28 * (nsp // TJ_XS) + nsp * 28,
+                    transcendentals=nrp * nsp,
+                ),
+            )(_pad_rows(rhi, nrp), _pad_rows(rlo, nrp), _padT(shi, nsp),
+              _padT(slo, nsp), jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))),
+              eps2)
+        return out[:nr]
+    nrp = _round_up(max(nr, TI_X), TI_X)
+    nsp = _round_up(max(ns, TJ_X), TJ_X)
+    with jax.enable_x64(False):
+        outT = _call(
+            functools.partial(_accel_kernel_x, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=36 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
+                transcendentals=nrp * nsp,
+            ),
+        )(_padT(rhi, nrp), _padT(rlo, nrp), _padT(shi, nsp),
+          _padT(slo, nsp), jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))),
+          eps2)
+    return outT[:, :nr].T
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_rows_x_hilo(rhi, rlo, shi, slo, gm, eps,
+                                guarded: bool = True):
+    """Extended-tier rows-vs-sources (accel, phi) on pre-split planes;
+    f32 in/out. When eps > 0 phi INCLUDES the softened self term for rows
+    that are also sources (caller adds gravity.self_phi to cancel)."""
+    nr, ns = rhi.shape[0], shi.shape[0]
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    if ns > STREAM_N:
+        nrp = _round_up(max(nr, TI_XS), TI_XS)
+        nsp = _round_up(max(ns, TJ_XS), TJ_XS)
+        with jax.enable_x64(False):
+            acc, phi = _call(
+                functools.partial(_accel_phi_stream_kernel_x,
+                                  guarded=guarded),
+                grid=(nrp // TI_XS, nsp // TJ_XS),
+                in_specs=[
+                    pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TI_XS, 1), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
+                    jax.ShapeDtypeStruct((nrp, 1), jnp.float32),
+                ),
+                scratch_shapes=[pltpu.VMEM((TI_XS, 3), jnp.float32),
+                                pltpu.VMEM((TI_XS, 1), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+                cost_estimate=pl.CostEstimate(
+                    flops=44 * nrp * nsp,
+                    bytes_accessed=nrp * 32 * (nsp // TJ_XS) + nsp * 28,
+                    transcendentals=nrp * nsp,
+                ),
+            )(_pad_rows(rhi, nrp), _pad_rows(rlo, nrp), _padT(shi, nsp),
+              _padT(slo, nsp),
+              jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))), eps2)
+        return acc[:nr], phi[:nr, 0]
+    nrp = _round_up(max(nr, TI_X), TI_X)
+    nsp = _round_up(max(ns, TJ_X), TJ_X)
+    with jax.enable_x64(False):
+        outT, phi = _call(
+            functools.partial(_accel_phi_kernel_x, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, nrp), jnp.float32),
+                       jax.ShapeDtypeStruct((1, nrp), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=40 * nrp * nsp, bytes_accessed=(nrp + nsp) * 32,
+                transcendentals=nrp * nsp,
+            ),
+        )(_padT(rhi, nrp), _padT(rlo, nrp), _padT(shi, nsp),
+          _padT(slo, nsp), jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))),
+          eps2)
+    return outT[:, :nr].T, phi[0, :nr]
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
+                           eps, guarded: bool = True):
+    """Extended-tier rows-vs-sources (accel, jerk) on pre-split position
+    AND velocity planes; f32 in/out."""
+    nr, ns = rhi.shape[0], shi.shape[0]
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    if ns > STREAM_N:
+        nrp = _round_up(max(nr, TI_XS), TI_XS)
+        nsp = _round_up(max(ns, TJ_XS), TJ_XS)
+        row_spec = pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+        src_spec = pl.BlockSpec((3, TJ_XS), lambda i, j: (0, j),
+                                memory_space=pltpu.VMEM)
+        with jax.enable_x64(False):
+            acc, jerk = _call(
+                functools.partial(_accel_jerk_stream_kernel_x,
+                                  guarded=guarded),
+                grid=(nrp // TI_XS, nsp // TJ_XS),
+                in_specs=[row_spec] * 4 + [src_spec] * 4 + [
+                    pl.BlockSpec((1, TJ_XS), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=(row_spec, row_spec),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
+                    jax.ShapeDtypeStruct((nrp, 3), jnp.float32),
+                ),
+                scratch_shapes=[pltpu.VMEM((TI_XS, 3), jnp.float32),
+                                pltpu.VMEM((TI_XS, 3), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+                cost_estimate=pl.CostEstimate(
+                    flops=74 * nrp * nsp,
+                    bytes_accessed=nrp * 52 * (nsp // TJ_XS) + nsp * 52,
+                    transcendentals=nrp * nsp,
+                ),
+            )(_pad_rows(rhi, nrp), _pad_rows(rlo, nrp),
+              _pad_rows(vhi, nrp), _pad_rows(vlo, nrp),
+              _padT(shi, nsp), _padT(slo, nsp),
+              _padT(svhi, nsp), _padT(svlo, nsp),
+              jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))), eps2)
+        return acc[:nr], jerk[:nr]
     nrp = _round_up(max(nr, TI_XJ), TI_XJ)
     nsp = _round_up(max(ns, TJ_XJ), TJ_XJ)
-    padT = lambda a, m: jnp.pad(a.T, ((0, 0), (0, m - a.shape[0])))
-
     with jax.enable_x64(False):
         outT, joutT = _call(
             functools.partial(_accel_jerk_kernel_x, guarded=guarded),
@@ -1349,18 +1636,11 @@ def accel_jerk_rows_x(pos_rows, vel_rows, src_pos, src_vel, src_mass,
                 flops=70 * nrp * nsp, bytes_accessed=(nrp + nsp) * 56,
                 transcendentals=nrp * nsp,
             ),
-        )(padT(rhi, nrp), padT(rlo, nrp), padT(rvhi, nrp),
-          padT(rvlo, nrp), padT(shi, nsp), padT(slo, nsp),
-          padT(svhi, nsp), padT(svlo, nsp),
+        )(_padT(rhi, nrp), _padT(rlo, nrp), _padT(vhi, nrp),
+          _padT(vlo, nrp), _padT(shi, nsp), _padT(slo, nsp),
+          _padT(svhi, nsp), _padT(svlo, nsp),
           jnp.pad(gm[None, :], ((0, 0), (0, nsp - ns))), eps2)
-    return (outT[:, :nr].T.astype(pos_rows.dtype),
-            joutT[:, :nr].T.astype(pos_rows.dtype))
-
-
-def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-precision (accel, jerk), self-interaction form (the
-    Hermite shared-step force evaluation at the extended tier)."""
-    return accel_jerk_rows_x(pos, vel, pos, vel, mass, eps, G, guarded)
+    return outT[:, :nr].T, joutT[:, :nr].T
 
 
 # --------------------------------------------------------------------------

@@ -77,6 +77,11 @@ class ShardedForce:
     mode: str = dataclasses.field(default="allgather", metadata=dict(static=True))
     backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
     chunk: int = dataclasses.field(default=1024, metadata=dict(static=True))
+    # pairwise arithmetic tier on the mesh: "f32" | "extended" (hi/lo
+    # planes split ONCE under the global centring, then sharded — see
+    # _split_global). The df32 tier stays single-chip (make_sharded_force
+    # rejects it with the routing rationale).
+    precision: str = dataclasses.field(default="f32", metadata=dict(static=True))
 
     # ---- rows-vs-sources kernel dispatch ------------------------------
     def _rows_kernel(self):
@@ -86,6 +91,32 @@ class ShardedForce:
             from oc_nbody_tpu.ops import pallas_gravity
             return pallas_gravity
         return gravity
+
+    def _hilo_kernels(self):
+        """Module providing the *_x_hilo extended-tier entry points
+        (pallas_gravity on TPU, its jnp twin ops.df32 elsewhere — same
+        contract, oracle-tested in tests/distributed)."""
+        if self.backend == "pallas" or (
+            self.backend == "auto" and jax.default_backend() == "tpu"
+        ):
+            from oc_nbody_tpu.ops import pallas_gravity
+            return pallas_gravity
+        from oc_nbody_tpu.ops import df32
+        return df32
+
+    def _split_global(self, arr):
+        """Centred (hi, lo) f32 split of an f64 (N, 3) array. One GLOBAL
+        centring before shard_map: every chip's hi plane must share one
+        frame, or the hi/lo invariant breaks as source slabs circulate
+        the ring (each shard would need the others' centres)."""
+        c = arr - jnp.mean(arr, axis=0)
+        hi = c.astype(jnp.float32)
+        lo = (c - hi.astype(c.dtype)).astype(jnp.float32)
+        return hi, lo
+
+    def _gm32(self, mass):
+        return (jnp.asarray(self.G, jnp.float64)
+                * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
 
     @property
     def axis(self) -> str:
@@ -102,8 +133,160 @@ class ShardedForce:
             out.append(jnp.pad(a, width))
         return out
 
+    # ---- extended tier (hi/lo planes through the same collectives) ----
+    def _accel_extended(self, pos, mass):
+        m = self._hilo_kernels()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        n = pos.shape[0]
+        hi, lo = self._split_global(pos)
+        hi_p, lo_p, gm_p = self._pad([hi, lo, self._gm32(mass)], n)
+        ax = self.axis
+
+        def shard_fn(hi_l, lo_l, gm_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, comp, sh, sl, sg = carry
+                    da = m.accel_rows_x_hilo(hi_l, lo_l, sh, sl, sg, eps32)
+                    acc, comp = _two_sum(acc, comp, da)
+                    sh = lax.ppermute(sh, ax, perm)
+                    sl = lax.ppermute(sl, ax, perm)
+                    sg = lax.ppermute(sg, ax, perm)
+                    return acc, comp, sh, sl, sg
+
+                z = jnp.zeros_like(hi_l)
+                acc, _, _, _, _ = lax.fori_loop(
+                    0, d, body, (z, z, hi_l, lo_l, gm_l))
+                return acc
+            sh = lax.all_gather(hi_l, ax, tiled=True)
+            sl = lax.all_gather(lo_l, ax, tiled=True)
+            sg = lax.all_gather(gm_l, ax, tiled=True)
+            return m.accel_rows_x_hilo(hi_l, lo_l, sh, sl, sg, eps32)
+
+        out = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(ax)), out_specs=P(ax),
+            check_vma=False,
+        )(hi_p, lo_p, gm_p)
+        acc = out[:n].astype(pos.dtype)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+        return acc
+
+    def _accel_potential_extended(self, pos, mass):
+        m = self._hilo_kernels()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        n = pos.shape[0]
+        hi, lo = self._split_global(pos)
+        mass32 = jnp.asarray(mass, jnp.float32)
+        hi_p, lo_p, gm_p = self._pad([hi, lo, self._gm32(mass)], n)
+        ax = self.axis
+
+        def shard_fn(hi_l, lo_l, gm_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, phi, ca, cp, sh, sl, sg = carry
+                    da, dp = m.accel_potential_rows_x_hilo(
+                        hi_l, lo_l, sh, sl, sg, eps32)
+                    acc, ca = _two_sum(acc, ca, da)
+                    phi, cp = _two_sum(phi, cp, dp)
+                    sh = lax.ppermute(sh, ax, perm)
+                    sl = lax.ppermute(sl, ax, perm)
+                    sg = lax.ppermute(sg, ax, perm)
+                    return acc, phi, ca, cp, sh, sl, sg
+
+                z = jnp.zeros_like(hi_l)
+                zp = jnp.zeros_like(hi_l[:, 0])
+                acc, phi, _, _, _, _, _ = lax.fori_loop(
+                    0, d, body, (z, zp, z, zp, hi_l, lo_l, gm_l))
+                return acc, phi
+            sh = lax.all_gather(hi_l, ax, tiled=True)
+            sl = lax.all_gather(lo_l, ax, tiled=True)
+            sg = lax.all_gather(gm_l, ax, tiled=True)
+            return m.accel_potential_rows_x_hilo(hi_l, lo_l, sh, sl, sg,
+                                                 eps32)
+
+        acc, phi = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+            check_vma=False,
+        )(hi_p, lo_p, gm_p)
+        acc = acc[:n].astype(pos.dtype)
+        # tier phi includes the softened self term -G m/eps when eps > 0;
+        # self_phi (+G m/eps) cancels it — the oracle contract
+        phi = (phi[:n] + gravity.self_phi(mass32, eps32, G32)).astype(pos.dtype)
+        if self.external is not None:
+            acc = acc + self.external.accel(pos)
+            phi_ext = self.external.phi(pos)
+        else:
+            phi_ext = jnp.zeros_like(phi)
+        return acc, phi, phi_ext
+
+    def _accel_jerk_extended(self, pos, vel, mass):
+        m = self._hilo_kernels()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        n = pos.shape[0]
+        hi, lo = self._split_global(pos)
+        vhi, vlo = self._split_global(vel)
+        hi_p, lo_p, vhi_p, vlo_p, gm_p = self._pad(
+            [hi, lo, vhi, vlo, self._gm32(mass)], n)
+        ax = self.axis
+
+        def shard_fn(hi_l, lo_l, vhi_l, vlo_l, gm_l):
+            if self.mode == "ring":
+                d = self.mesh.devices.size
+                perm = [(i, (i + 1) % d) for i in range(d)]
+
+                def body(_, carry):
+                    acc, jerk, ca, cj, sh, sl, svh, svl, sg = carry
+                    da, dj = m.accel_jerk_rows_x_hilo(
+                        hi_l, lo_l, vhi_l, vlo_l, sh, sl, svh, svl, sg,
+                        eps32)
+                    acc, ca = _two_sum(acc, ca, da)
+                    jerk, cj = _two_sum(jerk, cj, dj)
+                    sh = lax.ppermute(sh, ax, perm)
+                    sl = lax.ppermute(sl, ax, perm)
+                    svh = lax.ppermute(svh, ax, perm)
+                    svl = lax.ppermute(svl, ax, perm)
+                    sg = lax.ppermute(sg, ax, perm)
+                    return acc, jerk, ca, cj, sh, sl, svh, svl, sg
+
+                z = jnp.zeros_like(hi_l)
+                acc, jerk, _, _, _, _, _, _, _ = lax.fori_loop(
+                    0, d, body,
+                    (z, z, z, z, hi_l, lo_l, vhi_l, vlo_l, gm_l))
+                return acc, jerk
+            sh = lax.all_gather(hi_l, ax, tiled=True)
+            sl = lax.all_gather(lo_l, ax, tiled=True)
+            svh = lax.all_gather(vhi_l, ax, tiled=True)
+            svl = lax.all_gather(vlo_l, ax, tiled=True)
+            sg = lax.all_gather(gm_l, ax, tiled=True)
+            return m.accel_jerk_rows_x_hilo(hi_l, lo_l, vhi_l, vlo_l,
+                                            sh, sl, svh, svl, sg, eps32)
+
+        acc, jerk = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax),) * 5, out_specs=(P(ax), P(ax)),
+            check_vma=False,
+        )(hi_p, lo_p, vhi_p, vlo_p, gm_p)
+        acc = acc[:n].astype(pos.dtype)
+        jerk = jerk[:n].astype(pos.dtype)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
     # ---- public API (mirrors ForceModel) ------------------------------
     def accel(self, pos, mass):
+        if self.precision == "extended":
+            return self._accel_extended(pos, mass)
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -152,6 +335,8 @@ class ShardedForce:
         return acc
 
     def accel_potential(self, pos, mass):
+        if self.precision == "extended":
+            return self._accel_potential_extended(pos, mass)
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -205,6 +390,8 @@ class ShardedForce:
         return acc, phi, phi_ext
 
     def accel_jerk(self, pos, vel, mass):
+        if self.precision == "extended":
+            return self._accel_jerk_extended(pos, vel, mass)
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -263,6 +450,9 @@ class ShardedForce:
         set is replicated, sources stay row-sharded, and each chip's partial
         (accel, jerk) is psum-reduced over ICI — the BASELINE.json:11
         allreduce applied to the active subset (SURVEY.md §2 EP analog)."""
+        if self.precision == "extended":
+            return self._accel_jerk_on_rows_extended(
+                pos_rows, vel_rows, src_pos, src_vel, src_mass)
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -296,12 +486,69 @@ class ShardedForce:
             jerk = jerk + da_ext
         return acc, jerk
 
+    def _accel_jerk_on_rows_extended(self, pos_rows, vel_rows, src_pos,
+                                     src_vel, src_mass):
+        """Extended-tier active-row evaluation on the mesh: rows and
+        sources split under the SOURCE-mean centring (both hi planes in
+        one frame), rows replicated, source planes row-sharded, per-chip
+        partials psum-reduced over ICI."""
+        m = self._hilo_kernels()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        center = jnp.mean(src_pos, axis=0)
+        vcenter = jnp.mean(src_vel, axis=0)
+
+        def split(a, c):
+            d = a - c
+            hi = d.astype(jnp.float32)
+            return hi, (d - hi.astype(d.dtype)).astype(jnp.float32)
+
+        rhi, rlo = split(pos_rows, center)
+        rvhi, rvlo = split(vel_rows, vcenter)
+        shi, slo = split(src_pos, center)
+        svhi, svlo = split(src_vel, vcenter)
+        ns = src_pos.shape[0]
+        shi_p, slo_p, svhi_p, svlo_p, gm_p = self._pad(
+            [shi, slo, svhi, svlo, self._gm32(src_mass)], ns)
+        ax = self.axis
+
+        def shard_fn(rh, rl, vh, vl, sh, sl, svh, svl, sg):
+            da, dj = m.accel_jerk_rows_x_hilo(rh, rl, vh, vl, sh, sl,
+                                              svh, svl, sg, eps32)
+            return lax.psum(da, ax), lax.psum(dj, ax)
+
+        acc, jerk = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax), P(ax), P(ax)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(rhi, rlo, rvhi, rvlo, shi_p, slo_p, svhi_p, svlo_p, gm_p)
+        acc = acc.astype(pos_rows.dtype)
+        jerk = jerk.astype(pos_rows.dtype)
+        if self.external is not None:
+            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
+                                    (vel_rows,))
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
+
 
 def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        mode: str = "allgather", backend: str = "auto",
-                       chunk: int = 1024) -> ShardedForce:
+                       chunk: int = 1024, precision: str = "f32") -> ShardedForce:
     if mode not in ("allgather", "ring", "rdma"):
         raise ValueError(f"unknown sharded-force mode {mode!r}")
+    if precision not in ("f32", "extended"):
+        # df32 stays single-chip: on the mesh the honest routing already
+        # sends it to emulated f64 (slower than extended for ~no accuracy
+        # need the extended tier doesn't meet) — reject explicitly rather
+        # than silently degrade (ADVICE round-2 pattern)
+        raise ValueError(
+            f"sharded force precision {precision!r} not supported; use "
+            "'f32' or 'extended' (df32 is single-chip only)")
+    if mode == "rdma" and precision == "extended":
+        raise ValueError(
+            "the extended tier rides the XLA collectives (ring/allgather); "
+            "mode='rdma' is f32-only for now")
     if mode == "rdma" and backend == "jnp":
         # the rdma path IS a Pallas kernel (ops/pallas_ring.py); with the
         # jnp backend it would import and Mosaic-lower anyway and fail much
@@ -317,4 +564,5 @@ def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
         eps=jnp.asarray(eps, jnp.float64),
         G=jnp.asarray(G, jnp.float64),
         external=external, mesh=mesh, mode=mode, backend=backend, chunk=chunk,
+        precision=precision,
     )

@@ -93,3 +93,26 @@ def test_block_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.state.pos),
                                   np.asarray(ref.state.pos))
     np.testing.assert_array_equal(np.asarray(resumed.t_i), np.asarray(ref.t_i))
+
+
+def test_block_pec2_runs_and_conserves():
+    """PEC² on active rows (round-3 W2 instrumentation): synchronises,
+    conserves to the same order as single-pass PEC, and actually changes
+    the trajectory (i.e. the second corrector pass is live). At these
+    settings both drifts sit at the 1e-8 noise floor, so no ordering
+    between them is asserted — the pec2 accuracy claim is measured on the
+    c4 pericentre experiment (RESULTS.md), not here."""
+    state = plummer(128, jax.random.PRNGKey(29))
+    force = make_force_model(eps=1.0 / 64, backend="jnp")
+    kw = dict(force=force, dt_max=1.0 / 16, n_levels=6, eta=0.02)
+    e0 = float(diagnostics.energies(state, force)["E_tot"])
+
+    ends = {}
+    for pec2 in (False, True):
+        b = BlockHermite(pec2=pec2, **kw)
+        c = jax.jit(b.advance_to)(b.init(state), 0.5)
+        assert float(c.state.time) == 0.5
+        e1 = float(diagnostics.energies(c.state, force)["E_tot"])
+        assert abs(e1 - e0) / abs(e0) < 1e-6
+        ends[pec2] = np.asarray(c.state.pos)
+    assert np.max(np.abs(ends[True] - ends[False])) > 0

@@ -105,15 +105,22 @@ def test_run_precision_tiers(tmp_path):
     assert drifts["extended"] < 10 * max(drifts["f32"], 1e-12)
 
 
-def test_run_precision_mesh_rejected(tmp_path):
-    cfg = _tiny_cfg(tmp_path)
-    cfg.integrator.precision = "extended"
-    cfg.mesh.n_devices = 2
+def test_run_precision_mesh(tmp_path):
+    """Round 3: the extended tier RUNS on a mesh (round-2 Missing #1
+    closed); df32 is still rejected with the routing rationale."""
     import jax
     if len(jax.devices()) < 2:
         pytest.skip("needs >1 device")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.precision = "extended"
+    cfg.mesh.n_devices = 2
+    res = run(cfg)
+    assert float(res.state.time) == pytest.approx(0.5)
+    cfg2 = _tiny_cfg(tmp_path / "df32")
+    cfg2.integrator.precision = "df32"
+    cfg2.mesh.n_devices = 2
     with pytest.raises(ValueError, match="single-chip"):
-        run(cfg)
+        run(cfg2)
 
 
 def test_run_block_kind(tmp_path):
