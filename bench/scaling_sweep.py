@@ -79,9 +79,14 @@ def main():
             t2 = time.perf_counter()
             dt = ((t2 - t1) - (t1 - t0)) / args.repeats
             rate = args.n * args.n / dt
+            # emulated rows are a COMPOSITION record (the sharded graph
+            # compiles + executes at this d), not a performance claim —
+            # tagged so no reader mistakes CPU-emulation wall times for
+            # ICI scaling (round-2 Missing #3: the record was never
+            # written at all)
             row = {"mode": mode, "n_devices": d, "N": args.n,
                    "ms_per_eval": dt * 1e3, "ints_per_s": rate,
-                   "backend": backend}
+                   "backend": backend, "emulated": bool(args.emulate)}
             rows.append(row)
             print(f"d={d} mode={mode:10s} {dt*1e3:9.2f} ms  "
                   f"{rate:.3e} int/s", flush=True)
@@ -89,21 +94,27 @@ def main():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling.json")
     payload = {"device": str(jax.devices()[0]), "rows": rows}
-    if os.path.exists(out) and not args.emulate:
+    if os.path.exists(out):
         try:
             with open(out) as f:
                 old = json.load(f)
-            seen = {(r["mode"], r["n_devices"], r["N"]) for r in rows}
+            seen = {(r["mode"], r["n_devices"], r["N"],
+                     bool(args.emulate)) for r in rows}
             payload["rows"] = sorted(
                 [r for r in old.get("rows", [])
-                 if (r["mode"], r["n_devices"], r["N"]) not in seen] + rows,
-                key=lambda r: (r["N"], r["n_devices"], r["mode"]))
+                 if (r["mode"], r["n_devices"], r["N"],
+                     r.get("emulated", False)) not in seen] + rows,
+                key=lambda r: (r.get("emulated", False), r["N"],
+                               r["n_devices"], r["mode"]))
+            if not args.emulate:
+                payload["device"] = str(jax.devices()[0])
+            elif "device" in old:
+                payload["device"] = old["device"]
         except (json.JSONDecodeError, KeyError):
             pass
-    if not args.emulate:
-        with open(out, "w") as f:
-            json.dump(payload, f, indent=2)
-        print(f"wrote {out}")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

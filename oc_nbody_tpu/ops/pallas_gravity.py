@@ -1644,6 +1644,130 @@ def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
 
 
 # --------------------------------------------------------------------------
+# pair-symmetric (Newton's-3rd-law) jerk kernel — W3 prototype
+# --------------------------------------------------------------------------
+#
+# The jerk kernel is the binding perf constraint (round-2 W3: 9.8e10 int/s
+# vs accel's 2.04e11; Hermite/block pay it twice per PEC² step). The ~50
+# ops/pair + 1 rsqrt/pair roofline explains the gap — so halve the PAIRS:
+# each (i, j) tile pair with j > i is computed ONCE and accumulated into
+# BOTH blocks. The per-pair force/jerk differ between the two directions
+# only by the mass factor and sign:
+#     a_i += gm_j·w·d       a_j -= gm_i·w·d         (d = x_j − x_i)
+#     j_i += gm_j·w·B       j_j -= gm_i·w·B,   B_c = dv_c − (3rv·inv²)·d_c
+# so the expensive geometry (d, dv, r², rsqrt, rv, B) is shared and only
+# the two mass-weighted reductions differ: ~60% of the ops and HALF the
+# rsqrts per pair vs the one-sided sweep. Diagonal tiles run one-sided
+# (self-pairs contribute exactly 0 to accel/jerk: d = dv = 0).
+#
+# Cost of admission: the j-block contribution is a read-modify-write into
+# the resident (3, N) accumulators per tile — sequential fori_loop, so no
+# races, but extra VMEM traffic the one-sided kernel doesn't pay. Whether
+# the op saving beats the rmw overhead is a MEASUREMENT (bench/jerk_sym
+# section in docs/PERFORMANCE.md); the dispatch only uses this kernel if
+# OCN_PALLAS_JERK_SYM=1.
+
+T_SYM = int(_os.environ.get("OCN_PALLAS_T_SYM", 512))
+
+
+def _accel_jerk_kernel_sym(rowsT_ref, vrowsT_ref, gm_ref, eps2_ref,
+                           outT_ref, joutT_ref, *, guarded):
+    t = T_SYM
+    nt = rowsT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outT_ref[:] = jnp.zeros_like(outT_ref)
+    joutT_ref[:] = jnp.zeros_like(joutT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        vi = [vrowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gm_ref[0:1, sli].reshape(t, 1)
+
+        def pair_tile(j0):
+            slj = pl.ds(j0, t)
+            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            dv = [vrowsT_ref[c:c + 1, slj] - vi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv3 = inv * (inv * inv)
+            w = gm_ref[0:1, slj] * inv3           # force ON i-rows
+            rv = d[0] * dv[0] + d[1] * dv[1] + d[2] * dv[2]
+            uu = (jnp.float32(3.0) * rv) * (inv * inv)
+            B = [dv[c] - uu * d[c] for c in range(3)]
+            return d, B, w, gmi * inv3            # wi: force ON j-cols
+
+        # diagonal tile: one-sided row accumulation (pairs inside the
+        # tile appear once per direction across the row sweep)
+        d, B, w, _ = pair_tile(i0)
+        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
+        jrow = [jnp.sum(w * B[c], axis=1, keepdims=True) for c in range(3)]
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            ar = carry[:3]
+            jr = carry[3:]
+            d, B, w, wi = pair_tile(j0)
+            ar = [ar[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            # j-block reaction: -sum over the i axis, mass-weighted by gm_i
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            jcol = jnp.concatenate(
+                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outT_ref[:, slj] = outT_ref[:, slj] + acol
+            joutT_ref[:, slj] = joutT_ref[:, slj] + jcol
+            return tuple(ar) + tuple(jr)
+
+        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + tuple(jrow))
+        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        joutT_ref[:, sli] = joutT_ref[:, sli] + jnp.concatenate(
+            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, nt, i_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric (accel, jerk), self-interaction form. Accumulation
+    order differs from the one-sided kernels (reaction terms arrive
+    column-wise), so agreement with the oracle is to f32 tolerance, not
+    bitwise."""
+    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYM), T_SYM)
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT, joutT = _call(
+            functools.partial(_accel_jerk_kernel_sym, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                       jax.ShapeDtypeStruct((3, npad), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=30 * npad * npad, bytes_accessed=npad * 56,
+                transcendentals=npad * npad // 2,
+            ),
+        )(rowsT, vrowsT, gm, eps2)
+    return outT[:, :n].T.astype(pos.dtype), joutT[:, :n].T.astype(pos.dtype)
+
+
+# --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
 

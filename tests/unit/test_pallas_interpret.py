@@ -236,3 +236,26 @@ def test_unguarded_matches_guarded():
     out_u = pg.accel(pos, mass, eps=0.05, guarded=False)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_u),
                                rtol=0, atol=1e-7)
+
+
+def test_pair_symmetric_jerk_matches_oracle(monkeypatch):
+    """W3 prototype: the Newton's-3rd-law kernel computes each tile pair
+    once and accumulates both directions — must match the one-sided
+    oracle to f32 tolerance (summation order differs by construction),
+    for both guard modes and with padding (n not a tile multiple)."""
+    monkeypatch.setattr(pg, "T_SYM", 64)
+    pg.accel_jerk_sym.clear_cache()
+    key = jax.random.PRNGKey(3)
+    kp, kv, km = jax.random.split(key, 3)
+    n = 300   # 5 tiles of 64 with padding
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    for eps, guarded in ((0.05, False), (0.05, True), (0.0, True)):
+        a, j = pg.accel_jerk_sym(pos, vel, mass, eps, 1.0, guarded=guarded)
+        ra, rj = gravity.accel_jerk(pos, vel, mass, eps, 1.0)
+        sa = float(jnp.max(jnp.abs(ra)))
+        sj = float(jnp.max(jnp.abs(rj)))
+        assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * sa
+        assert float(jnp.max(jnp.abs(j - rj))) < 1e-6 * sj
+    pg.accel_jerk_sym.clear_cache()
