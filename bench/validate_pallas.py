@@ -62,6 +62,15 @@ def main():
         if err > TOL:
             failures.append(("jerk", n, err))
 
+        # pair-symmetric prototype (W3): reaction-accumulated sums
+        a_s, j_s = pallas_gravity.accel_jerk_sym(pos, vel, mass, eps=0.05)
+        err = max(float(jnp.max(jnp.linalg.norm(a_s - ref, axis=1))) / scale,
+                  float(jnp.max(jnp.linalg.norm(j_s - j_ref, axis=1)))
+                  / jscale)
+        print(f"N={n:6d} jerkSYM rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("jerk_sym", n, err))
+
     # precision tiers (close-pair cluster: f32 kernels read ~6e-3 here).
     # Hardware-only claims: the interpreter degrades the EFTs (see
     # tests/unit/test_pallas_tiers.py).
@@ -83,6 +92,26 @@ def main():
         print(f"tier {name:9s} rel err {err:.2e} (close pairs)")
         if err > tol:
             failures.append((name, n, err))
+
+    # STREAMED extended path on hardware (round-3: hilo kernels stream
+    # sources past STREAM_N): force the streamed dispatch at small N and
+    # compare against the resident result — same inputs, same tier.
+    import oc_nbody_tpu.ops.pallas_gravity as pg
+    res = pg.accel_x(pos, mass, 1e-4)
+    old_stream_n = pg.STREAM_N
+    pg.STREAM_N = 1024
+    for f in (pg.accel_x, pg.accel_rows_x_hilo):
+        f.clear_cache()
+    try:
+        stream = pg.accel_x(pos, mass, 1e-4)
+    finally:
+        pg.STREAM_N = old_stream_n
+        for f in (pg.accel_x, pg.accel_rows_x_hilo):
+            f.clear_cache()
+    err = float(jnp.max(jnp.linalg.norm(stream - res, axis=1))) / scale
+    print(f"tier extended-streamed vs resident rel err {err:.2e}")
+    if err > 2e-6:
+        failures.append(("extended_streamed", n, err))
 
     if failures:
         print("FAILURES:", failures)

@@ -65,7 +65,7 @@ class IntegratorConfig:
     eta_init: float = 0.01
     dt_max: float = 1.0 / 16.0   # hermite/block upper clamp
     quantize: bool = False       # hermite: snap shared dt to dt_max/2^k
-    pec2: bool = False           # hermite: second corrector pass (PEC²)
+    pec2: bool = False           # hermite/block: second corrector pass (PEC²)
     n_levels: int = 8            # block: number of power-of-two rungs
     precision: str = "f32"       # pairwise tier: f32 | extended | df32
 
