@@ -37,6 +37,13 @@ eps = 1.0 / 256
 if kernel == "jerk":
     fn = jax.jit(lambda p, v, m: pg.accel_jerk(p, v, m, eps, 1.0))
     args = (state.pos, state.vel, state.mass)
+elif kernel == "jerk_sym":
+    fn = jax.jit(
+        lambda p, v, m: pg.accel_jerk_sym(p, v, m, eps, 1.0, guarded=False))
+    args = (state.pos, state.vel, state.mass)
+elif kernel == "jerk_x":
+    fn = jax.jit(lambda p, v, m: pg.accel_jerk_x(p, v, m, eps, 1.0))
+    args = (state.pos, state.vel, state.mass)
 elif kernel == "accel":
     fn = jax.jit(lambda p, m: pg.accel(p, m, eps, 1.0))
     args = (state.pos, state.mass)
@@ -63,7 +70,8 @@ print("RESULT " + json.dumps(dict(ms=dt * 1e3, ints_per_s=n * n / dt)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--kernel", choices=["jerk", "accel", "phi"],
+    ap.add_argument("--kernel",
+                    choices=["jerk", "accel", "phi", "jerk_sym", "jerk_x"],
                     default="jerk")
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=10)
@@ -71,17 +79,28 @@ def main():
                     help="TIxTJ pairs, e.g. 256x1024 512x2048")
     args = ap.parse_args()
 
-    tiles = args.tiles or ["256x1024", "256x2048", "512x1024", "512x2048",
-                           "128x2048", "1024x1024"]
-    env_ti = "OCN_PALLAS_TI_A" if args.kernel == "accel" else "OCN_PALLAS_TI"
-    env_tj = "OCN_PALLAS_TJ_A" if args.kernel == "accel" else "OCN_PALLAS_TJ"
+    if args.kernel == "jerk_sym":
+        # square tiles: pass single values (OCN_PALLAS_T_SYM)
+        tiles = args.tiles or ["256", "512", "1024"]
+    else:
+        tiles = args.tiles or ["256x1024", "256x2048", "512x1024",
+                               "512x2048", "128x2048", "1024x1024"]
+    env_ti, env_tj = {
+        "accel": ("OCN_PALLAS_TI_A", "OCN_PALLAS_TJ_A"),
+        "jerk_x": ("OCN_PALLAS_TI_XJ", "OCN_PALLAS_TJ_XJ"),
+        "jerk_sym": ("OCN_PALLAS_T_SYM", None),
+    }.get(args.kernel, ("OCN_PALLAS_TI", "OCN_PALLAS_TJ"))
 
     rows = []
     for pair in tiles:
-        ti, tj = (int(x) for x in pair.split("x"))
+        if "x" in pair:
+            ti, tj = (int(x) for x in pair.split("x"))
+        else:
+            ti = tj = int(pair)
         env = dict(os.environ, TF_CPP_MIN_LOG_LEVEL="3")
         env[env_ti] = str(ti)
-        env[env_tj] = str(tj)
+        if env_tj is not None:
+            env[env_tj] = str(tj)
         code = WORKER.format(repo=REPO, n=args.n, kernel=args.kernel,
                              repeats=args.repeats)
         out = subprocess.run([sys.executable, "-c", code], env=env,

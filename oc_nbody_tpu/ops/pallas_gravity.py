@@ -1667,7 +1667,9 @@ def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
 # section in docs/PERFORMANCE.md); the dispatch only uses this kernel if
 # OCN_PALLAS_JERK_SYM=1.
 
-T_SYM = int(_os.environ.get("OCN_PALLAS_T_SYM", 512))
+# 512 OOMs the 16 MiB scoped-VMEM stack (measured: 17.23M requested — the
+# two (3, N) rmw accumulators + ~14 live (t, t) temporaries); 256 fits.
+T_SYM = int(_os.environ.get("OCN_PALLAS_T_SYM", 256))
 
 
 def _accel_jerk_kernel_sym(rowsT_ref, vrowsT_ref, gm_ref, eps2_ref,
