@@ -1793,6 +1793,15 @@ def accel_potential(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
 
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_jerk(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    # Self-interaction: the pair-symmetric kernel wins for resident N at
+    # or above the transposed crossover (measured unguarded, slope-timed:
+    # 16k 2.39 vs 2.79 ms; 65k 35.2 vs 44.2 ms — +17-26% from halving the
+    # pairs/rsqrts; W3). Sources past STREAM_N or below the crossover keep
+    # the one-sided sweep; OCN_PALLAS_JERK_SYM=0 reverts.
+    n = pos.shape[0]
+    if (RT_MIN_JERK <= n <= STREAM_N
+            and _os.environ.get("OCN_PALLAS_JERK_SYM", "1") == "1"):
+        return accel_jerk_sym(pos, vel, mass, eps, G, guarded=guarded)
     pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
     acc, jerk = accel_jerk_rows(pos_c, vel_c, pos_c, vel_c, mass_c,
                                 jnp.asarray(eps, jnp.float32),
