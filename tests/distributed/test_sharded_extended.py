@@ -243,3 +243,19 @@ def test_sharded_force_rejects_df32_and_rdma_extended():
     with pytest.raises(ValueError, match="rdma"):
         make_sharded_force(eps=0.01, mesh=make_mesh(8), mode="rdma",
                            precision="extended")
+
+
+def test_sharded_extended_streamed_composition(interpret, monkeypatch):
+    """The c6-on-a-mesh composition at the extended tier: allgathered
+    source planes exceed STREAM_N, so the hilo dispatch takes the
+    STREAMED kernel INSIDE shard_map (grid + scratch + Kahan under the
+    interpreter on the emulated mesh)."""
+    monkeypatch.setattr(pg, "STREAM_N", 64)    # 128 sources -> streamed
+    pos, _, mass = _cluster(n=128)
+    sf = make_sharded_force(eps=0.05, mesh=make_mesh(8), mode="allgather",
+                            backend="pallas", precision="extended")
+    out = jax.jit(sf.accel)(pos, mass)
+    ref = df32.accel_extended(pos, mass, eps=0.05, chunk=64)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6 * scale, rtol=0)
