@@ -101,6 +101,10 @@ def main():
         env[env_ti] = str(ti)
         if env_tj is not None:
             env[env_tj] = str(tj)
+        if args.kernel == "jerk":
+            # sweep the ONE-SIDED kernel's tiles — accel_jerk otherwise
+            # dispatches to the pair-symmetric kernel at resident N
+            env["OCN_PALLAS_JERK_SYM"] = "0"
         code = WORKER.format(repo=REPO, n=args.n, kernel=args.kernel,
                              repeats=args.repeats)
         out = subprocess.run([sys.executable, "-c", code], env=env,
