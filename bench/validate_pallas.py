@@ -62,7 +62,12 @@ def main():
         if err > TOL:
             failures.append(("jerk", n, err))
 
-        # pair-symmetric prototype (W3): reaction-accumulated sums
+        # pair-symmetric kernels (W3): reaction-accumulated sums
+        a_sym = pallas_gravity.accel_sym(pos, mass, eps=0.05)
+        err = float(jnp.max(jnp.linalg.norm(a_sym - ref, axis=1))) / scale
+        print(f"N={n:6d} accSYM  rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("accel_sym", n, err))
         a_s, j_s = pallas_gravity.accel_jerk_sym(pos, vel, mass, eps=0.05)
         err = max(float(jnp.max(jnp.linalg.norm(a_s - ref, axis=1))) / scale,
                   float(jnp.max(jnp.linalg.norm(j_s - j_ref, axis=1)))

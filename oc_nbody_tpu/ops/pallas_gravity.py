@@ -1668,8 +1668,90 @@ def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
 # OCN_PALLAS_JERK_SYM=1.
 
 # 512 OOMs the 16 MiB scoped-VMEM stack (measured: 17.23M requested — the
-# two (3, N) rmw accumulators + ~14 live (t, t) temporaries); 256 fits.
-T_SYM = int(_os.environ.get("OCN_PALLAS_T_SYM", 256))
+# two (3, N) rmw accumulators + ~14 live (t, t) temporaries); 384 fits
+# and beats 256 (65k jerk: 33.4 vs 35.2 ms, swept on hardware).
+T_SYM = int(_os.environ.get("OCN_PALLAS_T_SYM", 384))
+
+# self-interaction sym dispatch floor: below this the tile triangle is
+# too shallow to matter and sub-ms timings are relay-noise dominated
+SYM_MIN = int(_os.environ.get("OCN_PALLAS_SYM_MIN", 8192))
+
+
+# accel-only square tile: fewer live temporaries than the jerk variant
+# (no dv/rv/B), so a larger tile may fit — swept on hardware.
+T_SYMA = int(_os.environ.get("OCN_PALLAS_T_SYMA", 512))
+
+
+def _accel_kernel_sym(rowsT_ref, gm_ref, eps2_ref, outT_ref, *, guarded):
+    """Pair-symmetric accel: same action/reaction scheme as the jerk
+    variant below, velocities omitted."""
+    t = T_SYMA
+    nt = rowsT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outT_ref[:] = jnp.zeros_like(outT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gm_ref[0:1, sli].reshape(t, 1)
+
+        def pair_tile(j0):
+            slj = pl.ds(j0, t)
+            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv3 = inv * (inv * inv)
+            return d, gm_ref[0:1, slj] * inv3, gmi * inv3
+
+        d, w, _ = pair_tile(i0)
+        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d, w, wi = pair_tile(j0)
+            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outT_ref[:, slj] = outT_ref[:, slj] + acol
+            return tuple(ar)
+
+        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow))
+        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, nt, i_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric accel, self-interaction form (f32 tolerance vs the
+    one-sided oracle: reaction terms arrive column-wise)."""
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMA), T_SYMA)
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT = _call(
+            functools.partial(_accel_kernel_sym, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=14 * npad * npad, bytes_accessed=npad * 32,
+                transcendentals=npad * npad // 2,
+            ),
+        )(rowsT, gm, eps2)
+    return outT[:, :n].T.astype(pos.dtype)
 
 
 def _accel_jerk_kernel_sym(rowsT_ref, vrowsT_ref, gm_ref, eps2_ref,
@@ -1775,6 +1857,15 @@ def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
 
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    # Self-interaction: pair-symmetric kernel (Newton's 3rd law — half
+    # the pairs/rsqrts) wins at every resident production size, measured
+    # unguarded slope-timed: 65k 14.7 vs 22.4 ms (+53%), 131k 63.0 vs
+    # 89.4, 262k 250.8 vs 355.6 (+42%). OCN_PALLAS_JERK_SYM=0 reverts
+    # both sym dispatches.
+    n = pos.shape[0]
+    if (SYM_MIN <= n <= STREAM_N
+            and _os.environ.get("OCN_PALLAS_JERK_SYM", "1") == "1"):
+        return accel_sym(pos, mass, eps, G, guarded=guarded)
     pos_c, mass_c = prepare_f32(pos, mass)
     out = accel_rows(pos_c, pos_c, mass_c, jnp.asarray(eps, jnp.float32),
                      jnp.asarray(G, jnp.float32), 0, guarded)

@@ -259,3 +259,22 @@ def test_pair_symmetric_jerk_matches_oracle(monkeypatch):
         assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * sa
         assert float(jnp.max(jnp.abs(j - rj))) < 1e-6 * sj
     pg.accel_jerk_sym.clear_cache()
+
+
+def test_pair_symmetric_accel_matches_oracle(monkeypatch):
+    """Round-3: the pair-symmetric ACCEL kernel (now the self-interaction
+    default at production sizes) matches the one-sided oracle to f32
+    tolerance, both guard modes, padded N."""
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    pg.accel_sym.clear_cache()
+    key = jax.random.PRNGKey(5)
+    kp, km = jax.random.split(key)
+    n = 300
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    for eps, guarded in ((0.05, False), (0.0, True)):
+        a = pg.accel_sym(pos, mass, eps, 1.0, guarded=guarded)
+        ra = gravity.accel(pos, mass, eps)
+        assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * float(
+            jnp.max(jnp.abs(ra)))
+    pg.accel_sym.clear_cache()
