@@ -1754,6 +1754,100 @@ def accel_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     return outT[:, :n].T.astype(pos.dtype)
 
 
+T_SYMP = int(_os.environ.get("OCN_PALLAS_T_SYMP", 512))
+
+
+def _accel_phi_kernel_sym(rowsT_ref, gm_ref, eps2_ref, outT_ref, phi_ref,
+                          *, guarded):
+    """Pair-symmetric accel+potential (diagnostics pass). The shared inv
+    serves four accumulations: accel row/col (mass-weighted, signed) and
+    phi row/col (mass-weighted, both negative). Self pairs on the
+    diagonal contribute 0 to accel (d = 0) and the softened self term to
+    phi when eps > 0 — the same contract as the one-sided kernels
+    (caller adds self_phi)."""
+    t = T_SYMP
+    nt = rowsT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outT_ref[:] = jnp.zeros_like(outT_ref)
+    phi_ref[:] = jnp.zeros_like(phi_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gm_ref[0:1, sli].reshape(t, 1)
+
+        def pair_tile(j0):
+            slj = pl.ds(j0, t)
+            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv2 = inv * inv
+            gmjinv = gm_ref[0:1, slj] * inv
+            gmiinv = gmi * inv
+            return d, gmjinv * inv2, gmiinv * inv2, gmjinv, gmiinv
+
+        d, w, _, gmjinv, _ = pair_tile(i0)
+        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
+        prow = -jnp.sum(gmjinv, axis=1, keepdims=True)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d, w, wi, gmjinv, gmiinv = pair_tile(j0)
+            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outT_ref[:, slj] = outT_ref[:, slj] + acol
+            phi_ref[:, slj] = phi_ref[:, slj] - jnp.sum(
+                gmiinv, axis=0, keepdims=True)
+            return tuple(ar) + (pr,)
+
+        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + (prow,))
+        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        phi_ref[:, sli] = phi_ref[:, sli] + res[3].reshape(1, t)
+        return 0
+
+    jax.lax.fori_loop(0, nt, i_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric (accel, phi_pair), self-interaction form; phi
+    follows the one-sided contract (self term included when eps > 0 —
+    this wrapper adds self_phi exactly like accel_potential)."""
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMP), T_SYMP)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = eps32.reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT, phi = _call(
+            functools.partial(_accel_phi_kernel_sym, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                       jax.ShapeDtypeStruct((1, npad), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=17 * npad * npad, bytes_accessed=npad * 40,
+                transcendentals=npad * npad // 2,
+            ),
+        )(rowsT, gm, eps2)
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+
 def _accel_jerk_kernel_sym(rowsT_ref, vrowsT_ref, gm_ref, eps2_ref,
                            outT_ref, joutT_ref, *, guarded):
     t = T_SYM

@@ -278,3 +278,23 @@ def test_pair_symmetric_accel_matches_oracle(monkeypatch):
         assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * float(
             jnp.max(jnp.abs(ra)))
     pg.accel_sym.clear_cache()
+
+
+def test_pair_symmetric_accel_potential_matches_oracle(monkeypatch):
+    """Sym accel+phi (diagnostics pass): oracle equivalence, both guard
+    modes, padded N; phi follows the self-term/self_phi contract."""
+    monkeypatch.setattr(pg, "T_SYMP", 64)
+    pg.accel_potential_sym.clear_cache()
+    key = jax.random.PRNGKey(7)
+    kp, km = jax.random.split(key)
+    n = 300
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    for eps, guarded in ((0.05, False), (0.0, True)):
+        a, p = pg.accel_potential_sym(pos, mass, eps, 1.0, guarded=guarded)
+        ra, rp = gravity.accel_potential(pos, mass, eps)
+        assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * float(
+            jnp.max(jnp.abs(ra)))
+        assert float(jnp.max(jnp.abs(p - rp))) < 1e-6 * float(
+            jnp.max(jnp.abs(rp)))
+    pg.accel_potential_sym.clear_cache()
