@@ -68,6 +68,11 @@ def main():
         print(f"N={n:6d} accSYM  rel err {err:.2e}")
         if err > TOL:
             failures.append(("accel_sym", n, err))
+        _, phi_sym = pallas_gravity.accel_potential_sym(pos, mass, eps=0.05)
+        err = float(jnp.max(jnp.abs(phi_sym - phi_ref) / jnp.abs(phi_ref)))
+        print(f"N={n:6d} phiSYM  rel err {err:.2e}")
+        if err > TOL:
+            failures.append(("phi_sym", n, err))
         a_s, j_s = pallas_gravity.accel_jerk_sym(pos, vel, mass, eps=0.05)
         err = max(float(jnp.max(jnp.linalg.norm(a_s - ref, axis=1))) / scale,
                   float(jnp.max(jnp.linalg.norm(j_s - j_ref, axis=1)))
@@ -91,6 +96,7 @@ def main():
     scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
     for name, fn, tol in (
             ("extended", pallas_gravity.accel_x, 2e-5),
+            ("extendedSYM", pallas_gravity.accel_sym_x, 2e-5),
             ("df32", pallas_df.accel_df_pallas, 1e-9)):
         out = fn(pos, mass, 1e-4)
         err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale

@@ -1112,9 +1112,13 @@ def _accel_kernel_x(rhiT_ref, rloT_ref, shi_ref, slo_ref, gm_ref,
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     """Extended-precision pairwise accel on TPU: f64 in/out, hi/lo split
-    outside the kernel (cheap XLA O(N)); Pallas sweep inside. Dispatches
-    through accel_rows_x_hilo, so sources beyond STREAM_N stream from
-    HBM (round-2 Missing #1: no VMEM cap on the extended tier)."""
+    outside the kernel (cheap XLA O(N)); Pallas sweep inside. At resident
+    production sizes the pair-symmetric variant runs (22.3 vs 44.0 ms at
+    65k); otherwise dispatches through accel_rows_x_hilo, so sources
+    beyond STREAM_N stream from HBM (round-2 Missing #1)."""
+    n = pos.shape[0]
+    if SYM_MIN <= n <= STREAM_N and _sym_enabled():
+        return accel_sym_x(pos, mass, eps, G, guarded=guarded)
     center = jnp.mean(pos, axis=0)
     hi, lo = _split_rows(pos, center)
     gm = (jnp.asarray(G, jnp.float64)
@@ -1953,6 +1957,95 @@ def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
             ),
         )(rowsT, vrowsT, gm, eps2)
     return outT[:, :n].T.astype(pos.dtype), joutT[:, :n].T.astype(pos.dtype)
+
+
+# extended-tier pair-symmetric accel: the hi/lo arithmetic shares the
+# same action/reaction structure (the lo-corrected separation d+e and the
+# Newton-refined inv serve both directions), so the accuracy tier gets
+# the same pair-halving. Measured at 65k: 22.3 ms (T=512, which fits) vs
+# 44.0 ms one-sided accel_x (+95%) — extended accuracy at the old f32
+# production price; close-pair error unchanged (2.63e-6 vs 2.60e-6,
+# hardware).
+T_SYMX = int(_os.environ.get("OCN_PALLAS_T_SYMX", 512))
+
+
+def _accel_kernel_sym_x(rhiT_ref, rloT_ref, gm_ref, eps2_ref, outT_ref,
+                        *, guarded):
+    t = T_SYMX
+    nt = rhiT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outT_ref[:] = jnp.zeros_like(outT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        li = [rloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gm_ref[0:1, sli].reshape(t, 1)
+
+        def pair_tile(j0):
+            slj = pl.ds(j0, t)
+            d = [rhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            e = [rloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            inv3 = inv * (inv * inv)
+            s = [d[c] + e[c] for c in range(3)]
+            return s, gm_ref[0:1, slj] * inv3, gmi * inv3
+
+        s, w, _ = pair_tile(i0)
+        arow = [jnp.sum(w * s[c], axis=1, keepdims=True) for c in range(3)]
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            s, w, wi = pair_tile(j0)
+            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outT_ref[:, slj] = outT_ref[:, slj] + acol
+            return tuple(ar)
+
+        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow))
+        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, nt, i_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-tier pair-symmetric accel, self-interaction form; f64
+    in/out (hi/lo split internally, same frame for both roles)."""
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm = (jnp.asarray(G, jnp.float64)
+          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMX), T_SYMX)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT = _call(
+            functools.partial(_accel_kernel_sym_x, guarded=guarded),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=24 * npad * npad, bytes_accessed=npad * 56,
+                transcendentals=npad * npad // 2,
+            ),
+        )(_padT(hi, npad), _padT(lo, npad),
+          jnp.pad(gm[None, :], ((0, 0), (0, npad - n))), eps2)
+    return outT[:, :n].T.astype(pos.dtype)
 
 
 # --------------------------------------------------------------------------

@@ -298,3 +298,23 @@ def test_pair_symmetric_accel_potential_matches_oracle(monkeypatch):
         assert float(jnp.max(jnp.abs(p - rp))) < 1e-6 * float(
             jnp.max(jnp.abs(rp)))
     pg.accel_potential_sym.clear_cache()
+
+
+def test_pair_symmetric_extended_accel_matches_oracle(monkeypatch):
+    """Extended-tier sym accel (resident production default for
+    precision='extended'): matches the df32 extended oracle."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMX", 64)
+    pg.accel_sym_x.clear_cache()
+    key = jax.random.PRNGKey(11)
+    kp, km = jax.random.split(key)
+    n = 300
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    a = pg.accel_sym_x(pos, mass, 0.05, 1.0)
+    ref = df32.accel_extended(pos, mass, eps=0.05, chunk=64)
+    # interpret mode degrades the in-kernel EFTs (XLA simplifier) — the
+    # hardware bound is asserted by bench/validate_pallas.py
+    assert float(jnp.max(jnp.abs(a - ref))) < 2e-6 * float(
+        jnp.max(jnp.abs(ref)))
+    pg.accel_sym_x.clear_cache()
