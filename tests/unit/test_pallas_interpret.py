@@ -318,3 +318,24 @@ def test_pair_symmetric_extended_accel_matches_oracle(monkeypatch):
     assert float(jnp.max(jnp.abs(a - ref))) < 2e-6 * float(
         jnp.max(jnp.abs(ref)))
     pg.accel_sym_x.clear_cache()
+
+
+def test_pair_symmetric_extended_jerk_matches_oracle(monkeypatch):
+    """Extended-tier sym accel+jerk (resident default for the extended
+    Hermite shared-step evaluation): matches the df32 extended oracle."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMXJ", 64)
+    pg.accel_jerk_sym_x.clear_cache()
+    key = jax.random.PRNGKey(13)
+    kp, kv, km = jax.random.split(key, 3)
+    n = 300
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    a, j = pg.accel_jerk_sym_x(pos, vel, mass, 0.05, 1.0)
+    ra, rj = df32.accel_jerk_extended(pos, vel, mass, eps=0.05, chunk=64)
+    assert float(jnp.max(jnp.abs(a - ra))) < 2e-6 * float(
+        jnp.max(jnp.abs(ra)))
+    assert float(jnp.max(jnp.abs(j - rj))) < 2e-6 * float(
+        jnp.max(jnp.abs(rj)))
+    pg.accel_jerk_sym_x.clear_cache()
