@@ -1971,7 +1971,11 @@ def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
 # 44.0 ms one-sided accel_x (+95%) — extended accuracy at the old f32
 # production price; close-pair error unchanged (2.63e-6 vs 2.60e-6,
 # hardware).
-T_SYMX = int(_os.environ.get("OCN_PALLAS_T_SYMX", 512))
+# 512 measured 22.29 ms at N=65536 but OOMs the scoped-VMEM stack by
+# 472K at small npad (N=4096 → 16.46M requested; the limit interacts
+# with the total padded size, not just the tile) — 384 compiles at every
+# size and costs 1.4% (22.61 ms).
+T_SYMX = int(_os.environ.get("OCN_PALLAS_T_SYMX", 384))
 
 
 def _accel_kernel_sym_x(rhiT_ref, rloT_ref, gm_ref, eps2_ref, outT_ref,
