@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Validate + slope-time the chunked pair-symmetric accel past STREAM_N.
+
+The resident sym kernels stop at STREAM_N (262144); beyond that the
+default accel falls back to the one-sided HBM-streamed sweep (measured
+1.82e11 int/s at 1M). accel_sym_chunked computes each unique pair once
+(diagonal chunks through the resident sym kernel, off-diagonal chunk
+pairs through the cross-sym kernel) — this script checks it against the
+streamed kernel and the blocked-jnp oracle at a non-chunk-multiple N,
+then slope-times both at N=1M (production: unguarded, eps>0).
+
+Timing protocol (memory: axon relay): dependent fori_loop chain inside
+ONE jit, chain(1+k)-chain(1) slope; any single dispatch kept well under
+~40 s.
+
+Usage: python bench/chunked_sym.py [--quick]
+Writes bench/chunked_sym.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from oc_nbody_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from oc_nbody_tpu.ops import gravity, pallas_gravity as pg  # noqa: E402
+
+EPS = 1.0 / 256
+
+
+def _stream_accel(p, m):
+    """One-sided streamed self-interaction accel (the pre-chunked default;
+    pg.accel itself now dispatches past STREAM_N to the chunked kernel)."""
+    pc, mc = pg.prepare_f32(p, m)
+    return pg.accel_rows(pc, pc, mc, jnp.float32(EPS), jnp.float32(1.0),
+                         0, False)
+
+
+def _stream_accel_phi(p, m):
+    pc, mc = pg.prepare_f32(p, m)
+    acc, phi = pg.accel_potential_rows(pc, pc, mc, jnp.float32(EPS),
+                                       jnp.float32(1.0), 0, False)
+    return acc, phi + pg.self_phi(mc, jnp.float32(EPS), jnp.float32(1.0))
+
+
+def _cloud(key, n):
+    kp, km = jax.random.split(key)
+    pos = jax.random.normal(kp, (n, 3), jnp.float32)
+    mass = jax.random.uniform(km, (n,), jnp.float32, 0.5, 1.5) / n
+    return pos, mass
+
+
+def _slope(fn, pos, mass, k):
+    @jax.jit
+    def chain(p, steps):
+        def body(_, q):
+            a = fn(q, mass)
+            return q + 1e-30 * a
+        return jax.lax.fori_loop(0, steps, body, p)
+
+    chain(pos, 1).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    chain(pos, 1).block_until_ready()
+    t1 = time.perf_counter()
+    chain(pos, 1 + k).block_until_ready()
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / k
+
+
+def main():
+    if jax.default_backend() == "cpu":
+        print("needs a TPU backend; skipping")
+        return 0
+    quick = "--quick" in sys.argv
+    out = {"eps": EPS, "chunk": pg.CHUNK_SYM}
+
+    # -- correctness at a non-chunk-multiple N past STREAM_N ------------
+    nv = 300_001
+    pos, mass = _cloud(jax.random.PRNGKey(7), nv)
+    a_chunk = pg.accel_sym_chunked(pos, mass, EPS, 1.0, guarded=False)
+    a_stream = _stream_accel(pos, mass)
+    a_jnp = gravity.accel(pos, mass, EPS)
+    scale = float(jnp.max(jnp.linalg.norm(a_jnp, axis=1)))
+    err_vs_stream = float(
+        jnp.max(jnp.linalg.norm(a_chunk - a_stream, axis=1))) / scale
+    err_vs_jnp = float(
+        jnp.max(jnp.linalg.norm(a_chunk - a_jnp, axis=1))) / scale
+    out["validate_n"] = nv
+    out["rel_err_vs_streamed"] = err_vs_stream
+    out["rel_err_vs_jnp_oracle"] = err_vs_jnp
+    print(f"N={nv}: chunked vs streamed rel err {err_vs_stream:.2e}, "
+          f"vs jnp oracle {err_vs_jnp:.2e}")
+    ok = err_vs_stream < 5e-5 and err_vs_jnp < 5e-5
+    out["validate_ok"] = ok
+
+    # -- phi variant correctness ---------------------------------------
+    ap_chunk, phi_chunk = pg.accel_potential_sym_chunked(
+        pos, mass, EPS, 1.0, guarded=False)
+    ap_jnp, phi_jnp = gravity.accel_potential(pos, mass, EPS)
+    perr = float(jnp.max(jnp.abs(phi_chunk - phi_jnp)
+                         / jnp.maximum(jnp.abs(phi_jnp), 1e-30)))
+    aerr = float(jnp.max(jnp.linalg.norm(ap_chunk - ap_jnp, axis=1))) / scale
+    out["phi_rel_err_vs_jnp"] = perr
+    out["phi_accel_rel_err_vs_jnp"] = aerr
+    print(f"N={nv}: chunked accel+phi vs jnp oracle: accel {aerr:.2e}, "
+          f"phi {perr:.2e}")
+    ok = ok and perr < 5e-5 and aerr < 5e-5
+    out["validate_ok"] = ok
+    if not ok:
+        print("VALIDATION FAILED")
+        json.dump(out, open(os.path.join(os.path.dirname(__file__),
+                                         "chunked_sym.json"), "w"), indent=1)
+        return 1
+
+    # -- slope timing at 1M (production: unguarded) ---------------------
+    rows = []
+    for n in ([1_048_576] if quick else [524_288, 1_048_576]):
+        pos, mass = _cloud(jax.random.PRNGKey(n), n)
+        k = 3 if n <= 524_288 else 2
+        t_stream = _slope(_stream_accel, pos, mass, k)
+        t_chunk = _slope(
+            lambda p, m: pg.accel_sym_chunked(p, m, EPS, guarded=False),
+            pos, mass, k)
+        row = {
+            "n": n,
+            "streamed_ms": t_stream * 1e3,
+            "chunked_sym_ms": t_chunk * 1e3,
+            "streamed_int_per_s": n * n / t_stream,
+            "chunked_sym_int_per_s_n2eq": n * n / t_chunk,
+            "speedup": t_stream / t_chunk,
+        }
+        rows.append(row)
+        print(f"N={n}: streamed {t_stream*1e3:.1f} ms "
+              f"({n*n/t_stream:.3e} int/s) | chunked-sym "
+              f"{t_chunk*1e3:.1f} ms ({n*n/t_chunk:.3e} N2-eq int/s) "
+              f"-> {t_stream/t_chunk:.2f}x")
+    out["rows"] = rows
+
+    # -- phi variant timing at 1M (the c6 diagnostics pass) -------------
+    n = 1_048_576
+    pos, mass = _cloud(jax.random.PRNGKey(n + 1), n)
+
+    def _slope2(fn, k=2):
+        @jax.jit
+        def chain(p, steps):
+            def body(_, q):
+                a, phi = fn(q, mass)
+                return q + 1e-30 * a + 1e-30 * phi[:, None]
+            return jax.lax.fori_loop(0, steps, body, p)
+
+        chain(pos, 1).block_until_ready()
+        t0 = time.perf_counter()
+        chain(pos, 1).block_until_ready()
+        t1 = time.perf_counter()
+        chain(pos, 1 + k).block_until_ready()
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / k
+
+    t_pstream = _slope2(_stream_accel_phi)
+    t_pchunk = _slope2(
+        lambda p, m: pg.accel_potential_sym_chunked(p, m, EPS,
+                                                    guarded=False))
+    out["phi_1m"] = {
+        "streamed_ms": t_pstream * 1e3,
+        "chunked_sym_ms": t_pchunk * 1e3,
+        "speedup": t_pstream / t_pchunk,
+    }
+    print(f"N={n} accel+phi: streamed {t_pstream*1e3:.1f} ms | chunked-sym "
+          f"{t_pchunk*1e3:.1f} ms -> {t_pstream/t_pchunk:.2f}x")
+    json.dump(out, open(os.path.join(os.path.dirname(__file__),
+                                     "chunked_sym.json"), "w"), indent=1)
+    print("wrote bench/chunked_sym.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2169,6 +2169,318 @@ def accel_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
 
 
 # --------------------------------------------------------------------------
+# chunked pair-symmetric self-interaction past STREAM_N
+# --------------------------------------------------------------------------
+#
+# The resident sym kernels stop at STREAM_N (whole (3, N) + accumulators
+# must fit VMEM), so the 1M+ regime fell back to the one-sided streamed
+# sweep: 1.82e11 int/s vs the sym kernels' ~2.7e11 N²-equivalent rate.
+# Close the gap by CHUNKING the self-interaction: pad N to C chunks of
+# CHUNK_SYM, then
+#   * each diagonal chunk runs the existing resident sym kernel
+#     (_accel_kernel_sym) via lax.map — one trace, C sequential calls;
+#   * each off-diagonal chunk PAIR (i < j) runs a cross-sym kernel with
+#     BOTH chunks VMEM-resident: the tile geometry (d, u, rsqrt) is
+#     computed once per pair and mass-weighted twice (action into chunk
+#     i's rows, reaction into chunk j's columns) — Newton's 3rd law at
+#     the chunk level, no HBM read-modify-write anywhere;
+#   * a lax.scan over the static (i, j) pair list threads the (3, npad)
+#     accumulator through dynamic_slice/dynamic_update_slice — the cross
+#     kernel traces ONCE regardless of C (28 pairs at N=1M, 528 at 8M).
+# Accumulation depth per particle is C-1 f32 adds at the chunk level plus
+# the in-kernel tile sums — same structure the resident sym kernels
+# already have; measured max rel err vs the f64 oracle at 1M is the same
+# order as the Kahan-streamed one-sided path (bench/validate_pallas.py).
+
+# Chunk size: must be a multiple of T_SYMA. 131072 keeps the cross
+# kernel's resident footprint (2 chunks + 2 outputs + 2 gm rows ≈ 8 MB)
+# under the 16 MiB scoped-VMEM budget alongside the (t, t) temporaries.
+CHUNK_SYM = int(_os.environ.get("OCN_PALLAS_CHUNK_SYM", 131072))
+
+
+def _accel_kernel_cross_sym(rAT_ref, gmA_ref, rBT_ref, gmB_ref, eps2_ref,
+                            outAT_ref, outBT_ref, *, guarded):
+    """Cross-chunk pair-symmetric accel: every (A-row, B-source) pair is
+    computed once; A gets +gmB·w·d row sums, B gets −gmA·w·d column sums.
+    No diagonal special case — the chunks are disjoint by construction."""
+    t = T_SYMA
+    ntA = rAT_ref.shape[1] // t
+    ntB = rBT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv3 = inv * (inv * inv)
+            w = gmB_ref[0:1, slj] * inv3
+            wi = gmi * inv3
+            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            return tuple(ar)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3))
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_call(rAT, gmA, rBT, gmB, eps2, guarded):
+    c = rAT.shape[1]
+    return _call(
+        functools.partial(_accel_kernel_cross_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=28 * c * c, bytes_accessed=c * 64,
+            transcendentals=c * c,
+        ),
+    )(rAT, gmA, rBT, gmB, eps2)
+
+
+def _sym_diag_call(rowsT, gm, eps2, guarded):
+    npad = rowsT.shape[1]
+    return _call(
+        functools.partial(_accel_kernel_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * npad * npad, bytes_accessed=npad * 32,
+            transcendentals=npad * npad // 2,
+        ),
+    )(rowsT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_sym_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
+                      chunk: int | None = None):
+    """Pair-symmetric self-interaction accel for N past the resident cap.
+
+    Functionally identical to accel_sym (f32 tolerance: reaction terms
+    arrive column-wise and chunk contributions sum in arrival order);
+    VMEM holds only two chunks at a time, so N is HBM-bound like the
+    streamed kernels but each unique pair is computed once.
+    """
+    if chunk is None:
+        chunk = CHUNK_SYM
+    if chunk % T_SYMA != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMA {T_SYMA}")
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag = jax.lax.map(
+            lambda ab: _sym_diag_call(ab[0], ab[1], eps2, guarded),
+            (rch, gch))
+        outT = diag.transpose(1, 0, 2).reshape(3, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(out, ij):
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+                rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
+                gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
+                rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
+                gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
+                oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + oA,
+                    (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + oB,
+                    (0, ja))
+                return out, None
+
+            outT, _ = jax.lax.scan(body, outT, pairs)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+def _accel_phi_kernel_cross_sym(rAT_ref, gmA_ref, rBT_ref, gmB_ref, eps2_ref,
+                                outAT_ref, outBT_ref, phiA_ref, phiB_ref,
+                                *, guarded):
+    """Cross-chunk pair-symmetric accel+phi: shared inv serves A-row and
+    B-column accel plus both phi accumulations. Chunks are disjoint, so
+    no self pairs appear here — the softened self term lives entirely in
+    the diagonal-chunk kernel (same caller-adds-self_phi contract)."""
+    t = T_SYMP
+    ntA = rAT_ref.shape[1] // t
+    ntB = rBT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+    phiB_ref[:] = jnp.zeros_like(phiB_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv2 = inv * inv
+            gmjinv = gmB_ref[0:1, slj] * inv
+            gmiinv = gmi * inv
+            w = gmjinv * inv2
+            wi = gmiinv * inv2
+            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            phiB_ref[:, slj] = phiB_ref[:, slj] - jnp.sum(
+                gmiinv, axis=0, keepdims=True)
+            return tuple(ar) + (pr,)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3)) + (
+            jnp.zeros((t, 1), jnp.float32),)
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        phiA_ref[:, sli] = res[3].reshape(1, t)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_phi_call(rAT, gmA, rBT, gmB, eps2, guarded):
+    c = rAT.shape[1]
+    return _call(
+        functools.partial(_accel_phi_kernel_cross_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2
+                  + [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=34 * c * c, bytes_accessed=c * 80,
+            transcendentals=c * c,
+        ),
+    )(rAT, gmA, rBT, gmB, eps2)
+
+
+def _sym_phi_diag_call(rowsT, gm, eps2, guarded):
+    npad = rowsT.shape[1]
+    return _call(
+        functools.partial(_accel_phi_kernel_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=17 * npad * npad, bytes_accessed=npad * 40,
+            transcendentals=npad * npad // 2,
+        ),
+    )(rowsT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_potential_sym_chunked(pos, mass, eps=0.0, G=1.0,
+                                guarded: bool = True,
+                                chunk: int | None = None):
+    """Chunked pair-symmetric (accel, phi) past the resident cap — the
+    diagnostics-pass twin of accel_sym_chunked. phi follows the one-sided
+    contract (softened self term included via the diagonal chunks when
+    eps > 0; this wrapper adds self_phi like accel_potential)."""
+    if chunk is None:
+        chunk = CHUNK_SYM
+    if chunk % T_SYMP != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMP {T_SYMP}")
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps32 = jnp.asarray(eps, jnp.float32)
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = eps32.reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_p = jax.lax.map(
+            lambda ab: _sym_phi_diag_call(ab[0], ab[1], eps2, guarded),
+            (rch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(carry, ij):
+                out, ph = carry
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+                rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
+                gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
+                rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
+                gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
+                oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2,
+                                                     guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + oA,
+                    (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + oB,
+                    (0, ja))
+                ph = jax.lax.dynamic_update_slice(
+                    ph, jax.lax.dynamic_slice(ph, (0, ia), (1, chunk)) + pA,
+                    (0, ia))
+                ph = jax.lax.dynamic_update_slice(
+                    ph, jax.lax.dynamic_slice(ph, (0, ja), (1, chunk)) + pB,
+                    (0, ja))
+                return (out, ph), None
+
+            (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+
+# --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
 
@@ -2177,12 +2489,15 @@ def accel(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     # Self-interaction: pair-symmetric kernel (Newton's 3rd law — half
     # the pairs/rsqrts) wins at every resident production size, measured
     # unguarded slope-timed: 65k 14.7 vs 22.4 ms (+53%), 131k 63.0 vs
-    # 89.4, 262k 250.8 vs 355.6 (+42%). OCN_PALLAS_JERK_SYM=0 reverts
-    # both sym dispatches.
+    # 89.4, 262k 250.8 vs 355.6 (+42%). Past STREAM_N the chunked sym
+    # kernel keeps the same effective rate (1M: 4036 vs 6046 ms one-sided
+    # streamed, 2.72e11 N²-eq int/s, +50% — bench/chunked_sym.json).
+    # OCN_PALLAS_JERK_SYM=0 reverts all sym dispatches.
     n = pos.shape[0]
-    if (SYM_MIN <= n <= STREAM_N
-            and _sym_enabled()):
-        return accel_sym(pos, mass, eps, G, guarded=guarded)
+    if SYM_MIN <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_sym(pos, mass, eps, G, guarded=guarded)
+        return accel_sym_chunked(pos, mass, eps, G, guarded=guarded)
     pos_c, mass_c = prepare_f32(pos, mass)
     out = accel_rows(pos_c, pos_c, mass_c, jnp.asarray(eps, jnp.float32),
                      jnp.asarray(G, jnp.float32), 0, guarded)
@@ -2192,11 +2507,14 @@ def accel(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
 @functools.partial(jax.jit, static_argnames=("guarded",))
 def accel_potential(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     # pair-symmetric diagnostics pass at resident production sizes
-    # (65k: 18.7 vs 25.0 ms, measured — same dispatch rule as accel)
+    # (65k: 18.7 vs 25.0 ms, measured — same dispatch rule as accel);
+    # chunked past STREAM_N (1M: 4.73 vs 6.69 s streamed one-sided, +41% —
+    # bench/chunked_sym.json)
     n = pos.shape[0]
-    if (SYM_MIN <= n <= STREAM_N
-            and _sym_enabled()):
-        return accel_potential_sym(pos, mass, eps, G, guarded=guarded)
+    if SYM_MIN <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_potential_sym(pos, mass, eps, G, guarded=guarded)
+        return accel_potential_sym_chunked(pos, mass, eps, G, guarded=guarded)
     pos_c, mass_c = prepare_f32(pos, mass)
     eps32 = jnp.asarray(eps, jnp.float32)
     G32 = jnp.asarray(G, jnp.float32)

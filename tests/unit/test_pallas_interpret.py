@@ -280,6 +280,84 @@ def test_pair_symmetric_accel_matches_oracle(monkeypatch):
     pg.accel_sym.clear_cache()
 
 
+def test_chunked_sym_accel_matches_oracle(monkeypatch):
+    """Chunked pair-symmetric accel (self-interaction past STREAM_N):
+    diagonal chunks through the resident sym kernel, off-diagonal chunk
+    pairs through the cross-sym kernel, scan-accumulated. Oracle
+    equivalence at an n that is NOT a chunk multiple (pad chunk), both
+    guard modes."""
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    pg.accel_sym_chunked.clear_cache()
+    key = jax.random.PRNGKey(13)
+    kp, km = jax.random.split(key)
+    n = 300  # chunk=128 -> C=3, last chunk 44 real rows
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    for eps, guarded in ((0.05, False), (0.0, True)):
+        a = pg.accel_sym_chunked(pos, mass, eps, 1.0, guarded=guarded,
+                                 chunk=128)
+        ra = gravity.accel(pos, mass, eps)
+        assert float(jnp.max(jnp.abs(a - ra))) < 1e-6 * float(
+            jnp.max(jnp.abs(ra)))
+    # single-chunk degenerate case (C == 1, no scan) stays correct
+    a1 = pg.accel_sym_chunked(pos, mass, 0.05, 1.0, guarded=False, chunk=512)
+    ra = gravity.accel(pos, mass, 0.05)
+    assert float(jnp.max(jnp.abs(a1 - ra))) < 1e-6 * float(
+        jnp.max(jnp.abs(ra)))
+    pg.accel_sym_chunked.clear_cache()
+
+
+def test_chunked_sym_accel_potential_matches_oracle(monkeypatch):
+    """Chunked pair-symmetric accel+phi (diagnostics pass past STREAM_N):
+    oracle equivalence at a non-chunk-multiple n, both guard modes; phi
+    follows the self-term/self_phi contract (self term only from the
+    diagonal chunks)."""
+    monkeypatch.setattr(pg, "T_SYMP", 64)
+    pg.accel_potential_sym_chunked.clear_cache()
+    key = jax.random.PRNGKey(17)
+    kp, km = jax.random.split(key)
+    n = 300  # chunk=128 -> C=3, last chunk 44 real rows
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    for eps, guarded in ((0.05, False), (0.0, True)):
+        a, phi = pg.accel_potential_sym_chunked(pos, mass, eps, 1.0,
+                                                guarded=guarded, chunk=128)
+        ra, rphi = gravity.accel_potential_direct(pos, mass, eps)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * float(
+            jnp.max(jnp.abs(ra)))
+        assert float(jnp.max(jnp.abs(phi - rphi))) < 5e-6 * float(
+            jnp.max(jnp.abs(rphi)))
+    pg.accel_potential_sym_chunked.clear_cache()
+
+
+def test_accel_dispatch_chunked_sym_past_stream_n(monkeypatch):
+    """The self-interaction accel wrapper routes sources past STREAM_N to
+    the chunked pair-symmetric kernel (one unique pair evaluation each)
+    instead of the one-sided streamed sweep, and stays oracle-correct."""
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    monkeypatch.setattr(pg, "SYM_MIN", 64)
+    monkeypatch.setattr(pg, "STREAM_N", 128)
+    monkeypatch.setattr(pg, "CHUNK_SYM", 128)
+    calls = []
+    orig = pg.accel_sym_chunked
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pg, "accel_sym_chunked", spy)
+    pg.accel.clear_cache()
+    pos, _, mass = _cluster(300)
+    out = pg.accel(pos, mass, eps=0.05)
+    ref = gravity.accel_direct(pos, mass, eps=0.05)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-6 * scale)
+    assert calls, "accel() did not dispatch to accel_sym_chunked"
+    pg.accel.clear_cache()
+    orig.clear_cache()
+
+
 def test_pair_symmetric_accel_potential_matches_oracle(monkeypatch):
     """Sym accel+phi (diagnostics pass): oracle equivalence, both guard
     modes, padded N; phi follows the self-term/self_phi contract."""
