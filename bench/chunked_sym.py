@@ -177,6 +177,102 @@ def main():
     }
     print(f"N={n} accel+phi: streamed {t_pstream*1e3:.1f} ms | chunked-sym "
           f"{t_pchunk*1e3:.1f} ms -> {t_pstream/t_pchunk:.2f}x")
+
+    # -- extended tier: correctness + timing ----------------------------
+    def _stream_accel_x(p, m):
+        """One-sided streamed hilo extended accel (pre-chunked default)."""
+        center = jnp.mean(p, axis=0)
+        d = p - center
+        hi = d.astype(jnp.float32)
+        lo = (d - hi.astype(d.dtype)).astype(jnp.float32)
+        gm = m.astype(jnp.float32)
+        return pg.accel_rows_x_hilo(hi, lo, hi, lo, gm, jnp.float32(EPS),
+                                    guarded=False)
+
+    nv2 = 300_001
+    pos64, mass64 = _cloud(jax.random.PRNGKey(23), nv2)
+    pos64 = pos64.astype(jnp.float64)
+    mass64 = mass64.astype(jnp.float64)
+    ax_chunk = pg.accel_sym_x_chunked(pos64, mass64, EPS, 1.0,
+                                      guarded=False)
+    ax_stream = _stream_accel_x(pos64, mass64)
+    xscale = float(jnp.max(jnp.linalg.norm(ax_stream, axis=1)))
+    xerr = float(jnp.max(jnp.linalg.norm(
+        ax_chunk - ax_stream, axis=1))) / xscale
+    out["x_rel_err_vs_streamed_hilo"] = xerr
+    print(f"N={nv2}: extended chunked vs streamed-hilo rel err {xerr:.2e}")
+
+    n = 1_048_576
+    pos64, mass64 = _cloud(jax.random.PRNGKey(n + 2), n)
+    pos64 = pos64.astype(jnp.float64)
+    mass64 = mass64.astype(jnp.float64)
+    t_xstream = _slope(_stream_accel_x, pos64, mass64, 1)
+    t_xchunk = _slope(
+        lambda p, m: pg.accel_sym_x_chunked(p, m, EPS, guarded=False),
+        pos64, mass64, 2)
+    out["extended_1m"] = {
+        "streamed_hilo_ms": t_xstream * 1e3,
+        "chunked_sym_x_ms": t_xchunk * 1e3,
+        "speedup": t_xstream / t_xchunk,
+    }
+    print(f"N={n} extended accel: streamed-hilo {t_xstream*1e3:.1f} ms | "
+          f"chunked-sym-x {t_xchunk*1e3:.1f} ms -> "
+          f"{t_xstream/t_xchunk:.2f}x")
+
+    # -- jerk: correctness + timing (shared-Hermite past STREAM_N) ------
+    def _stream_accel_jerk(p, v, m):
+        pc, mc, vc = pg.prepare_f32(p, m, vel=v)
+        return pg.accel_jerk_rows(pc, vc, pc, vc, mc, jnp.float32(EPS),
+                                  jnp.float32(1.0), 0, False)
+
+    nv3 = 300_001
+    kp, kv = jax.random.split(jax.random.PRNGKey(29))
+    posj, massj = _cloud(kp, nv3)
+    velj = 0.3 * jax.random.normal(kv, (nv3, 3), jnp.float32)
+    aj_c, jj_c = pg.accel_jerk_sym_chunked(posj, velj, massj, EPS, 1.0,
+                                           guarded=False)
+    aj_s, jj_s = _stream_accel_jerk(posj, velj, massj)
+    jascale = float(jnp.max(jnp.linalg.norm(aj_s, axis=1)))
+    jjscale = float(jnp.max(jnp.linalg.norm(jj_s, axis=1)))
+    jaerr = float(jnp.max(jnp.linalg.norm(aj_c - aj_s, axis=1))) / jascale
+    jjerr = float(jnp.max(jnp.linalg.norm(jj_c - jj_s, axis=1))) / jjscale
+    out["jerk_rel_err_vs_streamed"] = {"accel": jaerr, "jerk": jjerr}
+    print(f"N={nv3}: chunked jerk vs streamed rel err accel {jaerr:.2e}, "
+          f"jerk {jjerr:.2e}")
+
+    n = 1_048_576
+    kp, kv = jax.random.split(jax.random.PRNGKey(n + 3))
+    posj, massj = _cloud(kp, n)
+    velj = 0.3 * jax.random.normal(kv, (n, 3), jnp.float32)
+
+    def _slope_jerk(fn, k):
+        @jax.jit
+        def chain(p, steps):
+            def body(_, q):
+                a, j = fn(q)
+                return q + 1e-30 * a + 1e-30 * j
+            return jax.lax.fori_loop(0, steps, body, p)
+
+        chain(posj, 1).block_until_ready()
+        t0 = time.perf_counter()
+        chain(posj, 1).block_until_ready()
+        t1 = time.perf_counter()
+        chain(posj, 1 + k).block_until_ready()
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / k
+
+    t_jstream = _slope_jerk(lambda p: _stream_accel_jerk(p, velj, massj), 1)
+    t_jchunk = _slope_jerk(
+        lambda p: pg.accel_jerk_sym_chunked(p, velj, massj, EPS,
+                                            guarded=False), 2)
+    out["jerk_1m"] = {
+        "streamed_ms": t_jstream * 1e3,
+        "chunked_sym_ms": t_jchunk * 1e3,
+        "speedup": t_jstream / t_jchunk,
+    }
+    print(f"N={n} accel+jerk: streamed {t_jstream*1e3:.1f} ms | "
+          f"chunked-sym {t_jchunk*1e3:.1f} ms -> "
+          f"{t_jstream/t_jchunk:.2f}x")
     json.dump(out, open(os.path.join(os.path.dirname(__file__),
                                      "chunked_sym.json"), "w"), indent=1)
     print("wrote bench/chunked_sym.json")

@@ -1114,11 +1114,14 @@ def accel_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     """Extended-precision pairwise accel on TPU: f64 in/out, hi/lo split
     outside the kernel (cheap XLA O(N)); Pallas sweep inside. At resident
     production sizes the pair-symmetric variant runs (22.3 vs 44.0 ms at
-    65k); otherwise dispatches through accel_rows_x_hilo, so sources
-    beyond STREAM_N stream from HBM (round-2 Missing #1)."""
+    65k); past STREAM_N the chunked sym variant (1M: 6.27 vs 12.45 s
+    streamed one-sided hilo, +98% — bench/chunked_sym.json); otherwise
+    dispatches through accel_rows_x_hilo (round-2 Missing #1)."""
     n = pos.shape[0]
-    if SYM_MIN <= n <= STREAM_N and _sym_enabled():
-        return accel_sym_x(pos, mass, eps, G, guarded=guarded)
+    if SYM_MIN <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_sym_x(pos, mass, eps, G, guarded=guarded)
+        return accel_sym_x_chunked(pos, mass, eps, G, guarded=guarded)
     center = jnp.mean(pos, axis=0)
     hi, lo = _split_rows(pos, center)
     gm = (jnp.asarray(G, jnp.float64)
@@ -2480,6 +2483,319 @@ def accel_potential_sym_chunked(pos, mass, eps=0.0, G=1.0,
     return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
 
+# Jerk chunk: must be a multiple of T_SYM (384). 98304 = 384·256 keeps
+# the cross kernel's resident footprint (2 chunks × pos+vel + 4 outputs +
+# 2 gm rows ≈ 10 MB) under the 16 MiB scoped-VMEM budget.
+CHUNK_SYMJ = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMJ", 98304))
+
+
+def _accel_jerk_kernel_cross_sym(rAT_ref, vAT_ref, gmA_ref,
+                                 rBT_ref, vBT_ref, gmB_ref, eps2_ref,
+                                 outAT_ref, joutAT_ref,
+                                 outBT_ref, joutBT_ref, *, guarded):
+    """Cross-chunk pair-symmetric accel+jerk: the shared bracket
+    B = dv − (3rv·inv²)d serves both directions; chunks are disjoint so
+    there is no diagonal case."""
+    t = T_SYM
+    ntA = rAT_ref.shape[1] // t
+    ntB = rBT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+    joutBT_ref[:] = jnp.zeros_like(joutBT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        vi = [vAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            ar = carry[:3]
+            jr = carry[3:]
+            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            dv = [vBT_ref[c:c + 1, slj] - vi[c] for c in range(3)]
+            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+            inv = _inv_r(u, guarded)
+            inv3 = inv * (inv * inv)
+            w = gmB_ref[0:1, slj] * inv3
+            wi = gmi * inv3
+            rv = d[0] * dv[0] + d[1] * dv[1] + d[2] * dv[2]
+            uu = (jnp.float32(3.0) * rv) * (inv * inv)
+            B = [dv[c] - uu * d[c] for c in range(3)]
+            ar = [ar[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            jcol = jnp.concatenate(
+                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            joutBT_ref[:, slj] = joutBT_ref[:, slj] + jcol
+            return tuple(ar) + tuple(jr)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(6))
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        joutAT_ref[:, sli] = jnp.concatenate(
+            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_jerk_call(rAT, vAT, gmA, rBT, vBT, gmB, eps2, guarded):
+    c = rAT.shape[1]
+    return _call(
+        functools.partial(_accel_jerk_kernel_cross_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * c * c, bytes_accessed=c * 112,
+            transcendentals=c * c,
+        ),
+    )(rAT, vAT, gmA, rBT, vBT, gmB, eps2)
+
+
+def _sym_jerk_diag_call(rowsT, vrowsT, gm, eps2, guarded):
+    npad = rowsT.shape[1]
+    return _call(
+        functools.partial(_accel_jerk_kernel_sym, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((3, npad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * npad * npad, bytes_accessed=npad * 56,
+            transcendentals=npad * npad // 2,
+        ),
+    )(rowsT, vrowsT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_jerk_sym_chunked(pos, vel, mass, eps=0.0, G=1.0,
+                           guarded: bool = True, chunk: int | None = None):
+    """Chunked pair-symmetric (accel, jerk) past the resident cap — the
+    Hermite twin of accel_sym_chunked (shared-dt Hermite at N > STREAM_N;
+    the block active-row path is rows-vs-sources and keeps the one-sided
+    streamed sweep)."""
+    if chunk is None:
+        chunk = CHUNK_SYMJ
+    if chunk % T_SYM != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYM {T_SYM}")
+    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        vch = vrowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_j = jax.lax.map(
+            lambda ab: _sym_jerk_diag_call(ab[0], ab[1], ab[2], eps2,
+                                           guarded),
+            (rch, vch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(carry, ij):
+                out, jout = carry
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+
+                def sl3(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+                def sl1(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+                oA, jA, oB, jB = _cross_sym_jerk_call(
+                    sl3(rowsT, ia), sl3(vrowsT, ia), sl1(gm, ia),
+                    sl3(rowsT, ja), sl3(vrowsT, ja), sl1(gm, ja),
+                    eps2, guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ia) + oA, (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ja) + oB, (0, ja))
+                jout = jax.lax.dynamic_update_slice(
+                    jout, sl3(jout, ia) + jA, (0, ia))
+                jout = jax.lax.dynamic_update_slice(
+                    jout, sl3(jout, ja) + jB, (0, ja))
+                return (out, jout), None
+
+            (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
+# Extended-tier chunk: must be a multiple of T_SYMX (384). 98304 = 384·256
+# keeps the cross kernel's resident footprint (2 chunks × hi/lo planes +
+# 2 outputs + 2 gm rows ≈ 9.4 MB) under the 16 MiB scoped-VMEM budget.
+CHUNK_SYMX = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMX", 98304))
+
+
+def _accel_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, gmA_ref,
+                              rBhiT_ref, rBloT_ref, gmB_ref, eps2_ref,
+                              outAT_ref, outBT_ref, *, guarded):
+    """Cross-chunk extended-tier pair-symmetric accel: the hi/lo-corrected
+    separation s = d + e and the Newton-refined inv are computed once per
+    pair and mass-weighted twice. Both chunks' hi/lo planes share ONE
+    global centring frame (the wrapper splits before chunking) — chunk-
+    local centring would break the hi/lo invariant across chunks."""
+    t = T_SYMX
+    ntA = rAhiT_ref.shape[1] // t
+    ntB = rBhiT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            inv3 = inv * (inv * inv)
+            s = [d[c] + e[c] for c in range(3)]
+            w = gmB_ref[0:1, slj] * inv3
+            wi = gmi * inv3
+            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            return tuple(ar)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3))
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_x_call(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2, guarded):
+    c = rAhi.shape[1]
+    return _call(
+        functools.partial(_accel_kernel_cross_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=48 * c * c, bytes_accessed=c * 112,
+            transcendentals=c * c,
+        ),
+    )(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2)
+
+
+def _sym_x_diag_call(hiT, loT, gm, eps2, guarded):
+    npad = hiT.shape[1]
+    return _call(
+        functools.partial(_accel_kernel_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * npad * npad, bytes_accessed=npad * 56,
+            transcendentals=npad * npad // 2,
+        ),
+    )(hiT, loT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_sym_x_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
+                        chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric accel past the resident cap;
+    f64 in/out, ONE global centring + hi/lo split before chunking."""
+    if chunk is None:
+        chunk = CHUNK_SYMX
+    if chunk % T_SYMX != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMX {T_SYMX}")
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    with jax.enable_x64(False):
+        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
+        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag = jax.lax.map(
+            lambda ab: _sym_x_diag_call(ab[0], ab[1], ab[2], eps2, guarded),
+            (hch, lch, gch))
+        outT = diag.transpose(1, 0, 2).reshape(3, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(out, ij):
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+
+                def sl3(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+                def sl1(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+                oA, oB = _cross_sym_x_call(
+                    sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
+                    sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ia) + oA, (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ja) + oB, (0, ja))
+                return out, None
+
+            outT, _ = jax.lax.scan(body, outT, pairs)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
 # --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
@@ -2528,12 +2844,16 @@ def accel_jerk(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
     # Self-interaction: the pair-symmetric kernel wins for resident N at
     # or above the transposed crossover (measured unguarded, slope-timed:
     # 16k 2.39 vs 2.79 ms; 65k 35.2 vs 44.2 ms — +17-26% from halving the
-    # pairs/rsqrts; W3). Sources past STREAM_N or below the crossover keep
-    # the one-sided sweep; OCN_PALLAS_JERK_SYM=0 reverts.
+    # pairs/rsqrts; W3); past STREAM_N the chunked sym variant (1M: 9.17
+    # vs 12.30 s streamed one-sided, +34% — bench/chunked_sym.json).
+    # Below the crossover the one-sided sweep; OCN_PALLAS_JERK_SYM=0
+    # reverts.
     n = pos.shape[0]
-    if (RT_MIN_JERK <= n <= STREAM_N
-            and _sym_enabled()):
-        return accel_jerk_sym(pos, vel, mass, eps, G, guarded=guarded)
+    if RT_MIN_JERK <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_jerk_sym(pos, vel, mass, eps, G, guarded=guarded)
+        return accel_jerk_sym_chunked(pos, vel, mass, eps, G,
+                                      guarded=guarded)
     pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
     acc, jerk = accel_jerk_rows(pos_c, vel_c, pos_c, vel_c, mass_c,
                                 jnp.asarray(eps, jnp.float32),

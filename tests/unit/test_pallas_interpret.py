@@ -398,6 +398,51 @@ def test_pair_symmetric_extended_accel_matches_oracle(monkeypatch):
     pg.accel_sym_x.clear_cache()
 
 
+def test_chunked_sym_jerk_matches_oracle(monkeypatch):
+    """Chunked pair-symmetric accel+jerk (shared-Hermite past STREAM_N):
+    oracle equivalence at a non-chunk-multiple n, both guard modes."""
+    monkeypatch.setattr(pg, "T_SYM", 64)
+    pg.accel_jerk_sym_chunked.clear_cache()
+    key = jax.random.PRNGKey(23)
+    kp, kv, km = jax.random.split(key, 3)
+    n = 300  # chunk=128 -> C=3, last chunk 44 real rows
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    ra, rj = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    jscale = float(jnp.max(jnp.abs(rj)))
+    for guarded, chunk in ((False, 128), (True, 128), (False, 512)):
+        a, j = pg.accel_jerk_sym_chunked(pos, vel, mass, 0.05, 1.0,
+                                         guarded=guarded, chunk=chunk)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(j - rj))) < 5e-6 * jscale
+    pg.accel_jerk_sym_chunked.clear_cache()
+
+
+def test_chunked_sym_extended_accel_matches_oracle(monkeypatch):
+    """Extended-tier chunked pair-symmetric accel (precision='extended'
+    past STREAM_N): diag chunks via the resident sym-x kernel, cross
+    chunk pairs via the cross-sym-x kernel, one global hi/lo frame.
+    Matches the df32 extended oracle at a non-chunk-multiple n."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMX", 64)
+    pg.accel_sym_x_chunked.clear_cache()
+    key = jax.random.PRNGKey(19)
+    kp, km = jax.random.split(key)
+    n = 300  # chunk=128 -> C=3, last chunk 44 real rows
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    ref = df32.accel_extended(pos, mass, eps=0.05, chunk=64)
+    for chunk in (128, 512):  # multi-chunk and single-chunk (C == 1)
+        a = pg.accel_sym_x_chunked(pos, mass, 0.05, 1.0, chunk=chunk)
+        # interpret mode degrades the in-kernel EFTs (XLA simplifier) —
+        # the hardware bound is asserted by bench/validate_pallas.py
+        assert float(jnp.max(jnp.abs(a - ref))) < 2e-6 * float(
+            jnp.max(jnp.abs(ref)))
+    pg.accel_sym_x_chunked.clear_cache()
+
+
 def test_pair_symmetric_extended_jerk_matches_oracle(monkeypatch):
     """Extended-tier sym accel+jerk (resident default for the extended
     Hermite shared-step evaluation): matches the df32 extended oracle."""
