@@ -82,6 +82,29 @@ def main():
         print("needs a TPU backend; skipping")
         return 0
     quick = "--quick" in sys.argv
+
+    if "--big" in sys.argv:
+        # 2,097,152 chunked accel: the largest N whose slope chain stays
+        # under the relay's ~40 s single-dispatch flakiness line
+        # (chain(2) ≈ 31 s; a one-sided streamed chain would need 2×).
+        # Appends to the existing json rather than re-running everything.
+        n = 2_097_152
+        pos, mass = _cloud(jax.random.PRNGKey(n), n)
+        t_chunk = _slope(
+            lambda p, m: pg.accel_sym_chunked(p, m, EPS, guarded=False),
+            pos, mass, 1)
+        path = os.path.join(os.path.dirname(__file__), "chunked_sym.json")
+        out = json.load(open(path))
+        out["big_row"] = {
+            "n": n,
+            "chunked_sym_ms": t_chunk * 1e3,
+            "chunked_sym_int_per_s_n2eq": n * n / t_chunk,
+        }
+        json.dump(out, open(path, "w"), indent=1)
+        print(f"N={n}: chunked-sym {t_chunk*1e3:.1f} ms "
+              f"({n*n/t_chunk:.3e} N2-eq int/s)")
+        return 0
+
     out = {"eps": EPS, "chunk": pg.CHUNK_SYM}
 
     # -- correctness at a non-chunk-multiple N past STREAM_N ------------
