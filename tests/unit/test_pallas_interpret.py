@@ -307,6 +307,39 @@ def test_chunked_sym_accel_matches_oracle(monkeypatch):
     pg.accel_sym_chunked.clear_cache()
 
 
+def test_dispatch_all_wrappers_chunk_past_stream_n(monkeypatch):
+    """accel_potential, accel_jerk and accel_x all route self-interaction
+    past STREAM_N to their chunked pair-symmetric kernels (accel is
+    covered by test_accel_dispatch_chunked_sym_past_stream_n)."""
+    for tname in ("T_SYMA", "T_SYMP", "T_SYM", "T_SYMX"):
+        monkeypatch.setattr(pg, tname, 64)
+    monkeypatch.setattr(pg, "SYM_MIN", 64)
+    monkeypatch.setattr(pg, "RT_MIN_JERK", 64)
+    monkeypatch.setattr(pg, "STREAM_N", 128)
+    for cname in ("CHUNK_SYM", "CHUNK_SYMX", "CHUNK_SYMJ"):
+        monkeypatch.setattr(pg, cname, 128)
+    calls = []
+    for fname in ("accel_potential_sym_chunked", "accel_jerk_sym_chunked",
+                  "accel_sym_x_chunked"):
+        orig = getattr(pg, fname)
+
+        def spy(*a, _orig=orig, _f=fname, **kw):
+            calls.append(_f)
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(pg, fname, spy)
+    for w in (pg.accel_potential, pg.accel_jerk, pg.accel_x):
+        w.clear_cache()
+    pos, vel, mass = _cluster(300)
+    pg.accel_potential(pos, mass, eps=0.05)
+    pg.accel_jerk(pos, vel, mass, eps=0.05)
+    pg.accel_x(pos, mass, eps=0.05)
+    assert calls == ["accel_potential_sym_chunked",
+                     "accel_jerk_sym_chunked", "accel_sym_x_chunked"]
+    for w in (pg.accel_potential, pg.accel_jerk, pg.accel_x):
+        w.clear_cache()
+
+
 def test_chunked_sym_accel_potential_matches_oracle(monkeypatch):
     """Chunked pair-symmetric accel+phi (diagnostics pass past STREAM_N):
     oracle equivalence at a non-chunk-multiple n, both guard modes; phi
