@@ -105,6 +105,35 @@ def main():
               f"({n*n/t_chunk:.3e} N2-eq int/s)")
         return 0
 
+    if "--huge" in sys.argv:
+        # Full 4M / 8M single-chip evals via the multi-dispatch batched
+        # path (a monolithic eval at these N is a 60-240 s XLA program —
+        # past this environment's relay watchdog). Wall includes the
+        # host readback; the second (warm) eval with perturbed positions
+        # is the recorded number. Appends to the existing json.
+        import numpy as np
+        path = os.path.join(os.path.dirname(__file__), "chunked_sym.json")
+        out = json.load(open(path))
+        out["huge_rows"] = []
+        for n, nb in ((4_194_304, 4), (8_388_608, 8)):
+            pos, mass = _cloud(jax.random.PRNGKey(n), n)
+            t = None
+            for rep in range(2):  # rep 0 warms the compile
+                t0 = time.perf_counter()
+                a = pg.accel_sym_chunked_batched(pos, mass, EPS,
+                                                 guarded=False,
+                                                 n_batches=nb)
+                np.asarray(a)  # force full readback
+                t = time.perf_counter() - t0
+                pos = pos + 1e-30 * a.astype(pos.dtype)
+            row = {"n": n, "n_batches": nb, "wall_s": t,
+                   "int_per_s_n2eq": n * n / t}
+            out["huge_rows"].append(row)
+            print(f"N={n}: batched chunked-sym full eval {t:.1f} s "
+                  f"({n*n/t:.3e} N2-eq int/s, {nb} dispatches)")
+            json.dump(out, open(path, "w"), indent=1)
+        return 0
+
     out = {"eps": EPS, "chunk": pg.CHUNK_SYM}
 
     # -- correctness at a non-chunk-multiple N past STREAM_N ------------

@@ -2649,6 +2649,95 @@ def accel_jerk_sym_chunked(pos, vel, mass, eps=0.0, G=1.0,
             joutT[:, :n].T.astype(pos.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_batch(rowsT, gm, eps2, pairs, guarded, chunk, with_diag):
+    """One dispatch of the batched chunked-sym accel: the diagonal sweep
+    (when with_diag) plus a PADDED slice of the cross-pair list. Pad
+    entries are (-1, -1) and masked to zero contribution (the cross call
+    still runs on chunk 0 vs chunk 0 — wasted but branch-free)."""
+    npad = rowsT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag = jax.lax.map(
+            lambda ab: _sym_diag_call(ab[0], ab[1], eps2, guarded),
+            (rch, gch))
+        outT = diag.transpose(1, 0, 2).reshape(3, npad)
+    else:
+        outT = jnp.zeros_like(rowsT)
+
+    def body(out, ij):
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+        rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
+        gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
+        rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
+        gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
+        oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + w * oA,
+            (0, ia))
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + w * oB,
+            (0, ja))
+        return out, None
+
+    outT, _ = jax.lax.scan(body, outT, pairs)
+    return outT
+
+
+def accel_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                              guarded: bool = True,
+                              chunk: int | None = None,
+                              n_batches: int = 1):
+    """Chunked pair-symmetric accel split across n_batches separate XLA
+    dispatches (host-accumulated partials).
+
+    Purpose: a FULL self-interaction eval at N = 4M is a ~60 s XLA
+    program and at 8M ~240 s; single programs past the runtime watchdog
+    (this environment's TPU relay flakes past ~40-90 s; production
+    pre-emption windows impose the same shape of cap) must be decomposed.
+    Batch 0 carries the diagonal sweep (O(C) cheap kernels); the cross-
+    pair list is padded to a multiple of n_batches and split evenly, so
+    every batch compiles ONCE (same shapes). Functionally identical to
+    accel_sym_chunked up to f32 summation order.
+
+    Not jittable as a whole (it is the dispatch-splitting itself); for
+    in-jit stepping use accel_sym_chunked.
+    """
+    if chunk is None:
+        chunk = CHUNK_SYM
+    if chunk % T_SYMA != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMA {T_SYMA}")
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    pair_list = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    nb = max(1, min(n_batches, max(1, len(pair_list))))
+    per = -(-len(pair_list) // nb) if pair_list else 0
+    pair_list += [(-1, -1)] * (per * nb - len(pair_list))
+
+    with jax.enable_x64(False):
+        outT = None
+        for b in range(nb):
+            sl = pair_list[b * per:(b + 1) * per]
+            pairs = jnp.asarray(sl if sl else [(-1, -1)], jnp.int32)
+            part = _chunked_batch(rowsT, gm, eps2, pairs, guarded, chunk,
+                                  b == 0)
+            part.block_until_ready()
+            outT = part if outT is None else outT + part
+    return outT[:, :n].T.astype(pos.dtype)
+
+
 # Extended-tier chunk: must be a multiple of T_SYMX (384). 98304 = 384·256
 # keeps the cross kernel's resident footprint (2 chunks × hi/lo planes +
 # 2 outputs + 2 gm rows ≈ 9.4 MB) under the 16 MiB scoped-VMEM budget.

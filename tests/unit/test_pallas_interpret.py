@@ -307,6 +307,34 @@ def test_chunked_sym_accel_matches_oracle(monkeypatch):
     pg.accel_sym_chunked.clear_cache()
 
 
+def test_chunked_sym_batched_matches_oracle(monkeypatch):
+    """Multi-dispatch batched chunked-sym accel (oversized-eval path):
+    the padded cross-pair list split over separate dispatches, diag in
+    batch 0, host-summed partials ≡ the in-jit chunked kernel to f32
+    order. Covers sentinel padding (3 pairs over 2 batches) and the
+    degenerate single-chunk case."""
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    pg.accel_sym_chunked.clear_cache()
+    pg._chunked_batch.clear_cache()
+    key = jax.random.PRNGKey(31)
+    kp, km = jax.random.split(key)
+    n = 300  # chunk=128 -> C=3, pairs=3 -> batches of 2 with 1 sentinel
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    ra = gravity.accel(pos, mass, 0.05)
+    scale = float(jnp.max(jnp.abs(ra)))
+    for nb in (1, 2, 3):
+        a = pg.accel_sym_chunked_batched(pos, mass, 0.05, 1.0,
+                                         guarded=False, chunk=128,
+                                         n_batches=nb)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * scale
+    a1 = pg.accel_sym_chunked_batched(pos, mass, 0.05, 1.0, guarded=False,
+                                      chunk=512, n_batches=4)  # C == 1
+    assert float(jnp.max(jnp.abs(a1 - ra))) < 5e-6 * scale
+    pg.accel_sym_chunked.clear_cache()
+    pg._chunked_batch.clear_cache()
+
+
 def test_dispatch_all_wrappers_chunk_past_stream_n(monkeypatch):
     """accel_potential, accel_jerk and accel_x all route self-interaction
     past STREAM_N to their chunked pair-symmetric kernels (accel is
