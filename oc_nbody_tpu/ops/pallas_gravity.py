@@ -2738,6 +2738,97 @@ def accel_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
     return outT[:, :n].T.astype(pos.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_phi_batch(rowsT, gm, eps2, pairs, guarded, chunk, with_diag):
+    """One dispatch of the batched chunked-sym accel+phi (diagnostics
+    twin of _chunked_batch; same sentinel masking)."""
+    npad = rowsT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_p = jax.lax.map(
+            lambda ab: _sym_phi_diag_call(ab[0], ab[1], eps2, guarded),
+            (rch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
+    else:
+        outT = jnp.zeros_like(rowsT)
+        phi = jnp.zeros_like(rowsT[:1])
+
+    def body(carry, ij):
+        out, ph = carry
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+        rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
+        gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
+        rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
+        gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
+        oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + w * oA,
+            (0, ia))
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + w * oB,
+            (0, ja))
+        ph = jax.lax.dynamic_update_slice(
+            ph, jax.lax.dynamic_slice(ph, (0, ia), (1, chunk)) + w * pA,
+            (0, ia))
+        ph = jax.lax.dynamic_update_slice(
+            ph, jax.lax.dynamic_slice(ph, (0, ja), (1, chunk)) + w * pB,
+            (0, ja))
+        return (out, ph), None
+
+    (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
+    return outT, phi
+
+
+def accel_potential_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                                        guarded: bool = True,
+                                        chunk: int | None = None,
+                                        n_batches: int = 1):
+    """Batched (accel, phi) for oversized evals — the diagnostics twin of
+    accel_sym_chunked_batched; same dispatch-splitting rationale and the
+    same phi contract (self term from the diagonal sweep cancelled by
+    self_phi here)."""
+    if chunk is None:
+        chunk = CHUNK_SYM
+    if chunk % T_SYMP != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMP {T_SYMP}")
+    pos_c, mass_c = prepare_f32(pos, mass)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps32 = jnp.asarray(eps, jnp.float32)
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = eps32.reshape(1, 1) ** 2
+
+    pair_list = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    nb = max(1, min(n_batches, max(1, len(pair_list))))
+    per = -(-len(pair_list) // nb) if pair_list else 0
+    pair_list += [(-1, -1)] * (per * nb - len(pair_list))
+
+    with jax.enable_x64(False):
+        outT = phi = None
+        for b in range(nb):
+            sl = pair_list[b * per:(b + 1) * per]
+            pairs = jnp.asarray(sl if sl else [(-1, -1)], jnp.int32)
+            pa, pp = _chunked_phi_batch(rowsT, gm, eps2, pairs, guarded,
+                                        chunk, b == 0)
+            pp.block_until_ready()
+            if outT is None:
+                outT, phi = pa, pp
+            else:
+                outT, phi = outT + pa, phi + pp
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+
 # Extended-tier chunk: must be a multiple of T_SYMX (384). 98304 = 384·256
 # keeps the cross kernel's resident footprint (2 chunks × hi/lo planes +
 # 2 outputs + 2 gm rows ≈ 9.4 MB) under the 16 MiB scoped-VMEM budget.

@@ -335,6 +335,28 @@ def test_chunked_sym_batched_matches_oracle(monkeypatch):
     pg._chunked_batch.clear_cache()
 
 
+def test_chunked_sym_phi_batched_matches_oracle(monkeypatch):
+    """Batched chunked-sym accel+phi (oversized diagnostics evals):
+    host-summed partials ≡ oracle, incl. the self-term/self_phi
+    contract and sentinel padding."""
+    monkeypatch.setattr(pg, "T_SYMP", 64)
+    pg._chunked_phi_batch.clear_cache()
+    key = jax.random.PRNGKey(37)
+    kp, km = jax.random.split(key)
+    n = 300
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    ra, rp = gravity.accel_potential_direct(pos, mass, 0.05)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    pscale = float(jnp.max(jnp.abs(rp)))
+    for nb in (1, 2):
+        a, p = pg.accel_potential_sym_chunked_batched(
+            pos, mass, 0.05, 1.0, guarded=False, chunk=128, n_batches=nb)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(p - rp))) < 5e-6 * pscale
+    pg._chunked_phi_batch.clear_cache()
+
+
 def test_dispatch_all_wrappers_chunk_past_stream_n(monkeypatch):
     """accel_potential, accel_jerk and accel_x all route self-interaction
     past STREAM_N to their chunked pair-symmetric kernels (accel is
