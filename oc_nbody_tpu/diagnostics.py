@@ -24,7 +24,7 @@ def kinetic_energy(state: ParticleState) -> jax.Array:
 
 
 def energies(state: ParticleState, force: ForceModel,
-             f64_pairwise: bool = False) -> dict:
+             f64_pairwise: bool = False, precomputed_phi=None) -> dict:
     """KE, pairwise PE, external potential energy, total. All f64 scalars.
 
     ``E_int`` is the cluster-internal energy — KE in the mass-weighted COM
@@ -35,7 +35,12 @@ def energies(state: ParticleState, force: ForceModel,
     (VERDICT round-1 item 4 / W6).
     """
     m = state.mass.astype(jnp.float64)
-    if f64_pairwise:
+    if precomputed_phi is not None:
+        # oversized-eval path (MacroKDK): the O(N²) potential was computed
+        # outside this jit by the batched chunked kernels — the one part
+        # of the row a single XLA program cannot hold at N ≳ 4M
+        phi_pair, phi_ext = precomputed_phi
+    elif f64_pairwise:
         # diagnostic-grade pairwise potential: full (emulated) f64 pair
         # terms via the jnp oracle path. ~15x the f32 kernel cost — opt-in
         # (output.diag_f64) for acceptance runs where the f32 potential's
@@ -127,7 +132,7 @@ def lagrangian_radii(state: ParticleState, fractions=(0.1, 0.25, 0.5, 0.75, 0.9)
 
 
 def bound_mass_energy(state: ParticleState, force: ForceModel,
-                      n_iter: int = 8):
+                      n_iter: int = 8, phi_pair=None):
     """Bound mass via iterated energy cut in the cluster frame.
 
     A star is bound if 0.5 |v - v_b|^2 + phi_pair(x) < 0, where v_b is the
@@ -135,7 +140,8 @@ def bound_mass_energy(state: ParticleState, force: ForceModel,
     fixed, mask-based). Returns (M_bound, N_bound, mask).
     """
     m = state.mass.astype(jnp.float64)
-    _, phi_pair, _ = force.accel_potential(state.pos, state.mass)
+    if phi_pair is None:
+        _, phi_pair, _ = force.accel_potential(state.pos, state.mass)
     phi_pair = phi_pair.astype(jnp.float64)
     vel = state.vel.astype(jnp.float64)
 
@@ -212,17 +218,23 @@ def bound_mass_tidal(state: ParticleState, force: ForceModel,
 
 def compute_all(state: ParticleState, force: ForceModel,
                 fractions=(0.1, 0.25, 0.5, 0.75, 0.9),
-                f64_pairwise: bool = False) -> dict:
+                f64_pairwise: bool = False, precomputed_phi=None) -> dict:
     """The full diagnostics row (SURVEY.md §5 metrics list); all scalars
-    except lagrangian radii. One jit-able call."""
-    e = energies(state, force, f64_pairwise=f64_pairwise)
+    except lagrangian radii. One jit-able call — except at oversized N,
+    where the caller precomputes (phi_pair, phi_ext) with the batched
+    chunked kernels outside the jit and passes them via
+    ``precomputed_phi`` (every other column is O(N) or O(N·iters))."""
+    e = energies(state, force, f64_pairwise=f64_pairwise,
+                 precomputed_phi=precomputed_phi)
     center = density_center(state)
     L = angular_momentum(state)
     if force.external is not None:
         m_b, n_b, r_t, mask = bound_mass_tidal(state, force, center=center,
                                                method="tensor")
     else:
-        m_b, n_b, mask = bound_mass_energy(state, force)
+        m_b, n_b, mask = bound_mass_energy(
+            state, force,
+            phi_pair=None if precomputed_phi is None else precomputed_phi[0])
         r_t = jnp.asarray(jnp.inf)
     rl = lagrangian_radii(state, fractions, center=center, mask=mask)
     out = dict(e)

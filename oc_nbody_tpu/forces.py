@@ -146,6 +146,45 @@ class ForceModel:
             acc = acc + self.external.accel(pos)
         return acc
 
+    # ---- oversized-eval API (host-level, NOT jittable) -----------------
+    # For N past the single-XLA-program window (~4M+ on this class of
+    # runtime: one monolithic eval is a 60-240 s program, past watchdog /
+    # pre-emption limits) the batched chunked-sym kernels split one force
+    # evaluation over several same-shape dispatches. Used by the MacroKDK
+    # stepper and the huge-run driver path; f32 tier only.
+
+    def _require_batched(self):
+        if self.precision != "f32" or self._resolve() != "pallas":
+            raise ValueError(
+                "batched oversized evals support the f32 Pallas tier only "
+                f"(got precision={self.precision!r}, "
+                f"backend={self._resolve()!r})")
+
+    def accel_batched(self, pos, mass, n_batches: int = 8):
+        """Total acceleration via n_batches separate dispatches."""
+        self._require_batched()
+        from oc_nbody_tpu.ops import pallas_gravity
+        acc = pallas_gravity.accel_sym_chunked_batched(
+            pos, mass, self.eps, self.G, guarded=not self.softened,
+            n_batches=n_batches)
+        if self.external is not None:
+            acc = acc + jax.jit(self.external.accel)(pos)
+        return acc
+
+    def accel_potential_batched(self, pos, mass, n_batches: int = 8):
+        """(accel, phi_pair, phi_ext) via n_batches separate dispatches."""
+        self._require_batched()
+        from oc_nbody_tpu.ops import pallas_gravity
+        acc, phi_pair = pallas_gravity.accel_potential_sym_chunked_batched(
+            pos, mass, self.eps, self.G, guarded=not self.softened,
+            n_batches=n_batches)
+        if self.external is not None:
+            acc = acc + jax.jit(self.external.accel)(pos)
+            phi_ext = jax.jit(self.external.phi)(pos)
+        else:
+            phi_ext = jnp.zeros_like(phi_pair)
+        return acc, phi_pair, phi_ext
+
     def accel_potential(self, pos, mass):
         """(accel, phi_pair, phi_ext); potentials are per-particle."""
         acc, phi_pair = self._pair_accel_potential(pos, mass)

@@ -90,3 +90,78 @@ class LeapfrogKDK:
             return KDKCarry(state=state, acc=jnp.asarray(aux["acc"]),
                             n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64))
         return self.init(state)
+
+
+# the O(N) halves of a KDK step as one tiny jitted program each
+# (module-level so every MacroKDK step hits the same jit cache entry)
+@jax.jit
+def _kdk_kick_drift(state, acc, dt):
+    dt = jnp.asarray(dt, state.pos.dtype)
+    v_half = state.vel + (0.5 * dt) * acc
+    return state.replace(pos=state.pos + dt * v_half, vel=v_half)
+
+
+@jax.jit
+def _kdk_close(state, acc_new, dt):
+    dt = jnp.asarray(dt, state.pos.dtype)
+    return state.replace(vel=state.vel + (0.5 * dt) * acc_new,
+                         time=state.time + dt)
+
+
+@dataclasses.dataclass(frozen=True)
+class MacroKDK:
+    """Host-stepped KDK for N past the single-XLA-program window.
+
+    One in-jit force eval at N = 4M is a ~60 s XLA program and at 8M
+    ~240 s — past runtime watchdogs / pre-emption windows — so the
+    superstep design inverts: each force evaluation runs as
+    ``n_batches`` separate same-shape dispatches
+    (ForceModel.accel_batched → the batched chunked-sym kernels) and
+    the kick/drift updates are small O(N) jitted programs between them.
+    Same trajectory as LeapfrogKDK up to f32 pair-summation order;
+    duck-types it for the driver, with ``host_stepping = True`` telling
+    run.py not to wrap ``advance_to_bounded`` in jit (it is the
+    dispatch-splitting itself) and to precompute the diagnostics
+    potential the same way. Enable with ``integrator.macro_batches > 0``
+    (kdk only; see configs/c7_2m_chunked.toml header for the in-jit
+    2M point this takes over from)."""
+
+    force: object
+    dt: float
+    n_batches: int = 8
+    host_stepping: bool = True
+
+    def _accel(self, pos, mass):
+        return self.force.accel_batched(
+            pos, mass, n_batches=self.n_batches).astype(pos.dtype)
+
+    def init(self, state: ParticleState) -> KDKCarry:
+        acc = self._accel(state.pos, state.mass)
+        return KDKCarry(state=state, acc=acc,
+                        n_steps=jnp.asarray(0, jnp.int64))
+
+    def step(self, carry: KDKCarry) -> KDKCarry:
+        s_half = _kdk_kick_drift(carry.state, carry.acc, self.dt)
+        acc_new = self._accel(s_half.pos, s_half.mass)
+        s_new = _kdk_close(s_half, acc_new, self.dt)
+        return KDKCarry(state=s_new, acc=acc_new, n_steps=carry.n_steps + 1)
+
+    def advance_to_bounded(self, carry: KDKCarry, t_end,
+                           max_steps: int) -> KDKCarry:
+        done = 0
+        while (not self.reached(carry, t_end)) and done < max_steps:
+            carry = self.step(carry)
+            done += 1
+        return carry
+
+    def reached(self, carry: KDKCarry, t_end) -> bool:
+        return float(carry.state.time) >= float(t_end) - 1e-12 * abs(float(t_end))
+
+    def checkpoint_aux(self, carry: KDKCarry) -> dict:
+        return {"acc": carry.acc, "n_steps": carry.n_steps}
+
+    def restore(self, state: ParticleState, aux: dict) -> KDKCarry:
+        if "acc" in aux:
+            return KDKCarry(state=state, acc=jnp.asarray(aux["acc"]),
+                            n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64))
+        return self.init(state)

@@ -116,8 +116,15 @@ def _run(cfg: SimConfig, resume: bool = False,
     # Dispatches are step-bounded: very long single XLA programs can trip
     # runtime watchdogs (observed as TPU worker crashes on ~70k-step block
     # dispatches); the host loops until each output time is reached.
-    advance_bounded = jax.jit(stepper.advance_to_bounded, donate_argnums=0,
-                              static_argnums=2)
+    host_stepping = bool(getattr(stepper, "host_stepping", False))
+    if host_stepping:
+        # MacroKDK: advance_to_bounded IS the dispatch-splitting host
+        # loop — wrapping it in jit would rebuild the one monolithic
+        # program it exists to avoid
+        advance_bounded = stepper.advance_to_bounded
+    else:
+        advance_bounded = jax.jit(stepper.advance_to_bounded,
+                                  donate_argnums=0, static_argnums=2)
     max_steps = max(1, int(out.max_steps_per_dispatch))
     # adaptive dispatch sizing: aim for ~20 s per dispatch (long single
     # dispatches trip the runtime watchdog, tiny ones pay dispatch
@@ -147,10 +154,23 @@ def _run(cfg: SimConfig, resume: bool = False,
                 _state["size"] = best
             if done:
                 return carry
-    compute_diag = jax.jit(
-        lambda state, force: diag_mod.compute_all(
-            state, force, out.fractions, f64_pairwise=out.diag_f64)
-    )
+    if host_stepping:
+        # the O(N²) potential is computed OUTSIDE the jit by the batched
+        # kernels (same reason as advance above); the O(N) remainder of
+        # the row stays one jitted program
+        _diag_rest = jax.jit(
+            lambda state, force, phi: diag_mod.compute_all(
+                state, force, out.fractions, precomputed_phi=phi))
+
+        def compute_diag(state, force):
+            _, phi_pair, phi_ext = force.accel_potential_batched(
+                state.pos, state.mass, n_batches=stepper.n_batches)
+            return _diag_rest(state, force, (phi_pair, phi_ext))
+    else:
+        compute_diag = jax.jit(
+            lambda state, force: diag_mod.compute_all(
+                state, force, out.fractions, f64_pairwise=out.diag_f64)
+        )
 
     # ceil so a non-multiple t_end still gets simulated in full; the final
     # target is clamped to t_end exactly (ADVICE round-1)

@@ -164,6 +164,14 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
     """Build the configured stepper; returns (stepper, kind)."""
     ic = cfg.integrator
     if ic.kind == "kdk":
+        if ic.macro_batches > 0:
+            # oversized-N path: host-stepped KDK over the batched chunked
+            # kernels (one force eval = macro_batches dispatches); the
+            # same checkpoint aux/kind, so snapshots interchange with the
+            # in-jit stepper
+            from oc_nbody_tpu.integrators.leapfrog import MacroKDK
+            return MacroKDK(force=force, dt=ic.dt,
+                            n_batches=ic.macro_batches), "kdk"
         from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
         return LeapfrogKDK(force=force, dt=ic.dt), "kdk"
     if ic.kind == "hermite":

@@ -1,0 +1,116 @@
+"""MacroKDK — host-stepped KDK over the batched chunked-sym kernels.
+
+The oversized-N driver path (N past the single-XLA-program window):
+advance is a host loop of per-step dispatch groups instead of one jitted
+superstep, and the diagnostics' O(N²) potential is precomputed outside
+the jit. These tests run the Pallas kernels in interpret mode on CPU and
+pin (a) trajectory equivalence with the in-jit LeapfrogKDK, (b) the full
+driver loop (run()) with ``integrator.macro_batches`` set, including
+diagnostics and snapshot/resume.
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oc_nbody_tpu.forces import make_force_model
+from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK, MacroKDK
+from oc_nbody_tpu.models.plummer import plummer
+
+
+@pytest.fixture
+def interpret(monkeypatch):
+    monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
+    # the production chunk (131072) pads tiny test N up to a full
+    # 131072² interpret-mode sweep — shrink everything to test scale
+    from oc_nbody_tpu.ops import pallas_gravity as pg
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    monkeypatch.setattr(pg, "T_SYMP", 64)
+    monkeypatch.setattr(pg, "SYM_MIN", 64)
+    monkeypatch.setattr(pg, "STREAM_N", 128)
+    monkeypatch.setattr(pg, "CHUNK_SYM", 128)
+    yield
+    pg.accel.clear_cache()
+    pg.accel_potential.clear_cache()
+    pg.accel_sym_chunked.clear_cache()
+    pg._chunked_batch.clear_cache()
+    pg._chunked_phi_batch.clear_cache()
+
+
+def test_macro_kdk_matches_in_jit_kdk(interpret):
+    """Same force model, same dt: MacroKDK's host-stepped trajectory must
+    track the jitted LeapfrogKDK superstep (different pair-summation
+    order: batched chunked-sym vs resident dispatch -> f32 tolerance)."""
+    n, dt, steps = 300, 1.0 / 64, 5
+    state = plummer(n, jax.random.PRNGKey(3))
+    force = make_force_model(eps=0.05, backend="pallas")
+
+    ref = LeapfrogKDK(force=force, dt=dt)
+    c_ref = ref.init(state)
+    c_ref = jax.jit(ref.advance, static_argnums=1)(c_ref, steps)
+
+    mac = MacroKDK(force=force, dt=dt, n_batches=2)
+    c_mac = mac.init(state)
+    c_mac = mac.advance_to_bounded(c_mac, steps * dt, max_steps=100)
+
+    assert int(c_mac.n_steps) == steps
+    assert float(c_mac.state.time) == pytest.approx(steps * dt)
+    scale = float(jnp.max(jnp.abs(c_ref.state.pos)))
+    err = float(jnp.max(jnp.abs(c_mac.state.pos - c_ref.state.pos)))
+    assert err < 1e-5 * scale
+    verr = float(jnp.max(jnp.abs(c_mac.state.vel - c_ref.state.vel)))
+    assert verr < 1e-5 * float(jnp.max(jnp.abs(c_ref.state.vel)))
+    # max_steps bound is respected
+    c2 = mac.init(state)
+    c2 = mac.advance_to_bounded(c2, steps * dt, max_steps=2)
+    assert int(c2.n_steps) == 2
+
+
+def test_macro_driver_end_to_end(interpret, tmp_path):
+    """run() with integrator.macro_batches > 0: host-stepped advance,
+    precomputed-phi diagnostics, snapshots, and a bit-identical resume
+    (the same acceptance criterion as the in-jit driver)."""
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.run import run
+
+    cfg = SimConfig.from_dict({
+        "ic": {"kind": "plummer", "n": 192, "seed": 5},
+        "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                       "macro_batches": 2},
+        "backend": "pallas",
+        "output": {"out_dir": str(tmp_path / "macro"),
+                   "t_end": 4.0 / 64, "diag_every": 2.0 / 64,
+                   "snap_every": 2.0 / 64, "stdout": False},
+    })
+    res = run(cfg)
+    assert res.n_steps == 4
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    # drift over 4 tiny steps should be small and the honest norm present
+    assert abs(res.diagnostics["dE_over_E_int"][-1]) < 1e-4
+    final_pos = np.asarray(res.state.pos)
+
+    # resume from the mid-run snapshot reproduces the uninterrupted run
+    cfg_half = SimConfig.from_dict({
+        "ic": {"kind": "plummer", "n": 192, "seed": 5},
+        "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                       "macro_batches": 2},
+        "backend": "pallas",
+        "output": {"out_dir": str(tmp_path / "macro2"),
+                   "t_end": 2.0 / 64, "diag_every": 2.0 / 64,
+                   "snap_every": 2.0 / 64, "stdout": False},
+    })
+    run(cfg_half)
+    cfg_rest = SimConfig.from_dict({
+        "ic": {"kind": "plummer", "n": 192, "seed": 5},
+        "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                       "macro_batches": 2},
+        "backend": "pallas",
+        "output": {"out_dir": str(tmp_path / "macro2"),
+                   "t_end": 4.0 / 64, "diag_every": 2.0 / 64,
+                   "snap_every": 2.0 / 64, "stdout": False},
+    })
+    res2 = run(cfg_rest, resume=True)
+    np.testing.assert_array_equal(np.asarray(res2.state.pos), final_pos)
