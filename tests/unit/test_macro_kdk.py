@@ -114,3 +114,39 @@ def test_macro_driver_end_to_end(interpret, tmp_path):
     })
     res2 = run(cfg_rest, resume=True)
     np.testing.assert_array_equal(np.asarray(res2.state.pos), final_pos)
+
+
+def test_macro_snapshot_resumes_in_jit_and_back(interpret, tmp_path):
+    """Stepper-mode elasticity: a snapshot written by the macro stepper
+    resumes under the in-jit LeapfrogKDK and vice versa (same integrator
+    kind 'kdk', same aux contract) — an 8M run checkpointed under
+    macro_batches can continue on hardware/N where one program fits."""
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.run import run
+
+    def cfg(out, t_end, macro):
+        return SimConfig.from_dict({
+            "ic": {"kind": "plummer", "n": 192, "seed": 5},
+            "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                           "macro_batches": macro},
+            "backend": "pallas",
+            "output": {"out_dir": out, "t_end": t_end,
+                       "diag_every": 2.0 / 64, "snap_every": 2.0 / 64,
+                       "stdout": False},
+        })
+
+    out = str(tmp_path / "elastic")
+    run(cfg(out, 2.0 / 64, macro=2))                      # macro first leg
+    res = run(cfg(out, 4.0 / 64, macro=0), resume=True)   # in-jit second
+    assert res.n_steps == 4
+    out2 = str(tmp_path / "elastic2")
+    run(cfg(out2, 2.0 / 64, macro=0))                     # in-jit first leg
+    res2 = run(cfg(out2, 4.0 / 64, macro=2), resume=True)  # macro second
+    assert res2.n_steps == 4
+    # both orders land on the same state as a pure in-jit run (the force
+    # dispatch is identical at this N: chunked kernels both ways)
+    ref = run(cfg(str(tmp_path / "ref"), 4.0 / 64, macro=0))
+    np.testing.assert_array_equal(np.asarray(res.state.pos),
+                                  np.asarray(ref.state.pos))
+    np.testing.assert_array_equal(np.asarray(res2.state.pos),
+                                  np.asarray(ref.state.pos))
