@@ -105,6 +105,135 @@ def main():
               f"({n*n/t_chunk:.3e} N2-eq int/s)")
         return 0
 
+    if "--xdiag" in sys.argv:
+        # Extended-tier chunked phi + jerk at 1M (round-3 late: the
+        # extended diagnostics/Hermite passes previously had only the
+        # one-sided streamed hilo sweep past STREAM_N). Appends.
+        path = os.path.join(os.path.dirname(__file__), "chunked_sym.json")
+        out = json.load(open(path))
+
+        def _split(p):
+            center = jnp.mean(p, axis=0)
+            d = p - center
+            hi = d.astype(jnp.float32)
+            lo = (d - hi.astype(d.dtype)).astype(jnp.float32)
+            return hi, lo
+
+        def _stream_phi_x(p, m):
+            hi, lo = _split(p)
+            gm = m.astype(jnp.float32)
+            return pg.accel_potential_rows_x_hilo(
+                hi, lo, hi, lo, gm, jnp.float32(EPS), guarded=False)
+
+        def _stream_jerk_x(p, v, m):
+            return pg.accel_jerk_rows_x(p, v, p, v, m, EPS, 1.0,
+                                        guarded=False)
+
+        # correctness at a non-chunk-multiple N past STREAM_N
+        nv = 300_001
+        kp, kv = jax.random.split(jax.random.PRNGKey(61))
+        pos, mass = _cloud(kp, nv)
+        pos = pos.astype(jnp.float64)
+        mass = mass.astype(jnp.float64)
+        vel = 0.3 * jax.random.normal(kv, (nv, 3), jnp.float64)
+        ac, pc = pg.accel_potential_sym_x_chunked(pos, mass, EPS,
+                                                  guarded=False)
+        as_, ps = _stream_phi_x(pos, mass)
+        xs = float(jnp.max(jnp.linalg.norm(as_, axis=1)))
+        perr = float(jnp.max(jnp.abs(pc - ps)
+                             / jnp.maximum(jnp.abs(ps), 1e-30)))
+        aerr = float(jnp.max(jnp.linalg.norm(ac - as_, axis=1))) / xs
+        jac, jjc = pg.accel_jerk_sym_x_chunked(pos, vel, mass, EPS,
+                                               guarded=False)
+        jas, jjs = _stream_jerk_x(pos, vel, mass)
+        jaerr = float(jnp.max(jnp.linalg.norm(jac - jas, axis=1))) / float(
+            jnp.max(jnp.linalg.norm(jas, axis=1)))
+        jjerr = float(jnp.max(jnp.linalg.norm(jjc - jjs, axis=1))) / float(
+            jnp.max(jnp.linalg.norm(jjs, axis=1)))
+        out["xdiag_rel_err_vs_streamed"] = {
+            "phi_accel": aerr, "phi": perr, "jerk_accel": jaerr,
+            "jerk": jjerr}
+        print(f"N={nv}: x-chunked vs streamed-hilo rel err: phi-accel "
+              f"{aerr:.2e} phi {perr:.2e} jerk-accel {jaerr:.2e} "
+              f"jerk {jjerr:.2e}")
+
+        # slope timing at 1M
+        n = 1_048_576
+        kp, kv = jax.random.split(jax.random.PRNGKey(n + 5))
+        pos, mass = _cloud(kp, n)
+        pos = pos.astype(jnp.float64)
+        mass = mass.astype(jnp.float64)
+        vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
+
+        def _slope_pair(fn, k, with_vel=False):
+            @jax.jit
+            def chain(p, steps):
+                def body(_, q):
+                    if with_vel:
+                        a, b = fn(q, vel, mass)
+                    else:
+                        a, b = fn(q, mass)
+                    return q + 1e-30 * a + 1e-30 * jnp.mean(b) * a
+                return jax.lax.fori_loop(0, steps, body, p)
+
+            chain(pos, 1).block_until_ready()
+            t0 = time.perf_counter()
+            chain(pos, 1).block_until_ready()
+            t1 = time.perf_counter()
+            chain(pos, 1 + k).block_until_ready()
+            t2 = time.perf_counter()
+            return ((t2 - t1) - (t1 - t0)) / k
+
+        t_ps = _slope_pair(_stream_phi_x, 1)
+        t_pc = _slope_pair(
+            lambda p, m: pg.accel_potential_sym_x_chunked(
+                p, m, EPS, guarded=False), 2)
+        out["extended_phi_1m"] = {
+            "streamed_hilo_ms": t_ps * 1e3,
+            "chunked_sym_x_ms": t_pc * 1e3,
+            "speedup": t_ps / t_pc,
+        }
+        print(f"N={n} extended accel+phi: streamed-hilo {t_ps*1e3:.1f} ms"
+              f" | chunked-sym-x {t_pc*1e3:.1f} ms -> {t_ps/t_pc:.2f}x")
+        t_js = _slope_pair(_stream_jerk_x, 1, with_vel=True)
+        t_jc = _slope_pair(
+            lambda p, v, m: pg.accel_jerk_sym_x_chunked(
+                p, v, m, EPS, guarded=False), 1, with_vel=True)
+        out["extended_jerk_1m"] = {
+            "streamed_ms": t_js * 1e3,
+            "chunked_sym_x_ms": t_jc * 1e3,
+            "speedup": t_js / t_jc,
+        }
+        print(f"N={n} extended jerk: streamed {t_js*1e3:.1f} ms | "
+              f"chunked-sym-xj {t_jc*1e3:.1f} ms -> {t_js/t_jc:.2f}x")
+        json.dump(out, open(path, "w"), indent=1)
+        return 0
+
+    if "--hugex" in sys.argv:
+        # 4M extended-tier full eval via the batched path (the extended
+        # MacroKDK force evaluation). Appends.
+        import numpy as np
+        path = os.path.join(os.path.dirname(__file__), "chunked_sym.json")
+        out = json.load(open(path))
+        n, nb = 4_194_304, 8
+        pos, mass = _cloud(jax.random.PRNGKey(n), n)
+        pos = pos.astype(jnp.float64)
+        mass = mass.astype(jnp.float64)
+        t = None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            a = pg.accel_sym_x_chunked_batched(pos, mass, EPS,
+                                               guarded=False, n_batches=nb)
+            np.asarray(a)
+            t = time.perf_counter() - t0
+            pos = pos + 1e-30 * a
+        out["huge_x_row"] = {"n": n, "n_batches": nb, "wall_s": t,
+                             "int_per_s_n2eq": n * n / t}
+        print(f"N={n}: batched extended full eval {t:.1f} s "
+              f"({n*n/t:.3e} N2-eq int/s, {nb} dispatches)")
+        json.dump(out, open(path, "w"), indent=1)
+        return 0
+
     if "--huge" in sys.argv:
         # Full 4M / 8M single-chip evals via the multi-dispatch batched
         # path (a monolithic eval at these N is a 60-240 s XLA program —

@@ -5,7 +5,16 @@
 cannot execute, so kernel/oracle equivalence is checked here and by the
 driver's bench runs. SURVEY.md §4.1 "Pallas output ≡ pure-jnp oracle".)
 
-Usage: python bench/validate_pallas.py
+Usage: python bench/validate_pallas.py [--section S]
+
+Sections (default "all"): base (one-sided + resident sym + tiers +
+streamed), chunked (f32 chunked family), batched (f32 multi-dispatch),
+chunkedx (extended chunked family), batchedx (extended multi-dispatch).
+Cold compiles are 1-6 min/program through this environment's remote-
+compile relay and a KILLED process does not populate the compile cache —
+running section by section lets each process exit cleanly and cache its
+programs, so an interrupted full validation never loses more than one
+section's work.
 """
 import os
 import sys
@@ -31,9 +40,16 @@ def main():
     if jax.default_backend() == "cpu":
         print("needs a TPU backend; skipping")
         return 0
+    sec = "all"
+    if "--section" in sys.argv:
+        sec = sys.argv[sys.argv.index("--section") + 1]
+
+    def on(name):
+        return sec in ("all", name)
+
     key = jax.random.PRNGKey(0)
     failures = []
-    for n in (100, 1000, 3000):
+    for n in (100, 1000, 3000) if on("base") else ():
         kp, kv = jax.random.split(jax.random.fold_in(key, n))
         pos = jax.random.normal(kp, (n, 3), jnp.float64)
         vel = 0.3 * jax.random.normal(kv, (n, 3), jnp.float64)
@@ -81,48 +97,120 @@ def main():
         if err > TOL:
             failures.append(("jerk_sym", n, err))
 
-    # precision tiers (close-pair cluster: f32 kernels read ~6e-3 here).
-    # Hardware-only claims: the interpreter degrades the EFTs (see
-    # tests/unit/test_pallas_tiers.py).
-    from oc_nbody_tpu.ops import pallas_df
-    key = jax.random.PRNGKey(9)
-    kp, km = jax.random.split(key)
+    import oc_nbody_tpu.ops.pallas_gravity as pg
+    if on("base"):
+        # precision tiers (close-pair cluster: f32 kernels read ~6e-3
+        # here). Hardware-only claims: the interpreter degrades the EFTs
+        # (see tests/unit/test_pallas_tiers.py).
+        from oc_nbody_tpu.ops import pallas_df
+        key = jax.random.PRNGKey(9)
+        kp, km = jax.random.split(key)
+        n = 4096
+        pos = jax.random.normal(kp, (n, 3), jnp.float64)
+        pos = pos.at[100:200].set(
+            pos[:100] + 1e-5 * jax.random.normal(km, (100, 3), jnp.float64))
+        mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+        ref = gravity.accel_direct(pos, mass, eps=1e-4)
+        scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+        for name, fn, tol in (
+                ("extended", pallas_gravity.accel_x, 2e-5),
+                ("extendedSYM", pallas_gravity.accel_sym_x, 2e-5),
+                ("df32", pallas_df.accel_df_pallas, 1e-9)):
+            out = fn(pos, mass, 1e-4)
+            err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
+            print(f"tier {name:9s} rel err {err:.2e} (close pairs)")
+            if err > tol:
+                failures.append((name, n, err))
+
+        # STREAMED extended path on hardware (round-3: hilo kernels stream
+        # sources past STREAM_N): force the streamed dispatch at small N
+        # and compare against the resident result — same inputs, same tier.
+        res = pg.accel_x(pos, mass, 1e-4)
+        old_stream_n = pg.STREAM_N
+        pg.STREAM_N = 1024
+        for f in (pg.accel_x, pg.accel_rows_x_hilo):
+            f.clear_cache()
+        try:
+            stream = pg.accel_x(pos, mass, 1e-4)
+        finally:
+            pg.STREAM_N = old_stream_n
+            for f in (pg.accel_x, pg.accel_rows_x_hilo):
+                f.clear_cache()
+        err = float(jnp.max(jnp.linalg.norm(stream - res, axis=1))) / scale
+        print(f"tier extended-streamed vs resident rel err {err:.2e}")
+        if err > 2e-6:
+            failures.append(("extended_streamed", n, err))
+
+    # CHUNKED + BATCHED families at a forced small chunk (C = 3: diagonal,
+    # cross-pair AND sentinel-padding paths all execute on real Mosaic —
+    # the production chunk would give C = 1 at validation N). 1536 is a
+    # multiple of every sym tile (T_SYMA/T_SYMP/T_SYM 384-512 divides it).
+    ck = 1536
+    kp2, kv2, km2 = jax.random.split(jax.random.PRNGKey(21), 3)
     n = 4096
-    pos = jax.random.normal(kp, (n, 3), jnp.float64)
-    pos = pos.at[100:200].set(
-        pos[:100] + 1e-5 * jax.random.normal(km, (100, 3), jnp.float64))
-    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
-    ref = gravity.accel_direct(pos, mass, eps=1e-4)
-    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
-    for name, fn, tol in (
-            ("extended", pallas_gravity.accel_x, 2e-5),
-            ("extendedSYM", pallas_gravity.accel_sym_x, 2e-5),
-            ("df32", pallas_df.accel_df_pallas, 1e-9)):
-        out = fn(pos, mass, 1e-4)
-        err = float(jnp.max(jnp.linalg.norm(out - ref, axis=1))) / scale
-        print(f"tier {name:9s} rel err {err:.2e} (close pairs)")
+    pos_s = jax.random.normal(kp2, (n, 3), jnp.float64)
+    vel_s = 0.3 * jax.random.normal(kv2, (n, 3), jnp.float64)
+    mass_s = jax.random.uniform(km2, (n,), jnp.float64, 0.5, 1.5) / n
+    ra = gravity.accel_direct(pos_s, mass_s, eps=0.05)
+    _, rp = gravity.accel_potential_direct(pos_s, mass_s, eps=0.05)
+    ra2, rj = gravity.accel_jerk_direct(pos_s, vel_s, mass_s, eps=0.05)
+    asc = float(jnp.max(jnp.linalg.norm(ra, axis=1)))
+    psc = float(jnp.max(jnp.abs(rp)))
+    jsc = float(jnp.max(jnp.linalg.norm(rj, axis=1)))
+    sphi = gravity.self_phi(mass_s, jnp.float64(0.05), jnp.float64(1.0))
+
+    def _chk(name, err, tol):
+        print(f"chunk {name:14s} rel err {err:.2e}")
         if err > tol:
             failures.append((name, n, err))
 
-    # STREAMED extended path on hardware (round-3: hilo kernels stream
-    # sources past STREAM_N): force the streamed dispatch at small N and
-    # compare against the resident result — same inputs, same tier.
-    import oc_nbody_tpu.ops.pallas_gravity as pg
-    res = pg.accel_x(pos, mass, 1e-4)
-    old_stream_n = pg.STREAM_N
-    pg.STREAM_N = 1024
-    for f in (pg.accel_x, pg.accel_rows_x_hilo):
-        f.clear_cache()
-    try:
-        stream = pg.accel_x(pos, mass, 1e-4)
-    finally:
-        pg.STREAM_N = old_stream_n
-        for f in (pg.accel_x, pg.accel_rows_x_hilo):
-            f.clear_cache()
-    err = float(jnp.max(jnp.linalg.norm(stream - res, axis=1))) / scale
-    print(f"tier extended-streamed vs resident rel err {err:.2e}")
-    if err > 2e-6:
-        failures.append(("extended_streamed", n, err))
+    XTOL = 2e-5  # extended tier: RAW phi contract (self_phi added first)
+    if on("chunked"):
+        a = pg.accel_sym_chunked(pos_s, mass_s, 0.05, chunk=ck)
+        _chk("accel", float(jnp.max(jnp.linalg.norm(a - ra, axis=1))) / asc,
+             TOL)
+        a, p = pg.accel_potential_sym_chunked(pos_s, mass_s, 0.05, chunk=ck)
+        _chk("phi", float(jnp.max(jnp.abs(p - rp))) / psc, TOL)
+        a, j = pg.accel_jerk_sym_chunked(pos_s, vel_s, mass_s, 0.05,
+                                         chunk=ck)
+        _chk("jerk", float(jnp.max(jnp.linalg.norm(j - rj, axis=1))) / jsc,
+             TOL)
+    if on("batched"):
+        a = pg.accel_sym_chunked_batched(pos_s, mass_s, 0.05, chunk=ck,
+                                         n_batches=2)
+        _chk("accel-bat", float(jnp.max(jnp.linalg.norm(a - ra, axis=1)))
+             / asc, TOL)
+        a, p = pg.accel_potential_sym_chunked_batched(pos_s, mass_s, 0.05,
+                                                      chunk=ck, n_batches=2)
+        _chk("phi-bat", float(jnp.max(jnp.abs(p - rp))) / psc, TOL)
+        a, j = pg.accel_jerk_sym_chunked_batched(pos_s, vel_s, mass_s, 0.05,
+                                                 chunk=ck, n_batches=2)
+        _chk("jerk-bat", float(jnp.max(jnp.linalg.norm(j - rj, axis=1)))
+             / jsc, TOL)
+    if on("chunkedx"):
+        a = pg.accel_sym_x_chunked(pos_s, mass_s, 0.05, chunk=ck)
+        _chk("accel-x", float(jnp.max(jnp.linalg.norm(a - ra, axis=1)))
+             / asc, XTOL)
+        a, p = pg.accel_potential_sym_x_chunked(pos_s, mass_s, 0.05,
+                                                chunk=ck)
+        _chk("phi-x", float(jnp.max(jnp.abs(p + sphi - rp))) / psc, XTOL)
+        a, j = pg.accel_jerk_sym_x_chunked(pos_s, vel_s, mass_s, 0.05,
+                                           chunk=ck)
+        _chk("jerk-x", float(jnp.max(jnp.linalg.norm(j - rj, axis=1)))
+             / jsc, XTOL)
+    if on("batchedx"):
+        a = pg.accel_sym_x_chunked_batched(pos_s, mass_s, 0.05, chunk=ck,
+                                           n_batches=2)
+        _chk("accel-x-bat", float(jnp.max(jnp.linalg.norm(a - ra, axis=1)))
+             / asc, XTOL)
+        a, p = pg.accel_potential_sym_x_chunked_batched(
+            pos_s, mass_s, 0.05, chunk=ck, n_batches=2)
+        _chk("phi-x-bat", float(jnp.max(jnp.abs(p + sphi - rp))) / psc,
+             XTOL)
+        a, j = pg.accel_jerk_sym_x_chunked_batched(
+            pos_s, vel_s, mass_s, 0.05, chunk=ck, n_batches=2)
+        _chk("jerk-x-bat", float(jnp.max(jnp.linalg.norm(j - rj, axis=1)))
+             / jsc, XTOL)
 
     if failures:
         print("FAILURES:", failures)

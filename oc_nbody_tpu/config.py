@@ -68,10 +68,12 @@ class IntegratorConfig:
     pec2: bool = False           # hermite/block: second corrector pass (PEC²)
     n_levels: int = 8            # block: number of power-of-two rungs
     precision: str = "f32"       # pairwise tier: f32 | extended | df32
-    # kdk only: > 0 switches to host-stepped MacroKDK with this many
-    # dispatches per force eval — for N past the single-XLA-program
-    # window (~4M+; one monolithic eval there is a 60-240 s program,
-    # past runtime watchdogs). 0 = normal in-jit superstep.
+    # kdk + hermite: > 0 switches to the host-stepped Macro stepper
+    # (MacroKDK / MacroHermite) with this many dispatches per force
+    # eval — for N past the single-XLA-program window (~4M+; one
+    # monolithic eval there is a 60-240 s program, past runtime
+    # watchdogs). 0 = normal in-jit superstep. Block timesteps have no
+    # macro form (the active-row eval is already small).
     macro_batches: int = 0
 
 

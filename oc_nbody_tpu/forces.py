@@ -151,22 +151,29 @@ class ForceModel:
     # runtime: one monolithic eval is a 60-240 s program, past watchdog /
     # pre-emption limits) the batched chunked-sym kernels split one force
     # evaluation over several same-shape dispatches. Used by the MacroKDK
-    # stepper and the huge-run driver path; f32 tier only.
+    # stepper and the huge-run driver path; f32 and extended Pallas tiers
+    # (df32 routes to emulated f64 everywhere and has no oversized form).
 
     def _require_batched(self):
-        if self.precision != "f32" or self._resolve() != "pallas":
+        if self.precision not in ("f32", "extended") \
+                or self._resolve() != "pallas":
             raise ValueError(
-                "batched oversized evals support the f32 Pallas tier only "
-                f"(got precision={self.precision!r}, "
+                "batched oversized evals support the f32/extended Pallas "
+                f"tiers only (got precision={self.precision!r}, "
                 f"backend={self._resolve()!r})")
 
     def accel_batched(self, pos, mass, n_batches: int = 8):
         """Total acceleration via n_batches separate dispatches."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
-        acc = pallas_gravity.accel_sym_chunked_batched(
-            pos, mass, self.eps, self.G, guarded=not self.softened,
-            n_batches=n_batches)
+        if self.precision == "extended":
+            acc = pallas_gravity.accel_sym_x_chunked_batched(
+                pos, mass, self.eps, self.G, guarded=not self.softened,
+                n_batches=n_batches)
+        else:
+            acc = pallas_gravity.accel_sym_chunked_batched(
+                pos, mass, self.eps, self.G, guarded=not self.softened,
+                n_batches=n_batches)
         if self.external is not None:
             acc = acc + jax.jit(self.external.accel)(pos)
         return acc
@@ -175,15 +182,47 @@ class ForceModel:
         """(accel, phi_pair, phi_ext) via n_batches separate dispatches."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
-        acc, phi_pair = pallas_gravity.accel_potential_sym_chunked_batched(
-            pos, mass, self.eps, self.G, guarded=not self.softened,
-            n_batches=n_batches)
+        if self.precision == "extended":
+            acc, phi_pair = \
+                pallas_gravity.accel_potential_sym_x_chunked_batched(
+                    pos, mass, self.eps, self.G, guarded=not self.softened,
+                    n_batches=n_batches)
+            # extended-family RAW phi contract: the softened self term is
+            # included when eps > 0 — cancel it like _pair_accel_potential
+            phi_pair = phi_pair + jax.jit(gravity.self_phi)(
+                mass, self.eps, self.G)
+        else:
+            acc, phi_pair = \
+                pallas_gravity.accel_potential_sym_chunked_batched(
+                    pos, mass, self.eps, self.G, guarded=not self.softened,
+                    n_batches=n_batches)
         if self.external is not None:
             acc = acc + jax.jit(self.external.accel)(pos)
             phi_ext = jax.jit(self.external.phi)(pos)
         else:
             phi_ext = jnp.zeros_like(phi_pair)
         return acc, phi_pair, phi_ext
+
+    def accel_jerk_batched(self, pos, vel, mass, n_batches: int = 8):
+        """(accel, jerk) via n_batches separate dispatches (a host-stepped
+        Hermite's force evaluation), incl. the external (v·∇)a_ext term."""
+        self._require_batched()
+        from oc_nbody_tpu.ops import pallas_gravity
+        if self.precision == "extended":
+            acc, jerk = pallas_gravity.accel_jerk_sym_x_chunked_batched(
+                pos, vel, mass, self.eps, self.G,
+                guarded=not self.softened, n_batches=n_batches)
+        else:
+            acc, jerk = pallas_gravity.accel_jerk_sym_chunked_batched(
+                pos, vel, mass, self.eps, self.G,
+                guarded=not self.softened, n_batches=n_batches)
+        if self.external is not None:
+            a_ext, da_ext = jax.jit(
+                lambda p, v: jax.jvp(self.external.accel, (p,), (v,)))(
+                    pos, vel)
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        return acc, jerk
 
     def accel_potential(self, pos, mass):
         """(accel, phi_pair, phi_ext); potentials are per-particle."""

@@ -31,6 +31,55 @@ def _norm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1))
 
 
+# ---- step math shared by the in-jit and host-stepped (macro) variants ----
+
+def _correct(pos, vel, a0, j0, a1, j1, dt):
+    """One Hermite corrector application (v first, then x from v1)."""
+    dt2 = dt * dt
+    v1 = vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
+    x1 = pos + (dt / 2) * (vel + v1) + (dt2 / 12) * (a0 - a1)
+    return x1, v1
+
+
+def _interp_derivs(a0, j0, a1, j1, dt):
+    """Interpolated (a², a³) at t0, a² shifted to t1."""
+    dt2, dt3 = dt * dt, dt * dt * dt
+    inv_dt2 = 1.0 / jnp.maximum(dt2, jnp.finfo(dt.dtype).tiny)
+    inv_dt3 = 1.0 / jnp.maximum(dt3, jnp.finfo(dt.dtype).tiny)
+    a2_0 = (-6.0 * (a0 - a1) - dt * (4.0 * j0 + 2.0 * j1)) * inv_dt2
+    a3 = (12.0 * (a0 - a1) + 6.0 * dt * (j0 + j1)) * inv_dt3
+    a2_1 = a2_0 + dt * a3
+    return a2_1, a3
+
+
+def _aarseth_shared_dt(a1, j1, a2_1, a3, eta):
+    na, nj = _norm(a1), _norm(j1)
+    n2, n3 = _norm(a2_1), _norm(a3)
+    tiny = jnp.finfo(na.dtype).tiny
+    num = na * n2 + nj * nj
+    den = nj * n3 + n2 * n2
+    dt2 = eta * num / jnp.maximum(den, tiny)
+    dt_i = jnp.sqrt(dt2)
+    return jnp.min(jnp.where(den > 0, dt_i, jnp.inf))
+
+
+def _shape_dt_fn(dt, dt_min, dt_max, quantize: bool):
+    dt = jnp.clip(dt, dt_min, dt_max)
+    if quantize:
+        # largest dt_max/2^k <= dt, k >= 0. The quantized value is built
+        # as dt_max * (1 / 2^k) with the power of two formed by an exact
+        # int64 shift — `2.0 ** (-k)` on TPU goes through emulated f64 pow
+        # and is NOT bit-exact (the failure mode the block integrator's
+        # int grid eliminated, integrators/block.py "Integer time grid";
+        # VERDICT round-2 Missing #4). log2 is only a selector; the
+        # result is exact for k <= 62.
+        k = jnp.ceil(jnp.log2(dt_max / jnp.maximum(dt, 1e-300)))
+        k = jnp.clip(k, 0.0, 62.0).astype(jnp.int64)
+        pow2 = jnp.left_shift(jnp.int64(1), k).astype(jnp.float64)
+        dt = dt_max / pow2
+    return dt
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HermiteCarry:
@@ -77,30 +126,10 @@ class Hermite4:
 
     # ---- helpers ------------------------------------------------------
     def _shape_dt(self, dt):
-        dt = jnp.clip(dt, self.dt_min, self.dt_max)
-        if self.quantize:
-            # largest dt_max/2^k <= dt, k >= 0. The quantized value is
-            # built as dt_max * (1 / 2^k) with the power of two formed by
-            # an exact int64 shift — `2.0 ** (-k)` on TPU goes through
-            # emulated f64 pow and is NOT bit-exact (the failure mode the
-            # block integrator's int grid eliminated, integrators/block.py
-            # "Integer time grid"; VERDICT round-2 Missing #4). log2 is
-            # only a selector; the result is exact for k <= 62.
-            k = jnp.ceil(jnp.log2(self.dt_max / jnp.maximum(dt, 1e-300)))
-            k = jnp.clip(k, 0.0, 62.0).astype(jnp.int64)
-            pow2 = jnp.left_shift(jnp.int64(1), k).astype(jnp.float64)
-            dt = self.dt_max / pow2
-        return dt
+        return _shape_dt_fn(dt, self.dt_min, self.dt_max, self.quantize)
 
     def _aarseth_dt(self, a1, j1, a2_1, a3):
-        na, nj = _norm(a1), _norm(j1)
-        n2, n3 = _norm(a2_1), _norm(a3)
-        tiny = jnp.finfo(na.dtype).tiny
-        num = na * n2 + nj * nj
-        den = nj * n3 + n2 * n2
-        dt2 = self.eta * num / jnp.maximum(den, tiny)
-        dt_i = jnp.sqrt(dt2)
-        return jnp.min(jnp.where(den > 0, dt_i, jnp.inf))
+        return _aarseth_shared_dt(a1, j1, a2_1, a3, self.eta)
 
     def _step_with_dt(self, carry: HermiteCarry, dt):
         s, a0, j0 = carry.state, carry.acc, carry.jerk
@@ -114,8 +143,7 @@ class Hermite4:
         a1 = a1.astype(s.pos.dtype)
         j1 = j1.astype(s.pos.dtype)
 
-        v1 = s.vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
-        x1 = s.pos + (dt / 2) * (s.vel + v1) + (dt2 / 12) * (a0 - a1)
+        x1, v1 = _correct(s.pos, s.vel, a0, j0, a1, j1, dt)
 
         if self.pec2:
             # second corrector pass: re-evaluate at the corrected state and
@@ -123,15 +151,10 @@ class Hermite4:
             a1, j1 = self.force.accel_jerk(x1, v1, s.mass)
             a1 = a1.astype(s.pos.dtype)
             j1 = j1.astype(s.pos.dtype)
-            v1 = s.vel + (dt / 2) * (a0 + a1) + (dt2 / 12) * (j0 - j1)
-            x1 = s.pos + (dt / 2) * (s.vel + v1) + (dt2 / 12) * (a0 - a1)
+            x1, v1 = _correct(s.pos, s.vel, a0, j0, a1, j1, dt)
 
         # interpolated higher derivatives (at t0), then shift to t1
-        inv_dt2 = 1.0 / jnp.maximum(dt2, jnp.finfo(dt.dtype).tiny)
-        inv_dt3 = 1.0 / jnp.maximum(dt3, jnp.finfo(dt.dtype).tiny)
-        a2_0 = (-6.0 * (a0 - a1) - dt * (4.0 * j0 + 2.0 * j1)) * inv_dt2
-        a3 = (12.0 * (a0 - a1) + 6.0 * dt * (j0 + j1)) * inv_dt3
-        a2_1 = a2_0 + dt * a3
+        a2_1, a3 = _interp_derivs(a0, j0, a1, j1, dt)
 
         dt_new = self._aarseth_dt(a1, j1, a2_1, a3)
         dt_new = jnp.minimum(dt_new, 2.0 * dt)      # growth limiter
@@ -198,3 +221,115 @@ class Hermite4:
                 n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
             )
         return self.init(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class MacroHermite(Hermite4):
+    """Host-stepped shared-dt Hermite-4 for N past the single-XLA-program
+    window (the Hermite twin of leapfrog.MacroKDK).
+
+    Each force evaluation runs as ``n_batches`` separate same-shape
+    dispatches (ForceModel.accel_jerk_batched -> the batched chunked-sym
+    jerk kernels, f32 or extended tier); the predict / correct / timestep
+    updates are small O(N) jitted programs between them. The adaptive-dt
+    control flow that the in-jit stepper keeps inside lax.while_loop
+    lives on the host here — the macro stepper is host-driven anyway, so
+    per-step Python control costs one relay round-trip that the force
+    dispatches dwarf. Same carry/aux contract as Hermite4, so snapshots
+    interchange with the in-jit stepper (kind "hermite"). Enable with
+    ``integrator.macro_batches > 0`` and ``kind = "hermite"``."""
+
+    n_batches: int = 8
+    host_stepping: bool = True
+
+    def __post_init__(self):
+        # per-instance jitted O(N) programs (self is frozen/hashable; the
+        # closures constant-fold eta/dt_min/dt_max/quantize at trace time)
+        @jax.jit
+        def predict(state, acc, jerk, dt):
+            dt = jnp.asarray(dt, state.pos.dtype)
+            dt2, dt3 = dt * dt, dt * dt * dt
+            xp = state.pos + dt * state.vel + (dt2 / 2) * acc \
+                + (dt3 / 6) * jerk
+            vp = state.vel + dt * acc + (dt2 / 2) * jerk
+            return xp, vp
+
+        @jax.jit
+        def correct(state, a0, j0, a1, j1, dt):
+            dt = jnp.asarray(dt, state.pos.dtype)
+            return _correct(state.pos, state.vel, a0, j0, a1, j1, dt)
+
+        @jax.jit
+        def finish(carry, x1, v1, a1, j1, dt):
+            dt = jnp.asarray(dt, carry.state.pos.dtype)
+            a2_1, a3 = _interp_derivs(carry.acc, carry.jerk, a1, j1, dt)
+            dt_new = _aarseth_shared_dt(a1, j1, a2_1, a3, self.eta)
+            dt_new = jnp.minimum(dt_new, 2.0 * dt)
+            dt_new = _shape_dt_fn(dt_new, self.dt_min, self.dt_max,
+                                  self.quantize)
+            state_new = carry.state.replace(pos=x1, vel=v1,
+                                            time=carry.state.time + dt)
+            return HermiteCarry(state=state_new, acc=a1, jerk=j1,
+                                dt=dt_new, n_steps=carry.n_steps + 1)
+
+        @jax.jit
+        def init_dt(acc, jerk):
+            a = _norm(acc)
+            j = _norm(jerk)
+            dt0 = self.eta_init * jnp.min(jnp.where(
+                j > 0, a / jnp.maximum(j, jnp.finfo(a.dtype).tiny),
+                jnp.inf))
+            dt0 = jnp.minimum(dt0, self.dt_max)
+            dt0 = jnp.where(jnp.isfinite(dt0), dt0,
+                            jnp.asarray(self.dt_max))
+            return _shape_dt_fn(dt0, self.dt_min, self.dt_max,
+                                self.quantize)
+
+        object.__setattr__(self, "_jit_predict", predict)
+        object.__setattr__(self, "_jit_correct", correct)
+        object.__setattr__(self, "_jit_finish", finish)
+        object.__setattr__(self, "_jit_init_dt", init_dt)
+
+    def _accel_jerk(self, pos, vel, mass):
+        a, j = self.force.accel_jerk_batched(pos, vel, mass,
+                                             n_batches=self.n_batches)
+        return a.astype(pos.dtype), j.astype(pos.dtype)
+
+    def init(self, state: ParticleState) -> HermiteCarry:
+        acc, jerk = self._accel_jerk(state.pos, state.vel, state.mass)
+        return HermiteCarry(state=state, acc=acc, jerk=jerk,
+                            dt=self._jit_init_dt(acc, jerk),
+                            n_steps=jnp.asarray(0, jnp.int64))
+
+    def _host_step(self, carry: HermiteCarry, dt) -> HermiteCarry:
+        xp, vp = self._jit_predict(carry.state, carry.acc, carry.jerk, dt)
+        a1, j1 = self._accel_jerk(xp, vp, carry.state.mass)
+        x1, v1 = self._jit_correct(carry.state, carry.acc, carry.jerk,
+                                   a1, j1, dt)
+        if self.pec2:
+            a1, j1 = self._accel_jerk(x1, v1, carry.state.mass)
+            x1, v1 = self._jit_correct(carry.state, carry.acc, carry.jerk,
+                                       a1, j1, dt)
+        return self._jit_finish(carry, x1, v1, a1, j1, dt)
+
+    # ---- public (host-driven; the in-jit loop methods do not apply) ----
+    def step(self, carry: HermiteCarry) -> HermiteCarry:
+        return self._host_step(carry, carry.dt)
+
+    def advance(self, carry: HermiteCarry, n: int) -> HermiteCarry:
+        for _ in range(n):
+            carry = self.step(carry)
+        return carry
+
+    def advance_to(self, carry: HermiteCarry, t_end) -> HermiteCarry:
+        return self.advance_to_bounded(carry, t_end, 10 ** 9)
+
+    def advance_to_bounded(self, carry: HermiteCarry, t_end,
+                           max_steps: int) -> HermiteCarry:
+        done = 0
+        t_end64 = jnp.asarray(t_end, jnp.float64)
+        while (not self.reached(carry, t_end)) and done < max_steps:
+            dt = jnp.minimum(carry.dt, t_end64 - carry.state.time)
+            carry = self._host_step(carry, dt)
+            done += 1
+        return carry

@@ -1184,7 +1184,15 @@ def accel_potential_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
     """Extended-precision (accel, phi_pair) on TPU; f64 in/out. When
     eps > 0 phi INCLUDES the softened self term -G*m/eps (the caller's
     contract adds self_phi to cancel, same as the other kernels).
-    Streams sources from HBM past STREAM_N via the hilo entry point."""
+    Pair-symmetric at production sizes (same dispatch rule as accel_x);
+    past STREAM_N the chunked sym variant; otherwise the one-sided hilo
+    sweep (streamed from HBM past STREAM_N)."""
+    n = pos.shape[0]
+    if SYM_MIN <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_potential_sym_x(pos, mass, eps, G, guarded=guarded)
+        return accel_potential_sym_x_chunked(pos, mass, eps, G,
+                                             guarded=guarded)
     center = jnp.mean(pos, axis=0)
     hi, lo = _split_rows(pos, center)
     gm = (jnp.asarray(G, jnp.float64)
@@ -1293,8 +1301,11 @@ def accel_jerk_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
     resident production sizes the pair-symmetric variant runs (41.7 vs
     78.4 ms at 65k, measured unguarded)."""
     n = pos.shape[0]
-    if SYM_MIN <= n <= STREAM_N and _sym_enabled():
-        return accel_jerk_sym_x(pos, vel, mass, eps, G, guarded=guarded)
+    if SYM_MIN <= n and _sym_enabled():
+        if n <= STREAM_N:
+            return accel_jerk_sym_x(pos, vel, mass, eps, G, guarded=guarded)
+        return accel_jerk_sym_x_chunked(pos, vel, mass, eps, G,
+                                        guarded=guarded)
     return accel_jerk_rows_x(pos, vel, pos, vel, mass, eps, G, guarded)
 
 
@@ -2721,20 +2732,12 @@ def accel_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
     gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
 
-    pair_list = [(i, j) for i in range(C) for j in range(i + 1, C)]
-    nb = max(1, min(n_batches, max(1, len(pair_list))))
-    per = -(-len(pair_list) // nb) if pair_list else 0
-    pair_list += [(-1, -1)] * (per * nb - len(pair_list))
-
+    pair_list, nb, per = _split_pairs(C, n_batches)
     with jax.enable_x64(False):
-        outT = None
-        for b in range(nb):
-            sl = pair_list[b * per:(b + 1) * per]
-            pairs = jnp.asarray(sl if sl else [(-1, -1)], jnp.int32)
-            part = _chunked_batch(rowsT, gm, eps2, pairs, guarded, chunk,
-                                  b == 0)
-            part.block_until_ready()
-            outT = part if outT is None else outT + part
+        outT = _pipelined_batches(
+            lambda b, pairs: _chunked_batch(rowsT, gm, eps2, pairs,
+                                            guarded, chunk, b == 0),
+            nb, per, pair_list)
     return outT[:, :n].T.astype(pos.dtype)
 
 
@@ -2807,23 +2810,12 @@ def accel_potential_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
     gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
     eps2 = eps32.reshape(1, 1) ** 2
 
-    pair_list = [(i, j) for i in range(C) for j in range(i + 1, C)]
-    nb = max(1, min(n_batches, max(1, len(pair_list))))
-    per = -(-len(pair_list) // nb) if pair_list else 0
-    pair_list += [(-1, -1)] * (per * nb - len(pair_list))
-
+    pair_list, nb, per = _split_pairs(C, n_batches)
     with jax.enable_x64(False):
-        outT = phi = None
-        for b in range(nb):
-            sl = pair_list[b * per:(b + 1) * per]
-            pairs = jnp.asarray(sl if sl else [(-1, -1)], jnp.int32)
-            pa, pp = _chunked_phi_batch(rowsT, gm, eps2, pairs, guarded,
-                                        chunk, b == 0)
-            pp.block_until_ready()
-            if outT is None:
-                outT, phi = pa, pp
-            else:
-                outT, phi = outT + pa, phi + pp
+        outT, phi = _pipelined_batches(
+            lambda b, pairs: _chunked_phi_batch(rowsT, gm, eps2, pairs,
+                                                guarded, chunk, b == 0),
+            nb, per, pair_list)
     acc = outT[:, :n].T
     phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
     return acc.astype(pos.dtype), phi.astype(pos.dtype)
@@ -2974,6 +2966,841 @@ def accel_sym_x_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
 
             outT, _ = jax.lax.scan(body, outT, pairs)
     return outT[:, :n].T.astype(pos.dtype)
+
+
+# --------------------------------------------------------------------------
+# extended-tier pair-symmetric accel+phi (diagnostics pass)
+# --------------------------------------------------------------------------
+#
+# Completes the extended family: before this, precision="extended"
+# diagnostics always took the ONE-SIDED hilo sweep (every pair twice), so
+# the extended diagnostics pass paid ~2x the stepping kernels' rate and —
+# worse — had no chunked or batched form at all, locking extended runs out
+# of the oversized-eval (MacroKDK, N >= 4M) driver path. Same phi contract
+# as accel_potential_x: RAW phi (includes the softened self term when
+# eps > 0; the caller adds gravity.self_phi to cancel).
+
+T_SYMXP = int(_os.environ.get("OCN_PALLAS_T_SYMXP", 384))
+
+
+def _accel_phi_kernel_sym_x(rhiT_ref, rloT_ref, gm_ref, eps2_ref,
+                            outT_ref, phi_ref, *, guarded):
+    """Extended-tier pair-symmetric accel+phi: the hi/lo-corrected u and
+    Newton-refined inv serve FOUR accumulations (accel row/col, phi
+    row/col). Diagonal self pairs: s = 0 so accel gets 0; phi gets the
+    softened self term when eps > 0 (caller adds self_phi), exactly like
+    the f32 sym kernel."""
+    t = T_SYMXP
+    nt = rhiT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outT_ref[:] = jnp.zeros_like(outT_ref)
+    phi_ref[:] = jnp.zeros_like(phi_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        li = [rloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gm_ref[0:1, sli].reshape(t, 1)
+
+        def pair_tile(j0):
+            slj = pl.ds(j0, t)
+            d = [rhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            e = [rloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            inv2 = inv * inv
+            s = [d[c] + e[c] for c in range(3)]
+            gmjinv = gm_ref[0:1, slj] * inv
+            gmiinv = gmi * inv
+            return s, gmjinv * inv2, gmiinv * inv2, gmjinv, gmiinv
+
+        s, w, _, gmjinv, _ = pair_tile(i0)
+        arow = [jnp.sum(w * s[c], axis=1, keepdims=True) for c in range(3)]
+        prow = -jnp.sum(gmjinv, axis=1, keepdims=True)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            s, w, wi, gmjinv, gmiinv = pair_tile(j0)
+            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outT_ref[:, slj] = outT_ref[:, slj] + acol
+            phi_ref[:, slj] = phi_ref[:, slj] - jnp.sum(
+                gmiinv, axis=0, keepdims=True)
+            return tuple(ar) + (pr,)
+
+        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + (prow,))
+        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        phi_ref[:, sli] = phi_ref[:, sli] + res[3].reshape(1, t)
+        return 0
+
+    jax.lax.fori_loop(0, nt, i_body, 0)
+
+
+def _sym_x_phi_diag_call(hiT, loT, gm, eps2, guarded):
+    npad = hiT.shape[1]
+    return _call(
+        functools.partial(_accel_phi_kernel_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=27 * npad * npad, bytes_accessed=npad * 64,
+            transcendentals=npad * npad // 2,
+        ),
+    )(hiT, loT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-tier pair-symmetric (accel, phi_pair), self-interaction
+    form; f64 in/out. RAW phi contract (same as accel_potential_x): when
+    eps > 0 phi includes the softened self term; the caller adds
+    gravity.self_phi."""
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm = (jnp.asarray(G, jnp.float64)
+          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMXP), T_SYMXP)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    with jax.enable_x64(False):
+        outT, phi = _sym_x_phi_diag_call(
+            _padT(hi, npad), _padT(lo, npad),
+            jnp.pad(gm[None, :], ((0, 0), (0, npad - n))), eps2, guarded)
+    return (outT[:, :n].T.astype(pos.dtype),
+            phi[0, :n].astype(pos.dtype))
+
+
+def _accel_phi_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, gmA_ref,
+                                  rBhiT_ref, rBloT_ref, gmB_ref, eps2_ref,
+                                  outAT_ref, outBT_ref, phiA_ref, phiB_ref,
+                                  *, guarded):
+    """Cross-chunk extended-tier pair-symmetric accel+phi: disjoint
+    chunks, so no self pairs here — the softened self term lives entirely
+    in the diagonal-chunk kernel. Both chunks' hi/lo planes share ONE
+    global centring frame (wrapper splits before chunking)."""
+    t = T_SYMXP
+    ntA = rAhiT_ref.shape[1] // t
+    ntB = rBhiT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+    phiB_ref[:] = jnp.zeros_like(phiB_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            inv2 = inv * inv
+            s = [d[c] + e[c] for c in range(3)]
+            gmjinv = gmB_ref[0:1, slj] * inv
+            gmiinv = gmi * inv
+            w = gmjinv * inv2
+            wi = gmiinv * inv2
+            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            phiB_ref[:, slj] = phiB_ref[:, slj] - jnp.sum(
+                gmiinv, axis=0, keepdims=True)
+            return tuple(ar) + (pr,)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3)) + (
+            jnp.zeros((t, 1), jnp.float32),)
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        phiA_ref[:, sli] = res[3].reshape(1, t)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_x_phi_call(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2, guarded):
+    c = rAhi.shape[1]
+    return _call(
+        functools.partial(_accel_phi_kernel_cross_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2
+                  + [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=54 * c * c, bytes_accessed=c * 120,
+            transcendentals=c * c,
+        ),
+    )(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_potential_sym_x_chunked(pos, mass, eps=0.0, G=1.0,
+                                  guarded: bool = True,
+                                  chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric (accel, phi) past the resident
+    cap; f64 in/out, ONE global centring + hi/lo split before chunking.
+    RAW phi contract (caller adds self_phi), matching accel_potential_x."""
+    if chunk is None:
+        chunk = CHUNK_SYMX
+    if chunk % T_SYMXP != 0:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of T_SYMXP {T_SYMXP}")
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    with jax.enable_x64(False):
+        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
+        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_p = jax.lax.map(
+            lambda ab: _sym_x_phi_diag_call(ab[0], ab[1], ab[2], eps2,
+                                            guarded),
+            (hch, lch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(carry, ij):
+                out, ph = carry
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+
+                def sl3(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+                def sl1(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+                oA, oB, pA, pB = _cross_sym_x_phi_call(
+                    sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
+                    sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ia) + oA, (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ja) + oB, (0, ja))
+                ph = jax.lax.dynamic_update_slice(
+                    ph, sl1(ph, ia) + pA, (0, ia))
+                ph = jax.lax.dynamic_update_slice(
+                    ph, sl1(ph, ja) + pB, (0, ja))
+                return (out, ph), None
+
+            (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
+    return (outT[:, :n].T.astype(pos.dtype),
+            phi[0, :n].astype(pos.dtype))
+
+
+# --------------------------------------------------------------------------
+# extended-tier chunked pair-symmetric accel+jerk
+# --------------------------------------------------------------------------
+
+# Extended jerk chunk: must be a multiple of T_SYMXJ (256). The cross
+# kernel holds 2 chunks x (pos hi/lo + vel hi/lo = 12 planes) + 4 outputs
+# x 3 planes + 2 gm rows = 38 planes ~= 152 B/particle; 73728 (= 256*288)
+# keeps that at ~11.2 MB under the 16 MiB scoped-VMEM budget alongside the
+# (t, t) temporaries (98304 would be 14.9 MB — too close, same class of
+# OOM as T_SYMX=512).
+CHUNK_SYMXJ = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMXJ", 73728))
+
+
+def _accel_jerk_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, vAhiT_ref,
+                                   vAloT_ref, gmA_ref,
+                                   rBhiT_ref, rBloT_ref, vBhiT_ref,
+                                   vBloT_ref, gmB_ref, eps2_ref,
+                                   outAT_ref, joutAT_ref,
+                                   outBT_ref, joutBT_ref, *, guarded):
+    """Cross-chunk extended-tier pair-symmetric accel+jerk: hi/lo
+    positions AND velocities; the shared bracket B = dv − (3rv·inv²)(d+e)
+    serves both directions. Disjoint chunks — no diagonal case."""
+    t = T_SYMXJ
+    ntA = rAhiT_ref.shape[1] // t
+    ntB = rBhiT_ref.shape[1] // t
+    eps2 = eps2_ref[0, 0]
+    outBT_ref[:] = jnp.zeros_like(outBT_ref)
+    joutBT_ref[:] = jnp.zeros_like(joutBT_ref)
+
+    def i_body(i, _):
+        i0 = i * t
+        sli = pl.ds(i0, t)
+        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        vi = [vAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        vli = [vAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+        gmi = gmA_ref[0:1, sli].reshape(t, 1)
+
+        def j_body(j, carry):
+            j0 = j * t
+            slj = pl.ds(j0, t)
+            ar = carry[:3]
+            jr = carry[3:]
+            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
+            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
+            dv = [(vBhiT_ref[c:c + 1, slj] - vi[c])
+                  + (vBloT_ref[c:c + 1, slj] - vli[c]) for c in range(3)]
+            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+            u = dd + (jnp.float32(2.0) * de + eps2)
+            inv = _inv_r(u, guarded)
+            inv = inv * (jnp.float32(1.5)
+                         - (jnp.float32(0.5) * u) * (inv * inv))
+            inv3 = inv * (inv * inv)
+            s = [d[c] + e[c] for c in range(3)]
+            rv = s[0] * dv[0] + s[1] * dv[1] + s[2] * dv[2]
+            uu = (jnp.float32(3.0) * rv) * (inv * inv)
+            B = [dv[c] - uu * s[c] for c in range(3)]
+            w = gmB_ref[0:1, slj] * inv3
+            wi = gmi * inv3
+            ar = [ar[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
+                  for c in range(3)]
+            acol = jnp.concatenate(
+                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            jcol = jnp.concatenate(
+                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
+            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
+            joutBT_ref[:, slj] = joutBT_ref[:, slj] + jcol
+            return tuple(ar) + tuple(jr)
+
+        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(6))
+        res = jax.lax.fori_loop(0, ntB, j_body, zero)
+        outAT_ref[:, sli] = jnp.concatenate(
+            [res[c].reshape(1, t) for c in range(3)], axis=0)
+        joutAT_ref[:, sli] = jnp.concatenate(
+            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, ntA, i_body, 0)
+
+
+def _cross_sym_xj_call(rAhi, rAlo, vAhi, vAlo, gmA,
+                       rBhi, rBlo, vBhi, vBlo, gmB, eps2, guarded):
+    c = rAhi.shape[1]
+    return _call(
+        functools.partial(_accel_jerk_kernel_cross_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=84 * c * c, bytes_accessed=c * 208,
+            transcendentals=c * c,
+        ),
+    )(rAhi, rAlo, vAhi, vAlo, gmA, rBhi, rBlo, vBhi, vBlo, gmB, eps2)
+
+
+def _sym_xj_diag_call(hiT, loT, vhiT, vloT, gm, eps2, guarded):
+    npad = hiT.shape[1]
+    return _call(
+        functools.partial(_accel_jerk_kernel_sym_x, guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((3, npad), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=42 * npad * npad, bytes_accessed=npad * 104,
+            transcendentals=npad * npad // 2,
+        ),
+    )(hiT, loT, vhiT, vloT, gm, eps2)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_jerk_sym_x_chunked(pos, vel, mass, eps=0.0, G=1.0,
+                             guarded: bool = True,
+                             chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric (accel, jerk) past the
+    resident cap (the extended Hermite shared-step evaluation at
+    N > STREAM_N); f64 in/out, ONE global centring + hi/lo split of
+    positions AND velocities before chunking."""
+    if chunk is None:
+        chunk = CHUNK_SYMXJ
+    if chunk % T_SYMXJ != 0:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of T_SYMXJ {T_SYMXJ}")
+    center = jnp.mean(pos, axis=0)
+    vcenter = jnp.mean(vel, axis=0)
+    hi, lo = _split_rows(pos, center)
+    vhi, vlo = _split_rows(vel, vcenter)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    vhiT = _padT(vhi, npad)
+    vloT = _padT(vlo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    with jax.enable_x64(False):
+        def ch3(a):
+            return a.reshape(3, C, chunk).transpose(1, 0, 2)
+
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_j = jax.lax.map(
+            lambda ab: _sym_xj_diag_call(ab[0], ab[1], ab[2], ab[3], ab[4],
+                                         eps2, guarded),
+            (ch3(hiT), ch3(loT), ch3(vhiT), ch3(vloT), gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
+
+        if C > 1:
+            pairs = jnp.asarray(
+                [(i, j) for i in range(C) for j in range(i + 1, C)],
+                jnp.int32)
+
+            def body(carry, ij):
+                out, jout = carry
+                ia = ij[0] * chunk
+                ja = ij[1] * chunk
+
+                def sl3(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+                def sl1(a, off):
+                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+                oA, jA, oB, jB = _cross_sym_xj_call(
+                    sl3(hiT, ia), sl3(loT, ia), sl3(vhiT, ia),
+                    sl3(vloT, ia), sl1(gm, ia),
+                    sl3(hiT, ja), sl3(loT, ja), sl3(vhiT, ja),
+                    sl3(vloT, ja), sl1(gm, ja), eps2, guarded)
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ia) + oA, (0, ia))
+                out = jax.lax.dynamic_update_slice(
+                    out, sl3(out, ja) + oB, (0, ja))
+                jout = jax.lax.dynamic_update_slice(
+                    jout, sl3(jout, ia) + jA, (0, ia))
+                jout = jax.lax.dynamic_update_slice(
+                    jout, sl3(jout, ja) + jB, (0, ja))
+                return (out, jout), None
+
+            (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
+# --------------------------------------------------------------------------
+# batched (multi-dispatch) oversized-eval variants: jerk + extended tiers
+# --------------------------------------------------------------------------
+#
+# Same dispatch-splitting rationale as accel_sym_chunked_batched (one full
+# eval at 4M/8M is a 60-240 s XLA program — past watchdog / pre-emption
+# windows): batch 0 carries the diagonal sweep, the padded cross-pair list
+# splits evenly across n_batches same-shape dispatches, partials are
+# host-accumulated. These complete the family so MacroKDK runs the
+# extended tier first-class and a host-stepped Hermite has its jerk eval.
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_jerk_batch(rowsT, vrowsT, gm, eps2, pairs, guarded, chunk,
+                        with_diag):
+    """One dispatch of the batched chunked-sym accel+jerk (sentinel
+    masking as _chunked_batch)."""
+    npad = rowsT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        vch = vrowsT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_j = jax.lax.map(
+            lambda ab: _sym_jerk_diag_call(ab[0], ab[1], ab[2], eps2,
+                                           guarded),
+            (rch, vch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
+    else:
+        outT = jnp.zeros_like(rowsT)
+        joutT = jnp.zeros_like(rowsT)
+
+    def body(carry, ij):
+        out, jout = carry
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+
+        def sl3(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+        def sl1(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+        oA, jA, oB, jB = _cross_sym_jerk_call(
+            sl3(rowsT, ia), sl3(vrowsT, ia), sl1(gm, ia),
+            sl3(rowsT, ja), sl3(vrowsT, ja), sl1(gm, ja), eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(
+            out, sl3(out, ia) + w * oA, (0, ia))
+        out = jax.lax.dynamic_update_slice(
+            out, sl3(out, ja) + w * oB, (0, ja))
+        jout = jax.lax.dynamic_update_slice(
+            jout, sl3(jout, ia) + w * jA, (0, ia))
+        jout = jax.lax.dynamic_update_slice(
+            jout, sl3(jout, ja) + w * jB, (0, ja))
+        return (out, jout), None
+
+    (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
+    return outT, joutT
+
+
+def _split_pairs(C, n_batches):
+    """The padded cross-pair list split evenly: every batch compiles ONCE
+    (same shapes); pad entries are (-1, -1) sentinels."""
+    pair_list = [(i, j) for i in range(C) for j in range(i + 1, C)]
+    nb = max(1, min(n_batches, max(1, len(pair_list))))
+    per = -(-len(pair_list) // nb) if pair_list else 0
+    pair_list += [(-1, -1)] * (per * nb - len(pair_list))
+    return pair_list, nb, per
+
+
+def _pipelined_batches(dispatch, nb, per, pair_list):
+    """Depth-2 pipelined dispatch loop shared by the batched wrappers:
+    batch b+1 is SUBMITTED before blocking on batch b, hiding the relay
+    round-trip between dispatches, while every host wait stays bounded by
+    ~one dispatch (fire-and-forget would queue all nb programs and make
+    the final wait nb x longer — the watchdog shape the splitting exists
+    to avoid). dispatch(b, pairs) -> array or tuple of arrays; returns
+    the elementwise sum across batches."""
+    acc = prev = None
+    for b in range(nb):
+        sl = pair_list[b * per:(b + 1) * per]
+        pairs = jnp.asarray(sl if sl else [(-1, -1)], jnp.int32)
+        part = dispatch(b, pairs)
+        if prev is not None:
+            jax.block_until_ready(prev)
+        acc = part if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, part)
+        prev = part
+    jax.block_until_ready(acc)
+    return acc
+
+
+def accel_jerk_sym_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
+                                   guarded: bool = True,
+                                   chunk: int | None = None,
+                                   n_batches: int = 1):
+    """Batched (accel, jerk) for oversized evals — the Hermite twin of
+    accel_sym_chunked_batched. Not jittable as a whole (it IS the
+    dispatch-splitting); for in-jit stepping use accel_jerk_sym_chunked."""
+    if chunk is None:
+        chunk = CHUNK_SYMJ
+    if chunk % T_SYM != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYM {T_SYM}")
+    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    G32 = jnp.asarray(G, jnp.float32)
+    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
+    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
+    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+
+    pair_list, nb, per = _split_pairs(C, n_batches)
+    with jax.enable_x64(False):
+        outT, joutT = _pipelined_batches(
+            lambda b, pairs: _chunked_jerk_batch(rowsT, vrowsT, gm, eps2,
+                                                 pairs, guarded, chunk,
+                                                 b == 0),
+            nb, per, pair_list)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_x_batch(hiT, loT, gm, eps2, pairs, guarded, chunk, with_diag):
+    """One dispatch of the batched extended-tier chunked-sym accel."""
+    npad = hiT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
+        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag = jax.lax.map(
+            lambda ab: _sym_x_diag_call(ab[0], ab[1], ab[2], eps2, guarded),
+            (hch, lch, gch))
+        outT = diag.transpose(1, 0, 2).reshape(3, npad)
+    else:
+        outT = jnp.zeros_like(hiT)
+
+    def body(out, ij):
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+
+        def sl3(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+        def sl1(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+        oA, oB = _cross_sym_x_call(
+            sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
+            sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
+                                           (0, ia))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
+                                           (0, ja))
+        return out, None
+
+    outT, _ = jax.lax.scan(body, outT, pairs)
+    return outT
+
+
+def accel_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                                guarded: bool = True,
+                                chunk: int | None = None,
+                                n_batches: int = 1):
+    """Batched extended-tier accel for oversized evals (precision =
+    'extended' through MacroKDK at N >= 4M). ONE global centring + hi/lo
+    split on the host, then the same dispatch-splitting as the f32
+    batched wrapper."""
+    if chunk is None:
+        chunk = CHUNK_SYMX
+    if chunk % T_SYMX != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMX {T_SYMX}")
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    pair_list, nb, per = _split_pairs(C, n_batches)
+    with jax.enable_x64(False):
+        outT = _pipelined_batches(
+            lambda b, pairs: _chunked_x_batch(hiT, loT, gm, eps2, pairs,
+                                              guarded, chunk, b == 0),
+            nb, per, pair_list)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_x_phi_batch(hiT, loT, gm, eps2, pairs, guarded, chunk,
+                         with_diag):
+    """One dispatch of the batched extended-tier chunked-sym accel+phi."""
+    npad = hiT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
+        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_p = jax.lax.map(
+            lambda ab: _sym_x_phi_diag_call(ab[0], ab[1], ab[2], eps2,
+                                            guarded),
+            (hch, lch, gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
+    else:
+        outT = jnp.zeros_like(hiT)
+        phi = jnp.zeros_like(hiT[:1])
+
+    def body(carry, ij):
+        out, ph = carry
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+
+        def sl3(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+        def sl1(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+        oA, oB, pA, pB = _cross_sym_x_phi_call(
+            sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
+            sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
+                                           (0, ia))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
+                                           (0, ja))
+        ph = jax.lax.dynamic_update_slice(ph, sl1(ph, ia) + w * pA, (0, ia))
+        ph = jax.lax.dynamic_update_slice(ph, sl1(ph, ja) + w * pB, (0, ja))
+        return (out, ph), None
+
+    (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
+    return outT, phi
+
+
+def accel_potential_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                                          guarded: bool = True,
+                                          chunk: int | None = None,
+                                          n_batches: int = 1):
+    """Batched extended-tier (accel, phi) for oversized diagnostics evals.
+    RAW phi contract (caller adds self_phi), matching the rest of the
+    extended family."""
+    if chunk is None:
+        chunk = CHUNK_SYMX
+    if chunk % T_SYMXP != 0:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of T_SYMXP {T_SYMXP}")
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    pair_list, nb, per = _split_pairs(C, n_batches)
+    with jax.enable_x64(False):
+        outT, phi = _pipelined_batches(
+            lambda b, pairs: _chunked_x_phi_batch(hiT, loT, gm, eps2,
+                                                  pairs, guarded, chunk,
+                                                  b == 0),
+            nb, per, pair_list)
+    return (outT[:, :n].T.astype(pos.dtype),
+            phi[0, :n].astype(pos.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
+def _chunked_xj_batch(hiT, loT, vhiT, vloT, gm, eps2, pairs, guarded,
+                      chunk, with_diag):
+    """One dispatch of the batched extended-tier chunked-sym accel+jerk."""
+    npad = hiT.shape[1]
+    C = npad // chunk
+    if with_diag:
+        def ch3(a):
+            return a.reshape(3, C, chunk).transpose(1, 0, 2)
+
+        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
+        diag_a, diag_j = jax.lax.map(
+            lambda ab: _sym_xj_diag_call(ab[0], ab[1], ab[2], ab[3], ab[4],
+                                         eps2, guarded),
+            (ch3(hiT), ch3(loT), ch3(vhiT), ch3(vloT), gch))
+        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
+        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
+    else:
+        outT = jnp.zeros_like(hiT)
+        joutT = jnp.zeros_like(hiT)
+
+    def body(carry, ij):
+        out, jout = carry
+        valid = ij[0] >= 0
+        ia = jnp.maximum(ij[0], 0) * chunk
+        ja = jnp.maximum(ij[1], 0) * chunk
+
+        def sl3(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+
+        def sl1(a, off):
+            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+
+        oA, jA, oB, jB = _cross_sym_xj_call(
+            sl3(hiT, ia), sl3(loT, ia), sl3(vhiT, ia), sl3(vloT, ia),
+            sl1(gm, ia),
+            sl3(hiT, ja), sl3(loT, ja), sl3(vhiT, ja), sl3(vloT, ja),
+            sl1(gm, ja), eps2, guarded)
+        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
+                                           (0, ia))
+        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
+                                           (0, ja))
+        jout = jax.lax.dynamic_update_slice(jout, sl3(jout, ia) + w * jA,
+                                            (0, ia))
+        jout = jax.lax.dynamic_update_slice(jout, sl3(jout, ja) + w * jB,
+                                            (0, ja))
+        return (out, jout), None
+
+    (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
+    return outT, joutT
+
+
+def accel_jerk_sym_x_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
+                                     guarded: bool = True,
+                                     chunk: int | None = None,
+                                     n_batches: int = 1):
+    """Batched extended-tier (accel, jerk) for oversized evals (a
+    host-stepped extended Hermite's force evaluation)."""
+    if chunk is None:
+        chunk = CHUNK_SYMXJ
+    if chunk % T_SYMXJ != 0:
+        raise ValueError(
+            f"chunk {chunk} must be a multiple of T_SYMXJ {T_SYMXJ}")
+    center = jnp.mean(pos, axis=0)
+    vcenter = jnp.mean(vel, axis=0)
+    hi, lo = _split_rows(pos, center)
+    vhi, vlo = _split_rows(vel, vcenter)
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    C = -(-max(n, 1) // chunk)
+    npad = C * chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    hiT = _padT(hi, npad)
+    loT = _padT(lo, npad)
+    vhiT = _padT(vhi, npad)
+    vloT = _padT(vlo, npad)
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+
+    pair_list, nb, per = _split_pairs(C, n_batches)
+    with jax.enable_x64(False):
+        outT, joutT = _pipelined_batches(
+            lambda b, pairs: _chunked_xj_batch(hiT, loT, vhiT, vloT, gm,
+                                               eps2, pairs, guarded, chunk,
+                                               b == 0),
+            nb, per, pair_list)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
 
 
 # --------------------------------------------------------------------------

@@ -175,6 +175,14 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
         from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
         return LeapfrogKDK(force=force, dt=ic.dt), "kdk"
     if ic.kind == "hermite":
+        if ic.macro_batches > 0:
+            # oversized-N path: host-stepped Hermite over the batched
+            # chunked jerk kernels; same aux/kind as the in-jit stepper
+            from oc_nbody_tpu.integrators.hermite import MacroHermite
+            return MacroHermite(force=force, eta=ic.eta,
+                                eta_init=ic.eta_init, dt_max=ic.dt_max,
+                                quantize=ic.quantize, pec2=ic.pec2,
+                                n_batches=ic.macro_batches), "hermite"
         from oc_nbody_tpu.integrators.hermite import Hermite4
         return Hermite4(force=force, eta=ic.eta, eta_init=ic.eta_init,
                         dt_max=ic.dt_max, quantize=ic.quantize,

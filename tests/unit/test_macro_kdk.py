@@ -29,15 +29,24 @@ def interpret(monkeypatch):
     from oc_nbody_tpu.ops import pallas_gravity as pg
     monkeypatch.setattr(pg, "T_SYMA", 64)
     monkeypatch.setattr(pg, "T_SYMP", 64)
+    monkeypatch.setattr(pg, "T_SYMX", 64)
+    monkeypatch.setattr(pg, "T_SYMXP", 64)
     monkeypatch.setattr(pg, "SYM_MIN", 64)
     monkeypatch.setattr(pg, "STREAM_N", 128)
     monkeypatch.setattr(pg, "CHUNK_SYM", 128)
+    monkeypatch.setattr(pg, "CHUNK_SYMX", 128)
     yield
     pg.accel.clear_cache()
     pg.accel_potential.clear_cache()
+    pg.accel_x.clear_cache()
+    pg.accel_potential_x.clear_cache()
     pg.accel_sym_chunked.clear_cache()
+    pg.accel_sym_x_chunked.clear_cache()
+    pg.accel_potential_sym_x_chunked.clear_cache()
     pg._chunked_batch.clear_cache()
     pg._chunked_phi_batch.clear_cache()
+    pg._chunked_x_batch.clear_cache()
+    pg._chunked_x_phi_batch.clear_cache()
 
 
 def test_macro_kdk_matches_in_jit_kdk(interpret):
@@ -150,3 +159,58 @@ def test_macro_snapshot_resumes_in_jit_and_back(interpret, tmp_path):
                                   np.asarray(ref.state.pos))
     np.testing.assert_array_equal(np.asarray(res2.state.pos),
                                   np.asarray(ref.state.pos))
+
+
+def test_macro_extended_tier(interpret, tmp_path):
+    """precision='extended' through the oversized-eval path: the force
+    model routes accel_batched / accel_potential_batched to the extended
+    batched kernels (previously a hard ValueError), and the full macro
+    driver runs the extended tier end-to-end — closing the last tier gap
+    in the oversized-N regime (round-3 ROADMAP #5)."""
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.run import run
+
+    # ForceModel-level: extended batched ≡ extended in-jit eval
+    n = 300
+    state = plummer(n, jax.random.PRNGKey(7))
+    force = make_force_model(eps=0.05, backend="pallas",
+                             precision="extended")
+    a_ref = jax.jit(force.accel)(state.pos, state.mass)
+    a_bat = force.accel_batched(state.pos, state.mass, n_batches=2)
+    scale = float(jnp.max(jnp.abs(a_ref)))
+    assert float(jnp.max(jnp.abs(a_bat - a_ref))) < 5e-6 * scale
+    ar, pr, _ = jax.jit(force.accel_potential)(state.pos, state.mass)
+    ab, pb, _ = force.accel_potential_batched(state.pos, state.mass,
+                                              n_batches=2)
+    assert float(jnp.max(jnp.abs(ab - ar))) < 5e-6 * scale
+    assert float(jnp.max(jnp.abs(pb - pr))) < 5e-6 * float(
+        jnp.max(jnp.abs(pr)))
+
+    # driver-level: extended macro run with diagnostics + resume contract
+    cfg = SimConfig.from_dict({
+        "ic": {"kind": "plummer", "n": 192, "seed": 5},
+        "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                       "macro_batches": 2, "precision": "extended"},
+        "backend": "pallas",
+        "output": {"out_dir": str(tmp_path / "xmacro"),
+                   "t_end": 2.0 / 64, "diag_every": 2.0 / 64,
+                   "snap_every": 2.0 / 64, "stdout": False},
+    })
+    res = run(cfg)
+    assert res.n_steps == 2
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    assert abs(res.diagnostics["dE_over_E_int"][-1]) < 1e-4
+
+
+def test_batched_rejects_df32_and_jnp():
+    """The oversized-eval API accepts exactly the f32/extended Pallas
+    tiers: df32 (no oversized kernels) and the jnp backend raise at the
+    first batched call with a clear message."""
+    state = plummer(64, jax.random.PRNGKey(9))
+    for kw in ({"precision": "df32", "backend": "pallas"},
+               {"precision": "f32", "backend": "jnp"}):
+        force = make_force_model(eps=0.05, **kw)
+        with pytest.raises(ValueError, match="batched oversized"):
+            force.accel_batched(state.pos, state.mass)
+        with pytest.raises(ValueError, match="batched oversized"):
+            force.accel_jerk_batched(state.pos, state.vel, state.mass)

@@ -358,19 +358,22 @@ def test_chunked_sym_phi_batched_matches_oracle(monkeypatch):
 
 
 def test_dispatch_all_wrappers_chunk_past_stream_n(monkeypatch):
-    """accel_potential, accel_jerk and accel_x all route self-interaction
-    past STREAM_N to their chunked pair-symmetric kernels (accel is
-    covered by test_accel_dispatch_chunked_sym_past_stream_n)."""
-    for tname in ("T_SYMA", "T_SYMP", "T_SYM", "T_SYMX"):
+    """accel_potential, accel_jerk, accel_x, accel_potential_x and
+    accel_jerk_x all route self-interaction past STREAM_N to their
+    chunked pair-symmetric kernels (accel is covered by
+    test_accel_dispatch_chunked_sym_past_stream_n)."""
+    for tname in ("T_SYMA", "T_SYMP", "T_SYM", "T_SYMX", "T_SYMXP",
+                  "T_SYMXJ"):
         monkeypatch.setattr(pg, tname, 64)
     monkeypatch.setattr(pg, "SYM_MIN", 64)
     monkeypatch.setattr(pg, "RT_MIN_JERK", 64)
     monkeypatch.setattr(pg, "STREAM_N", 128)
-    for cname in ("CHUNK_SYM", "CHUNK_SYMX", "CHUNK_SYMJ"):
+    for cname in ("CHUNK_SYM", "CHUNK_SYMX", "CHUNK_SYMJ", "CHUNK_SYMXJ"):
         monkeypatch.setattr(pg, cname, 128)
     calls = []
     for fname in ("accel_potential_sym_chunked", "accel_jerk_sym_chunked",
-                  "accel_sym_x_chunked"):
+                  "accel_sym_x_chunked", "accel_potential_sym_x_chunked",
+                  "accel_jerk_sym_x_chunked"):
         orig = getattr(pg, fname)
 
         def spy(*a, _orig=orig, _f=fname, **kw):
@@ -378,15 +381,21 @@ def test_dispatch_all_wrappers_chunk_past_stream_n(monkeypatch):
             return _orig(*a, **kw)
 
         monkeypatch.setattr(pg, fname, spy)
-    for w in (pg.accel_potential, pg.accel_jerk, pg.accel_x):
+    wrappers = (pg.accel_potential, pg.accel_jerk, pg.accel_x,
+                pg.accel_potential_x)
+    for w in wrappers:
         w.clear_cache()
     pos, vel, mass = _cluster(300)
     pg.accel_potential(pos, mass, eps=0.05)
     pg.accel_jerk(pos, vel, mass, eps=0.05)
     pg.accel_x(pos, mass, eps=0.05)
+    pg.accel_potential_x(pos, mass, eps=0.05)
+    pg.accel_jerk_x(pos, vel, mass, eps=0.05)
     assert calls == ["accel_potential_sym_chunked",
-                     "accel_jerk_sym_chunked", "accel_sym_x_chunked"]
-    for w in (pg.accel_potential, pg.accel_jerk, pg.accel_x):
+                     "accel_jerk_sym_chunked", "accel_sym_x_chunked",
+                     "accel_potential_sym_x_chunked",
+                     "accel_jerk_sym_x_chunked"]
+    for w in wrappers:
         w.clear_cache()
 
 
@@ -545,3 +554,150 @@ def test_pair_symmetric_extended_jerk_matches_oracle(monkeypatch):
     assert float(jnp.max(jnp.abs(j - rj))) < 2e-6 * float(
         jnp.max(jnp.abs(rj)))
     pg.accel_jerk_sym_x.clear_cache()
+
+
+def _extended_cluster(n=300, seed=29, vel_scale=0.3):
+    key = jax.random.PRNGKey(seed)
+    kp, kv, km = jax.random.split(key, 3)
+    pos = jax.random.normal(kp, (n, 3), jnp.float64)
+    vel = vel_scale * jax.random.normal(kv, (n, 3), jnp.float64)
+    mass = jax.random.uniform(km, (n,), jnp.float64, 0.5, 1.5) / n
+    return pos, vel, mass
+
+
+def test_pair_symmetric_extended_phi_matches_oracle(monkeypatch):
+    """Extended-tier sym accel+phi (resident diagnostics pass for
+    precision='extended'): RAW phi contract — adding self_phi lands on
+    the finished oracle phi."""
+    monkeypatch.setattr(pg, "T_SYMXP", 64)
+    pg.accel_potential_sym_x.clear_cache()
+    pos, _, mass = _extended_cluster()
+    for eps in (0.05, 0.0):
+        a, p = pg.accel_potential_sym_x(pos, mass, eps, 1.3)
+        p = p + gravity.self_phi(mass, eps, 1.3)
+        ra, rp = gravity.accel_potential_direct(pos, mass, eps, 1.3)
+        assert float(jnp.max(jnp.abs(a - ra))) < 2e-6 * float(
+            jnp.max(jnp.abs(ra)))
+        assert float(jnp.max(jnp.abs(p - rp))) < 2e-6 * float(
+            jnp.max(jnp.abs(rp)))
+    pg.accel_potential_sym_x.clear_cache()
+
+
+def test_chunked_sym_extended_phi_matches_oracle(monkeypatch):
+    """Extended-tier chunked sym accel+phi (the extended diagnostics pass
+    past STREAM_N): multi-chunk and degenerate single-chunk, RAW phi
+    contract, non-chunk-multiple n."""
+    monkeypatch.setattr(pg, "T_SYMXP", 64)
+    pg.accel_potential_sym_x_chunked.clear_cache()
+    pos, _, mass = _extended_cluster()
+    ra, rp = gravity.accel_potential_direct(pos, mass, 0.05)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    pscale = float(jnp.max(jnp.abs(rp)))
+    for chunk in (128, 512):
+        a, p = pg.accel_potential_sym_x_chunked(pos, mass, 0.05, 1.0,
+                                                chunk=chunk)
+        p = p + gravity.self_phi(mass, 0.05, 1.0)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(p - rp))) < 5e-6 * pscale
+    pg.accel_potential_sym_x_chunked.clear_cache()
+
+
+def test_chunked_sym_extended_jerk_matches_oracle(monkeypatch):
+    """Extended-tier chunked sym accel+jerk (extended Hermite shared-step
+    past STREAM_N): one global hi/lo frame for positions AND velocities,
+    multi-chunk and single-chunk."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMXJ", 64)
+    pg.accel_jerk_sym_x_chunked.clear_cache()
+    pos, vel, mass = _extended_cluster()
+    ra, rj = df32.accel_jerk_extended(pos, vel, mass, eps=0.05, chunk=64)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    jscale = float(jnp.max(jnp.abs(rj)))
+    for chunk in (128, 512):
+        a, j = pg.accel_jerk_sym_x_chunked(pos, vel, mass, 0.05, 1.0,
+                                           chunk=chunk)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(j - rj))) < 5e-6 * jscale
+    pg.accel_jerk_sym_x_chunked.clear_cache()
+
+
+def test_chunked_sym_jerk_batched_matches_oracle(monkeypatch):
+    """Batched chunked-sym accel+jerk (oversized Hermite evals): diag in
+    batch 0, sentinel-padded cross pairs, host-summed partials ≡ oracle."""
+    monkeypatch.setattr(pg, "T_SYM", 64)
+    pg._chunked_jerk_batch.clear_cache()
+    pos, vel, mass = _extended_cluster(seed=41)
+    ra, rj = gravity.accel_jerk_direct(pos, vel, mass, eps=0.05)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    jscale = float(jnp.max(jnp.abs(rj)))
+    for nb in (1, 2):
+        a, j = pg.accel_jerk_sym_chunked_batched(
+            pos, vel, mass, 0.05, 1.0, guarded=False, chunk=128,
+            n_batches=nb)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(j - rj))) < 5e-6 * jscale
+    # degenerate single-chunk case (C == 1, sentinel-only cross batch)
+    a1, j1 = pg.accel_jerk_sym_chunked_batched(
+        pos, vel, mass, 0.05, 1.0, guarded=False, chunk=512, n_batches=3)
+    assert float(jnp.max(jnp.abs(a1 - ra))) < 5e-6 * ascale
+    assert float(jnp.max(jnp.abs(j1 - rj))) < 5e-6 * jscale
+    pg._chunked_jerk_batch.clear_cache()
+
+
+def test_chunked_sym_extended_batched_matches_oracle(monkeypatch):
+    """Batched extended-tier chunked-sym accel (precision='extended'
+    through the oversized-eval path): host-summed partials match the df32
+    extended oracle."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMX", 64)
+    pg._chunked_x_batch.clear_cache()
+    pos, _, mass = _extended_cluster(seed=43)
+    ref = df32.accel_extended(pos, mass, eps=0.05, chunk=64)
+    scale = float(jnp.max(jnp.abs(ref)))
+    for nb in (1, 2):
+        a = pg.accel_sym_x_chunked_batched(pos, mass, 0.05, 1.0,
+                                           guarded=False, chunk=128,
+                                           n_batches=nb)
+        assert float(jnp.max(jnp.abs(a - ref))) < 5e-6 * scale
+    a1 = pg.accel_sym_x_chunked_batched(pos, mass, 0.05, 1.0,
+                                        guarded=False, chunk=512,
+                                        n_batches=2)  # C == 1
+    assert float(jnp.max(jnp.abs(a1 - ref))) < 5e-6 * scale
+    pg._chunked_x_batch.clear_cache()
+
+
+def test_chunked_sym_extended_phi_batched_matches_oracle(monkeypatch):
+    """Batched extended-tier chunked-sym accel+phi (extended oversized
+    diagnostics): RAW phi contract + sentinel padding."""
+    monkeypatch.setattr(pg, "T_SYMXP", 64)
+    pg._chunked_x_phi_batch.clear_cache()
+    pos, _, mass = _extended_cluster(seed=47)
+    ra, rp = gravity.accel_potential_direct(pos, mass, 0.05)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    pscale = float(jnp.max(jnp.abs(rp)))
+    for nb in (1, 2):
+        a, p = pg.accel_potential_sym_x_chunked_batched(
+            pos, mass, 0.05, 1.0, guarded=False, chunk=128, n_batches=nb)
+        p = p + gravity.self_phi(mass, 0.05, 1.0)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(p - rp))) < 5e-6 * pscale
+    pg._chunked_x_phi_batch.clear_cache()
+
+
+def test_chunked_sym_extended_jerk_batched_matches_oracle(monkeypatch):
+    """Batched extended-tier chunked-sym accel+jerk (host-stepped extended
+    Hermite force evals)."""
+    from oc_nbody_tpu.ops import df32
+    monkeypatch.setattr(pg, "T_SYMXJ", 64)
+    pg._chunked_xj_batch.clear_cache()
+    pos, vel, mass = _extended_cluster(seed=53)
+    ra, rj = df32.accel_jerk_extended(pos, vel, mass, eps=0.05, chunk=64)
+    ascale = float(jnp.max(jnp.abs(ra)))
+    jscale = float(jnp.max(jnp.abs(rj)))
+    for nb in (1, 2):
+        a, j = pg.accel_jerk_sym_x_chunked_batched(
+            pos, vel, mass, 0.05, 1.0, guarded=False, chunk=128,
+            n_batches=nb)
+        assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
+        assert float(jnp.max(jnp.abs(j - rj))) < 5e-6 * jscale
+    pg._chunked_xj_batch.clear_cache()
