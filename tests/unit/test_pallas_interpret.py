@@ -701,3 +701,28 @@ def test_chunked_sym_extended_jerk_batched_matches_oracle(monkeypatch):
         assert float(jnp.max(jnp.abs(a - ra))) < 5e-6 * ascale
         assert float(jnp.max(jnp.abs(j - rj))) < 5e-6 * jscale
     pg._chunked_xj_batch.clear_cache()
+
+
+def test_split_pairs_and_pipelined_batches():
+    """The shared batched-dispatch plumbing: _split_pairs pads the
+    cross-pair list with (-1,-1) sentinels to equal same-shape batches
+    (nb clamped to the pair count), and _pipelined_batches sums the
+    per-batch pytrees while dispatching strictly in order."""
+    calls = []
+
+    def dispatch(b, pairs):
+        calls.append((b, np.asarray(pairs).shape))
+        return (jnp.asarray([float(b + 1)]),
+                jnp.asarray([float(10 * (b + 1))]))
+
+    pair_list, nb, per = pg._split_pairs(4, 3)   # C=4 -> 6 pairs over 3
+    assert (nb, per) == (3, 2) and len(pair_list) == 6
+    out = pg._pipelined_batches(dispatch, nb, per, pair_list)
+    assert [c[0] for c in calls] == [0, 1, 2]
+    assert all(shape == (2, 2) for _, shape in calls)
+    np.testing.assert_allclose(np.asarray(out[0]), [6.0])
+    np.testing.assert_allclose(np.asarray(out[1]), [60.0])
+    # nb clamps to the pair count; C=1 has no pairs at all
+    assert pg._split_pairs(2, 4)[1] == 1
+    pl1, nb1, per1 = pg._split_pairs(1, 4)
+    assert (pl1, nb1, per1) == ([], 1, 0)
