@@ -55,6 +55,23 @@ def test_cli_run_and_analysis(tmp_path, capsys):
         sys.path.pop(0)
 
 
+def test_movie_script(tmp_path):
+    cfg = _write_cfg(tmp_path)
+    assert cli.main(["run", cfg]) == 0
+    run_dir = str(tmp_path / "run")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "analysis"))
+    try:
+        import movie
+        frames = str(tmp_path / "frames")
+        gif = str(tmp_path / "movie.gif")
+        movie.main([run_dir, "--out", gif, "--frames-dir", frames,
+                    "--frame", "cluster"])
+        assert os.path.exists(gif)
+        assert os.path.exists(os.path.join(frames, "frame_00000.png"))
+    finally:
+        sys.path.pop(0)
+
+
 def test_cli_bad_override(tmp_path):
     cfg = _write_cfg(tmp_path)
     with pytest.raises(KeyError):
