@@ -104,3 +104,17 @@ def test_cli_run_with_profile(tmp_path):
     for root, _, files in os.walk(trace_dir):
         found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
     assert found, f"no trace artifacts under {trace_dir}"
+
+
+def test_api_quickstart_example(capsys):
+    """examples/api_quickstart.py — the programmatic surface mirror of the
+    CLI path — runs end-to-end and conserves energy at tiny N."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    try:
+        import api_quickstart
+        assert api_quickstart.main(["96"]) == 0
+        out = capsys.readouterr().out
+        assert "dE/E_int" in out and "r_half" in out
+    finally:
+        sys.path.pop(0)
