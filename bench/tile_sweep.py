@@ -47,6 +47,11 @@ elif kernel == "jerk_x":
 elif kernel == "accel":
     fn = jax.jit(lambda p, m: pg.accel(p, m, eps, 1.0))
     args = (state.pos, state.mass)
+elif kernel == "phi_x_sym":
+    fn = jax.jit(
+        lambda p, m: pg.accel_potential_sym_x(p, m, eps, 1.0,
+                                              guarded=False))
+    args = (state.pos, state.mass)
 else:
     fn = jax.jit(lambda p, m: pg.accel_potential(p, m, eps, 1.0))
     args = (state.pos, state.mass)
@@ -71,7 +76,8 @@ print("RESULT " + json.dumps(dict(ms=dt * 1e3, ints_per_s=n * n / dt)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel",
-                    choices=["jerk", "accel", "phi", "jerk_sym", "jerk_x"],
+                    choices=["jerk", "accel", "phi", "jerk_sym", "jerk_x",
+                             "phi_x_sym"],
                     default="jerk")
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=10)
@@ -79,9 +85,9 @@ def main():
                     help="TIxTJ pairs, e.g. 256x1024 512x2048")
     args = ap.parse_args()
 
-    if args.kernel == "jerk_sym":
-        # square tiles: pass single values (OCN_PALLAS_T_SYM)
-        tiles = args.tiles or ["256", "512", "1024"]
+    if args.kernel in ("jerk_sym", "phi_x_sym"):
+        # square tiles: pass single values (OCN_PALLAS_T_SYM / _T_SYMXP)
+        tiles = args.tiles or ["256", "384", "512"]
     else:
         tiles = args.tiles or ["256x1024", "256x2048", "512x1024",
                                "512x2048", "128x2048", "1024x1024"]
@@ -89,6 +95,7 @@ def main():
         "accel": ("OCN_PALLAS_TI_A", "OCN_PALLAS_TJ_A"),
         "jerk_x": ("OCN_PALLAS_TI_XJ", "OCN_PALLAS_TJ_XJ"),
         "jerk_sym": ("OCN_PALLAS_T_SYM", None),
+        "phi_x_sym": ("OCN_PALLAS_T_SYMXP", None),
     }.get(args.kernel, ("OCN_PALLAS_TI", "OCN_PALLAS_TJ"))
 
     rows = []
