@@ -97,7 +97,8 @@ class OutputConfig:
 @dataclasses.dataclass
 class MeshConfig:
     n_devices: int = 1           # 0 = all visible devices
-    mode: str = "auto"           # auto | allgather | ring | rdma (Pallas RDMA ring)
+    mode: str = "auto"           # auto | allgather | ring | rdma (Pallas
+    # RDMA ring) | halfring (pair-symmetric: each shard pair once)
 
 
 @dataclasses.dataclass

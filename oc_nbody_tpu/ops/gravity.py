@@ -233,6 +233,164 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 
 
 # --------------------------------------------------------------------------
+# cross-pair tier (halfring sharded mode): one sweep computes BOTH the
+# action on set A and the reaction on set B for two DISJOINT particle sets
+# (two mesh shards) — the jnp twin of ops.pallas_gravity's cross-pair
+# wrappers (same signatures; oracle for the emulated-mesh tests). The
+# pairwise weights w = gm·(r²+eps²)^{-3/2} are computed once and reduced
+# along both axes, so the pair count is genuinely halved vs two one-sided
+# rows calls. Blocked over A rows with lax.scan carrying the B accumulator;
+# inputs are f32-ready and globally centred (per-set centring would put A
+# and B in different frames).
+# --------------------------------------------------------------------------
+
+def _pad_rows_masses(pos, mass, n_pad):
+    n = pos.shape[0]
+    if n_pad == n:
+        return pos, mass
+    return (jnp.pad(pos, ((0, n_pad - n), (0, 0))),
+            jnp.pad(mass, ((0, n_pad - n),)))  # zero mass → zero reaction
+
+
+def accel_cross_pair(posA, posB, massA, massB, eps, G=1.0, chunk: int = 1024):
+    """(accel on A from B, accel on B from A), each (a, b) pair once."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    chunk = min(chunk, _round_up(nA, 8))
+    n_pad = _round_up(nA, chunk)
+    rows, gmA = _pad_rows_masses(posA, jnp.asarray(G, posA.dtype) * massA,
+                                 n_pad)
+    gmB = (jnp.asarray(G, posB.dtype) * massB)[None, :]
+    eps2 = jnp.asarray(eps, rows.dtype) ** 2
+    sx, sy, sz = posB[None, :, 0], posB[None, :, 1], posB[None, :, 2]
+
+    def body(aB, i0):
+        pi = lax.dynamic_slice(rows, (i0, 0), (chunk, 3))
+        gi = lax.dynamic_slice(gmA, (i0,), (chunk,))[:, None]
+        dx = sx - pi[:, 0:1]
+        dy = sy - pi[:, 1:2]
+        dz = sz - pi[:, 2:3]
+        u = dx * dx + dy * dy + dz * dz + eps2
+        inv_r = jnp.where(u > 0, lax.rsqrt(
+            jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
+        inv3 = inv_r * inv_r * inv_r
+        w = gmB * inv3
+        wi = gi * inv3
+        aA_blk = jnp.stack([jnp.sum(w * dx, axis=1),
+                            jnp.sum(w * dy, axis=1),
+                            jnp.sum(w * dz, axis=1)], axis=1)
+        aB = aB - jnp.stack([jnp.sum(wi * dx, axis=0),
+                             jnp.sum(wi * dy, axis=0),
+                             jnp.sum(wi * dz, axis=0)], axis=1)
+        return aB, aA_blk
+
+    aB, aA_blocks = lax.scan(body, jnp.zeros((nB, 3), rows.dtype),
+                             jnp.arange(0, n_pad, chunk))
+    return aA_blocks.reshape(-1, 3)[:nA], aB
+
+
+def accel_potential_cross_pair(posA, posB, massA, massB, eps, G=1.0,
+                               chunk: int = 1024):
+    """(accA, phiA, accB, phiB); the sets are disjoint, so neither phi has
+    a self term (no self_phi correction applies)."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    chunk = min(chunk, _round_up(nA, 8))
+    n_pad = _round_up(nA, chunk)
+    rows, gmA = _pad_rows_masses(posA, jnp.asarray(G, posA.dtype) * massA,
+                                 n_pad)
+    gmB = (jnp.asarray(G, posB.dtype) * massB)[None, :]
+    eps2 = jnp.asarray(eps, rows.dtype) ** 2
+    sx, sy, sz = posB[None, :, 0], posB[None, :, 1], posB[None, :, 2]
+
+    def body(carry, i0):
+        aB, pB = carry
+        pi = lax.dynamic_slice(rows, (i0, 0), (chunk, 3))
+        gi = lax.dynamic_slice(gmA, (i0,), (chunk,))[:, None]
+        dx = sx - pi[:, 0:1]
+        dy = sy - pi[:, 1:2]
+        dz = sz - pi[:, 2:3]
+        u = dx * dx + dy * dy + dz * dz + eps2
+        inv_r = jnp.where(u > 0, lax.rsqrt(
+            jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
+        inv3 = inv_r * inv_r * inv_r
+        w = gmB * inv3
+        wi = gi * inv3
+        aA_blk = jnp.stack([jnp.sum(w * dx, axis=1),
+                            jnp.sum(w * dy, axis=1),
+                            jnp.sum(w * dz, axis=1)], axis=1)
+        pA_blk = -jnp.sum(gmB * inv_r, axis=1)
+        aB = aB - jnp.stack([jnp.sum(wi * dx, axis=0),
+                             jnp.sum(wi * dy, axis=0),
+                             jnp.sum(wi * dz, axis=0)], axis=1)
+        pB = pB - jnp.sum(gi * inv_r, axis=0)
+        return (aB, pB), (aA_blk, pA_blk)
+
+    (aB, pB), (aA_blocks, pA_blocks) = lax.scan(
+        body, (jnp.zeros((nB, 3), rows.dtype), jnp.zeros((nB,), rows.dtype)),
+        jnp.arange(0, n_pad, chunk))
+    return (aA_blocks.reshape(-1, 3)[:nA], pA_blocks.reshape(-1)[:nA],
+            aB, pB)
+
+
+def accel_jerk_cross_pair(posA, velA, posB, velB, massA, massB, eps, G=1.0,
+                          chunk: int = 1024):
+    """(accA, jerkA, accB, jerkB); shared bracket dv − 3(r·v)inv²·d serves
+    both directions (reaction jerk = −action jerk pairwise)."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    chunk = min(chunk, _round_up(nA, 8))
+    n_pad = _round_up(nA, chunk)
+    rows, gmA = _pad_rows_masses(posA, jnp.asarray(G, posA.dtype) * massA,
+                                 n_pad)
+    vrows = (jnp.pad(velA, ((0, n_pad - nA), (0, 0)))
+             if n_pad != nA else velA)
+    gmB = (jnp.asarray(G, posB.dtype) * massB)[None, :]
+    eps2 = jnp.asarray(eps, rows.dtype) ** 2
+    sx, sy, sz = posB[None, :, 0], posB[None, :, 1], posB[None, :, 2]
+    svx, svy, svz = velB[None, :, 0], velB[None, :, 1], velB[None, :, 2]
+
+    def body(carry, i0):
+        aB, jB = carry
+        pi = lax.dynamic_slice(rows, (i0, 0), (chunk, 3))
+        vi = lax.dynamic_slice(vrows, (i0, 0), (chunk, 3))
+        gi = lax.dynamic_slice(gmA, (i0,), (chunk,))[:, None]
+        dx = sx - pi[:, 0:1]
+        dy = sy - pi[:, 1:2]
+        dz = sz - pi[:, 2:3]
+        dvx = svx - vi[:, 0:1]
+        dvy = svy - vi[:, 1:2]
+        dvz = svz - vi[:, 2:3]
+        u = dx * dx + dy * dy + dz * dz + eps2
+        inv_r = jnp.where(u > 0, lax.rsqrt(
+            jnp.maximum(u, jnp.finfo(u.dtype).tiny)), 0.0)
+        inv3 = inv_r * inv_r * inv_r
+        rv = dx * dvx + dy * dvy + dz * dvz
+        s = (3.0 * rv) * (inv_r * inv_r)
+        bx = dvx - s * dx
+        by = dvy - s * dy
+        bz = dvz - s * dz
+        w = gmB * inv3
+        wi = gi * inv3
+        aA_blk = jnp.stack([jnp.sum(w * dx, axis=1),
+                            jnp.sum(w * dy, axis=1),
+                            jnp.sum(w * dz, axis=1)], axis=1)
+        jA_blk = jnp.stack([jnp.sum(w * bx, axis=1),
+                            jnp.sum(w * by, axis=1),
+                            jnp.sum(w * bz, axis=1)], axis=1)
+        aB = aB - jnp.stack([jnp.sum(wi * dx, axis=0),
+                             jnp.sum(wi * dy, axis=0),
+                             jnp.sum(wi * dz, axis=0)], axis=1)
+        jB = jB - jnp.stack([jnp.sum(wi * bx, axis=0),
+                             jnp.sum(wi * by, axis=0),
+                             jnp.sum(wi * bz, axis=0)], axis=1)
+        return (aB, jB), (aA_blk, jA_blk)
+
+    zero = jnp.zeros((nB, 3), rows.dtype)
+    (aB, jB), (aA_blocks, jA_blocks) = lax.scan(
+        body, (zero, zero), jnp.arange(0, n_pad, chunk))
+    return (aA_blocks.reshape(-1, 3)[:nA], jA_blocks.reshape(-1, 3)[:nA],
+            aB, jB)
+
+
+# --------------------------------------------------------------------------
 # single-chip wrappers: centre -> f32 -> rows==sources -> cast back
 # --------------------------------------------------------------------------
 

@@ -3804,6 +3804,78 @@ def accel_jerk_sym_x_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
 
 
 # --------------------------------------------------------------------------
+# cross-pair wrappers (halfring sharded mode, parallel/force.py): ONE call
+# computes BOTH the action on set A and the reaction on set B — the
+# pair-symmetric building block between two *disjoint* particle sets (two
+# mesh shards). Row-layout f32-ready inputs (already globally centred by the
+# caller: per-set centring would put A and B in different frames). Both sets
+# are zero-mass padded to a common tile multiple; padded rows contribute 0
+# in either direction (gm = 0) and their output rows are sliced off.
+# --------------------------------------------------------------------------
+
+def _cross_pad(pos, gm, npad):
+    n = pos.shape[0]
+    rT = jnp.pad(pos.astype(jnp.float32).T, ((0, 0), (0, npad - n)))
+    g = jnp.pad(gm[None, :], ((0, 0), (0, npad - n)))
+    return rT, g
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_cross_pair(posA, posB, massA, massB, eps, G=1.0,
+                     guarded: bool = True):
+    """(accel on A from B, accel on B from A) in one pair-symmetric sweep
+    (_accel_kernel_cross_sym: each (a, b) pair once, reaction = −action)."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    G32 = jnp.asarray(G, jnp.float32)
+    npad = _round_up(max(nA, nB, T_SYMA), T_SYMA)
+    rA, gA = _cross_pad(posA, G32 * massA.astype(jnp.float32), npad)
+    rB, gB = _cross_pad(posB, G32 * massB.astype(jnp.float32), npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
+    return (oA[:, :nA].T.astype(posA.dtype),
+            oB[:, :nB].T.astype(posB.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_cross_pair(posA, posB, massA, massB, eps, G=1.0,
+                               guarded: bool = True):
+    """(accA, phiA, accB, phiB) in one pair-symmetric sweep. A and B are
+    disjoint, so neither phi contains a self term — nothing for the caller
+    to correct (the self_phi contract applies to rows==sources sums only)."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    G32 = jnp.asarray(G, jnp.float32)
+    npad = _round_up(max(nA, nB, T_SYMP), T_SYMP)
+    rA, gA = _cross_pad(posA, G32 * massA.astype(jnp.float32), npad)
+    rB, gB = _cross_pad(posB, G32 * massB.astype(jnp.float32), npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2, guarded)
+    return (oA[:, :nA].T.astype(posA.dtype), pA[0, :nA].astype(posA.dtype),
+            oB[:, :nB].T.astype(posB.dtype), pB[0, :nB].astype(posB.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_cross_pair(posA, velA, posB, velB, massA, massB, eps, G=1.0,
+                          guarded: bool = True):
+    """(accA, jerkA, accB, jerkB) in one pair-symmetric sweep (the shared
+    bracket B = dv − 3(r·v)inv²·d serves both directions)."""
+    nA, nB = posA.shape[0], posB.shape[0]
+    G32 = jnp.asarray(G, jnp.float32)
+    npad = _round_up(max(nA, nB, T_SYM), T_SYM)
+    rA, gA = _cross_pad(posA, G32 * massA.astype(jnp.float32), npad)
+    rB, gB = _cross_pad(posB, G32 * massB.astype(jnp.float32), npad)
+    vA = jnp.pad(velA.astype(jnp.float32).T, ((0, 0), (0, npad - nA)))
+    vB = jnp.pad(velB.astype(jnp.float32).T, ((0, 0), (0, npad - nB)))
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, jA, oB, jB = _cross_sym_jerk_call(rA, vA, gA, rB, vB, gB,
+                                              eps2, guarded)
+    return (oA[:, :nA].T.astype(posA.dtype), jA[:, :nA].T.astype(posA.dtype),
+            oB[:, :nB].T.astype(posB.dtype), jB[:, :nB].T.astype(posB.dtype))
+
+
+# --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------
 

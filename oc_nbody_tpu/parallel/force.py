@@ -17,6 +17,13 @@ rows + ICI allreduce". Two source strategies, both expressed with
     that overlap the tile sweep, with a semaphore handshake bounding ring
     skew (ops/pallas_ring.py; accel, accel+potential and accel+jerk).
     Pallas backend only.
+  * ``halfring``  — PAIR-SYMMETRIC ring: each unordered shard pair is
+    computed once (the cross-pair kernels return action AND reaction),
+    so sources circulate only ⌈(D-1)/2⌉ hops and one ``psum_scatter``
+    returns the accumulated reactions to their owners — the multi-chip
+    form of the single-chip pair-symmetric kernels' Newton's-3rd-law
+    halving (≈2× less pairwise compute than ``ring`` at large D, for
+    (D/2)+1 collectives vs D-1). See ``_halfring_sweep``.
 
 The per-shard compute is the same rows-vs-sources kernel as single-chip
 (ops.gravity / ops.pallas_gravity), so sharded == single-device up to f32
@@ -63,6 +70,116 @@ def _two_sum(acc, comp, partial):
     t = jax.lax.optimization_barrier(acc + y)
     comp = (t - acc) - y
     return t, comp
+
+
+def _halfring_sweep(ax, d, locals_, circ0, diag_out, cross_fn):
+    """Pair-symmetric sharded sweep (mode="halfring"): each unordered
+    shard pair is computed ONCE and the reaction delivered back, halving
+    the cross-shard pair count vs the one-sided ring (D-1 one-sided evals
+    → (D-1)/2 cross-pair evals plus, for even D, two half-size quadrant
+    evals).
+
+    Structure (SPMD, device ``idx`` along ``ax``):
+      * ``diag_out`` — the pair-symmetric self-interaction of the local
+        shard, already computed by the caller.
+      * (D-1)//2 hops: the source shard circulates (``ppermute``); each
+        hop the cross-pair kernel returns the action on the local rows
+        AND the reaction on the circulated shard. Reactions accumulate in
+        a (D·S, ...) slot buffer at the owner's slot.
+      * even D: after one more hop each unordered pair {A, B = A+D/2} is
+        held by BOTH members; to keep shapes uniform across devices each
+        member computes two half×half quadrants — the first member
+        (idx < D/2) takes (A_f×B_f, A_s×B_s), the second (B_f×A_s,
+        B_s×A_f) — covering all four quadrants exactly once.
+      * one ``psum_scatter`` returns every reaction slot to its owner
+        (reduce-scatter: each device receives the sum of its own slot).
+
+    Cross-shard partial sums are Kahan-compensated with ``_two_sum`` like
+    the ring mode (the psum_scatter-internal reduction over ~D/2 partials
+    stays plain f32 — unavoidable inside the collective, and small next
+    to the per-shard tile sums the kernels already compensate).
+
+    ``locals_``/``circ0``: tuples of per-shard arrays (pos[, vel], mass).
+    ``cross_fn(rows, circ) -> (outs_on_rows, outs_on_circ)`` with tuples
+    of equal length as ``diag_out``. Returns the summed outputs tuple.
+    """
+    S = circ0[0].shape[0]
+    idx = lax.axis_index(ax)
+    perm = [(i, (i - 1) % d) for i in range(d)]  # i receives from i+1:
+    # after s hops the local circulating copy holds shard (idx + s) % d
+
+    def _idx(start, ndim):
+        # axis_index is int32; pad the remaining index slots to match
+        # (mixed-width dynamic_slice indices are rejected under x64)
+        z = jnp.zeros((), jnp.asarray(start).dtype)
+        return (start,) + (z,) * (ndim - 1)
+
+    def slice_r(r, start):
+        return lax.dynamic_slice(r, _idx(start, r.ndim), (S,) + r.shape[1:])
+
+    def update_r(r, start, val):
+        return lax.dynamic_update_slice(
+            r, slice_r(r, start) + val, _idx(start, r.ndim))
+
+    acc = tuple(diag_out)
+    if d == 1:
+        return acc
+    comp = tuple(jnp.zeros_like(a) for a in acc)
+    react = tuple(jnp.zeros((d * S,) + a.shape[1:], a.dtype) for a in acc)
+    half = (d - 1) // 2
+    circ = circ0
+
+    def hop(circ):
+        return tuple(lax.ppermute(x, ax, perm) for x in circ)
+
+    def body(s, carry):
+        acc, comp, react, circ = carry
+        circ = hop(circ)
+        outsA, outsB = cross_fn(locals_, circ)
+        slot = ((idx + s) % d) * S
+        pairs = [_two_sum(a, c, oa) for a, c, oa in zip(acc, comp, outsA)]
+        acc = tuple(p[0] for p in pairs)
+        comp = tuple(p[1] for p in pairs)
+        react = tuple(update_r(r, slot, ob)
+                      for r, ob in zip(react, outsB))
+        return acc, comp, react, circ
+
+    if half >= 1:
+        acc, comp, react, circ = lax.fori_loop(
+            1, half + 1, body, (acc, comp, react, circ))
+
+    if d % 2 == 0:
+        circ = hop(circ)  # now holds shard (idx + d/2) % d
+        h = S // 2
+        first = idx < (d // 2)
+        s1 = jnp.where(first, 0, h)
+        slot = ((idx + d // 2) % d) * S
+        rows1 = tuple(x[:h] for x in locals_)
+        rows2 = tuple(x[h:] for x in locals_)
+
+        def csl(x, start):
+            return lax.dynamic_slice(x, _idx(start, x.ndim),
+                                     (h,) + x.shape[1:])
+
+        o1A, o1B = cross_fn(rows1, tuple(csl(x, s1) for x in circ))
+        o2A, o2B = cross_fn(rows2, tuple(csl(x, h - s1) for x in circ))
+        pairs = [_two_sum(a, c, jnp.concatenate([a1, a2], axis=0))
+                 for a, c, a1, a2 in zip(acc, comp, o1A, o2A)]
+        acc = tuple(p[0] for p in pairs)
+        comp = tuple(p[1] for p in pairs)
+
+        def half_buf(o1, o2):
+            buf = jnp.zeros((S,) + o1.shape[1:], o1.dtype)
+            buf = lax.dynamic_update_slice(buf, o1, _idx(s1, o1.ndim))
+            return lax.dynamic_update_slice(buf, o2, _idx(h - s1, o2.ndim))
+
+        react = tuple(update_r(r, slot, half_buf(o1, o2))
+                      for r, o1, o2 in zip(react, o1B, o2B))
+
+    recv = tuple(lax.psum_scatter(r, ax, scatter_dimension=0, tiled=True)
+                 for r in react)
+    return tuple(_two_sum(a, c, rv)[0]
+                 for a, c, rv in zip(acc, comp, recv))
 
 
 @jax.tree_util.register_dataclass
@@ -296,6 +413,21 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, mass_l):
+            if self.mode == "halfring":
+                # pair-symmetric: each unordered shard pair computed once
+                # (diag via the size-aware sym dispatcher, crosses via the
+                # cross-pair kernels, reactions returned by psum_scatter)
+                diag = (k.accel(pos_l, mass_l, eps32, G32),)
+
+                def cross(rows, circ):
+                    aA, aB = k.accel_cross_pair(rows[0], circ[0],
+                                                rows[1], circ[1],
+                                                eps32, G32)
+                    return (aA,), (aB,)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size, (pos_l, mass_l),
+                    (pos_l, mass_l), diag, cross)[0]
             if self.mode == "rdma":
                 # whole ring inside ONE Pallas kernel: explicit
                 # make_async_remote_copy RDMAs overlapped with the tile
@@ -346,6 +478,21 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, mass_l):
+            if self.mode == "halfring":
+                # diag phi comes out of the public dispatcher ALREADY
+                # self-term corrected; cross phi has no self term (disjoint
+                # sets) — so the outer self_phi addition is skipped for
+                # this mode (see below)
+                diag = k.accel_potential(pos_l, mass_l, eps32, G32)
+
+                def cross(rows, circ):
+                    aA, pA, aB, pB = k.accel_potential_cross_pair(
+                        rows[0], circ[0], rows[1], circ[1], eps32, G32)
+                    return (aA, pA), (aB, pB)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size, (pos_l, mass_l),
+                    (pos_l, mass_l), diag, cross)
             if self.mode == "rdma":
                 from oc_nbody_tpu.ops import pallas_ring
                 return pallas_ring.accel_potential_ring(
@@ -381,7 +528,11 @@ class ShardedForce:
             check_vma=False,
         )(pos_p, mass_p)
         acc = acc[:n].astype(pos.dtype)
-        phi = (phi[:n] + gravity.self_phi(mass_c, eps32, G32)).astype(pos.dtype)
+        if self.mode == "halfring":
+            # the halfring diag used the self-corrected public dispatcher
+            phi = phi[:n].astype(pos.dtype)
+        else:
+            phi = (phi[:n] + gravity.self_phi(mass_c, eps32, G32)).astype(pos.dtype)
         if self.external is not None:
             acc = acc + self.external.accel(pos)
             phi_ext = self.external.phi(pos)
@@ -401,6 +552,18 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(pos_l, vel_l, mass_l):
+            if self.mode == "halfring":
+                diag = k.accel_jerk(pos_l, vel_l, mass_l, eps32, G32)
+
+                def cross(rows, circ):
+                    aA, jA, aB, jB = k.accel_jerk_cross_pair(
+                        rows[0], rows[1], circ[0], circ[1],
+                        rows[2], circ[2], eps32, G32)
+                    return (aA, jA), (aB, jB)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size, (pos_l, vel_l, mass_l),
+                    (pos_l, vel_l, mass_l), diag, cross)
             if self.mode == "rdma":
                 from oc_nbody_tpu.ops import pallas_ring
                 return pallas_ring.accel_jerk_ring(
@@ -535,8 +698,13 @@ class ShardedForce:
 def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        mode: str = "allgather", backend: str = "auto",
                        chunk: int = 1024, precision: str = "f32") -> ShardedForce:
-    if mode not in ("allgather", "ring", "rdma"):
+    if mode not in ("allgather", "ring", "rdma", "halfring"):
         raise ValueError(f"unknown sharded-force mode {mode!r}")
+    if mode == "halfring" and precision == "extended":
+        raise ValueError(
+            "the extended tier rides the one-sided collectives "
+            "(ring/allgather) for now; mode='halfring' is f32-only — use "
+            "mode='ring' with precision='extended'")
     if precision not in ("f32", "extended"):
         # df32 stays single-chip: on the mesh the honest routing already
         # sends it to emulated f64 (slower than extended for ~no accuracy
