@@ -336,6 +336,132 @@ def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
 
 
 # --------------------------------------------------------------------------
+# extended-tier cross-pair functions (halfring sharded mode): one sweep
+# computes BOTH the action on set A and the reaction on set B for two
+# DISJOINT sets — the jnp twins of ops.pallas_gravity's *_cross_pair_x_hilo
+# wrappers (same signatures/contract; oracle for the emulated-mesh tests).
+# Inputs are pre-split (hi, lo) f32 planes under ONE global centring and
+# gm = G·mass f32, like the *_rows_x_hilo family above.
+# --------------------------------------------------------------------------
+
+def _ext_cross_block(rAhi_b, rAlo_b, gmA_b, shi, slo, gmB, eps2, guarded,
+                     want_phi=False, vAhi_b=None, vAlo_b=None,
+                     svhi=None, svlo=None):
+    """One A-row block vs all of B, extended precision, BOTH directions.
+    Returns (outs_on_A_block, reaction_contribs_on_B) tuples."""
+    d = shi[None, :, :] - rAhi_b[:, None, :]
+    e = slo[None, :, :] - rAlo_b[:, None, :]
+    dd = jnp.sum(d * d, axis=-1)
+    de = jnp.sum(d * e, axis=-1)
+    u = dd + (jnp.float32(2.0) * de + eps2)
+    if guarded:
+        tiny = jnp.float32(1.1754944e-38)
+        inv = jnp.where(u > 0, jax.lax.rsqrt(jnp.maximum(u, tiny)), 0.0)
+    else:
+        inv = jax.lax.rsqrt(u)
+    inv = inv * (jnp.float32(1.5)
+                 - (jnp.float32(0.5) * u) * (inv * inv))
+    s = d + e
+    gminvB = gmB[None, :] * inv
+    gminvA = gmA_b[:, None] * inv
+    wB = gminvB * (inv * inv)
+    wA = gminvA * (inv * inv)
+    accA = jnp.sum(wB[:, :, None] * s, axis=1)
+    accB = -jnp.sum(wA[:, :, None] * s, axis=0)
+    outsA, outsB = (accA,), (accB,)
+    if want_phi:
+        outsA = outsA + (-jnp.sum(gminvB, axis=1),)
+        outsB = outsB + (-jnp.sum(gminvA, axis=0),)
+    if svhi is not None:
+        dv = ((svhi[None, :, :] - vAhi_b[:, None, :])
+              + (svlo[None, :, :] - vAlo_b[:, None, :]))
+        rv = jnp.sum(s * dv, axis=-1)
+        sB = (jnp.float32(3.0) * rv) * wB * (inv * inv)
+        sA = (jnp.float32(3.0) * rv) * wA * (inv * inv)
+        outsA = outsA + (jnp.sum(wB[:, :, None] * dv
+                                 - sB[:, :, None] * s, axis=1),)
+        outsB = outsB + (-jnp.sum(wA[:, :, None] * dv
+                                  - sA[:, :, None] * s, axis=0),)
+    return outsA, outsB
+
+
+def _ext_cross_scan(nA, chunk, block, accB0):
+    """Scan A-row blocks, stacking A outputs and accumulating B reactions."""
+    nb = -(-nA // chunk)
+
+    def body(accB, i):
+        outsA, outsB = block(i)
+        return tuple(a + b for a, b in zip(accB, outsB)), outsA
+
+    accB, outsA = jax.lax.scan(body, accB0, jnp.arange(nb))
+    outsA = tuple(o.reshape((nb * chunk,) + o.shape[2:])[:nA] for o in outsA)
+    return outsA, accB
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB, eps,
+                            chunk: int = 256, guarded: bool = True):
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    nb = -(-nA // chunk)
+    rh, rl = _pad0(rAhi, nb * chunk), _pad0(rAlo, nb * chunk)
+    gA = _pad0(gmA, nb * chunk)  # zero gm → zero reaction from pad rows
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_cross_block(sl(rh), sl(rl), sl(gA), rBhi, rBlo, gmB,
+                                eps2, guarded)
+
+    z3 = jnp.zeros((nB, 3), jnp.float32)
+    (aA,), (aB,) = _ext_cross_scan(nA, chunk, block, (z3,))
+    return aA, aB
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_potential_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB,
+                                      eps, chunk: int = 256,
+                                      guarded: bool = True):
+    """Disjoint sets — neither phi contains a self term."""
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    nb = -(-nA // chunk)
+    rh, rl = _pad0(rAhi, nb * chunk), _pad0(rAlo, nb * chunk)
+    gA = _pad0(gmA, nb * chunk)
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_cross_block(sl(rh), sl(rl), sl(gA), rBhi, rBlo, gmB,
+                                eps2, guarded, want_phi=True)
+
+    z3 = jnp.zeros((nB, 3), jnp.float32)
+    z1 = jnp.zeros((nB,), jnp.float32)
+    (aA, pA), (aB, pB) = _ext_cross_scan(nA, chunk, block, (z3, z1))
+    return aA, pA, aB, pB
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "guarded"))
+def accel_jerk_cross_pair_x_hilo(rAhi, rAlo, vAhi, vAlo, rBhi, rBlo,
+                                 vBhi, vBlo, gmA, gmB, eps,
+                                 chunk: int = 256, guarded: bool = True):
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    nb = -(-nA // chunk)
+    rh, rl = _pad0(rAhi, nb * chunk), _pad0(rAlo, nb * chunk)
+    vh, vl = _pad0(vAhi, nb * chunk), _pad0(vAlo, nb * chunk)
+    gA = _pad0(gmA, nb * chunk)
+
+    def block(i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        return _ext_cross_block(sl(rh), sl(rl), sl(gA), rBhi, rBlo, gmB,
+                                eps2, guarded, vAhi_b=sl(vh), vAlo_b=sl(vl),
+                                svhi=vBhi, svlo=vBlo)
+
+    z3 = jnp.zeros((nB, 3), jnp.float32)
+    (aA, jA), (aB, jB) = _ext_cross_scan(nA, chunk, block, (z3, z3))
+    return aA, jA, aB, jB
+
+
+# --------------------------------------------------------------------------
 # full df32 tier (~48-bit pairwise arithmetic)
 # --------------------------------------------------------------------------
 

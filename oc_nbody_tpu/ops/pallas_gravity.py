@@ -3875,6 +3875,66 @@ def accel_jerk_cross_pair(posA, velA, posB, velB, massA, massB, eps, G=1.0,
             oB[:, :nB].T.astype(posB.dtype), jB[:, :nB].T.astype(posB.dtype))
 
 
+# extended-tier cross-pair wrappers (halfring + precision="extended"):
+# pre-split (hi, lo) f32 planes under ONE global centring (the caller's
+# _split_global), gm = G·mass in f32 — same contract as *_x_hilo. Same
+# zero-mass common-size padding rules as the f32 cross-pair wrappers.
+
+def _cross_pad_x(hi, lo, gm, npad):
+    n = hi.shape[0]
+    return (_padT(hi, npad), _padT(lo, npad),
+            jnp.pad(gm[None, :], ((0, 0), (0, npad - n))))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB, eps,
+                            guarded: bool = True):
+    """Extended-tier (accel on A from B, accel on B from A), one sweep."""
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    npad = _round_up(max(nA, nB, T_SYMX), T_SYMX)
+    hA, lA, gA = _cross_pad_x(rAhi, rAlo, gmA, npad)
+    hB, lB, gB = _cross_pad_x(rBhi, rBlo, gmB, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, oB = _cross_sym_x_call(hA, lA, gA, hB, lB, gB, eps2, guarded)
+    return oA[:, :nA].T, oB[:, :nB].T
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB,
+                                      eps, guarded: bool = True):
+    """Extended-tier (accA, phiA, accB, phiB); disjoint sets — neither phi
+    contains a self term."""
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    npad = _round_up(max(nA, nB, T_SYMXP), T_SYMXP)
+    hA, lA, gA = _cross_pad_x(rAhi, rAlo, gmA, npad)
+    hB, lB, gB = _cross_pad_x(rBhi, rBlo, gmB, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, oB, pA, pB = _cross_sym_x_phi_call(hA, lA, gA, hB, lB, gB,
+                                               eps2, guarded)
+    return oA[:, :nA].T, pA[0, :nA], oB[:, :nB].T, pB[0, :nB]
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_cross_pair_x_hilo(rAhi, rAlo, vAhi, vAlo, rBhi, rBlo,
+                                 vBhi, vBlo, gmA, gmB, eps,
+                                 guarded: bool = True):
+    """Extended-tier (accA, jerkA, accB, jerkB), one sweep."""
+    nA, nB = rAhi.shape[0], rBhi.shape[0]
+    npad = _round_up(max(nA, nB, T_SYMXJ), T_SYMXJ)
+    hA, lA, gA = _cross_pad_x(rAhi, rAlo, gmA, npad)
+    hB, lB, gB = _cross_pad_x(rBhi, rBlo, gmB, npad)
+    vhA, vlA = _padT(vAhi, npad), _padT(vAlo, npad)
+    vhB, vlB = _padT(vBhi, npad), _padT(vBlo, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        oA, jA, oB, jB = _cross_sym_xj_call(hA, lA, vhA, vlA, gA,
+                                            hB, lB, vhB, vlB, gB,
+                                            eps2, guarded)
+    return (oA[:, :nA].T, jA[:, :nA].T, oB[:, :nB].T, jB[:, :nB].T)
+
+
 # --------------------------------------------------------------------------
 # single-chip wrappers (same API as ops.gravity)
 # --------------------------------------------------------------------------

@@ -260,6 +260,21 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(hi_l, lo_l, gm_l):
+            if self.mode == "halfring":
+                # diag one-sided (no hilo sym-self entry point; the cross
+                # sweeps dominate at D >= 4), crosses pair-symmetric
+                diag = (m.accel_rows_x_hilo(hi_l, lo_l, hi_l, lo_l, gm_l,
+                                            eps32),)
+
+                def cross(rows, circ):
+                    aA, aB = m.accel_cross_pair_x_hilo(
+                        rows[0], rows[1], circ[0], circ[1],
+                        rows[2], circ[2], eps32)
+                    return (aA,), (aB,)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size, (hi_l, lo_l, gm_l),
+                    (hi_l, lo_l, gm_l), diag, cross)[0]
             if self.mode == "ring":
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
@@ -303,6 +318,22 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(hi_l, lo_l, gm_l):
+            if self.mode == "halfring":
+                # diag one-sided: phi keeps the rows==sources self-term
+                # contract, and the outer self_phi addition corrects it
+                # (cross phi has no self term — disjoint sets)
+                diag = m.accel_potential_rows_x_hilo(hi_l, lo_l, hi_l, lo_l,
+                                                     gm_l, eps32)
+
+                def cross(rows, circ):
+                    aA, pA, aB, pB = m.accel_potential_cross_pair_x_hilo(
+                        rows[0], rows[1], circ[0], circ[1],
+                        rows[2], circ[2], eps32)
+                    return (aA, pA), (aB, pB)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size, (hi_l, lo_l, gm_l),
+                    (hi_l, lo_l, gm_l), diag, cross)
             if self.mode == "ring":
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
@@ -356,6 +387,22 @@ class ShardedForce:
         ax = self.axis
 
         def shard_fn(hi_l, lo_l, vhi_l, vlo_l, gm_l):
+            if self.mode == "halfring":
+                diag = m.accel_jerk_rows_x_hilo(
+                    hi_l, lo_l, vhi_l, vlo_l,
+                    hi_l, lo_l, vhi_l, vlo_l, gm_l, eps32)
+
+                def cross(rows, circ):
+                    aA, jA, aB, jB = m.accel_jerk_cross_pair_x_hilo(
+                        rows[0], rows[1], rows[2], rows[3],
+                        circ[0], circ[1], circ[2], circ[3],
+                        rows[4], circ[4], eps32)
+                    return (aA, jA), (aB, jB)
+
+                return _halfring_sweep(
+                    ax, self.mesh.devices.size,
+                    (hi_l, lo_l, vhi_l, vlo_l, gm_l),
+                    (hi_l, lo_l, vhi_l, vlo_l, gm_l), diag, cross)
             if self.mode == "ring":
                 d = self.mesh.devices.size
                 perm = [(i, (i + 1) % d) for i in range(d)]
@@ -700,11 +747,6 @@ def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        chunk: int = 1024, precision: str = "f32") -> ShardedForce:
     if mode not in ("allgather", "ring", "rdma", "halfring"):
         raise ValueError(f"unknown sharded-force mode {mode!r}")
-    if mode == "halfring" and precision == "extended":
-        raise ValueError(
-            "the extended tier rides the one-sided collectives "
-            "(ring/allgather) for now; mode='halfring' is f32-only — use "
-            "mode='ring' with precision='extended'")
     if precision not in ("f32", "extended"):
         # df32 stays single-chip: on the mesh the honest routing already
         # sends it to emulated f64 (slower than extended for ~no accuracy

@@ -103,11 +103,16 @@ class TestPallasHalfring:
     def _interpret(self, monkeypatch):
         monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
         # production tiles pad 100-particle shards to 384+ — shrink
-        for k in ("T_SYM", "T_SYMA", "T_SYMP", "SYM_MIN"):
+        for k in ("T_SYM", "T_SYMA", "T_SYMP", "SYM_MIN",
+                  "T_SYMX", "T_SYMXP", "T_SYMXJ"):
             monkeypatch.setattr(pg, k, 32)
         jitted = (pg.accel, pg.accel_potential, pg.accel_jerk,
                   pg.accel_cross_pair, pg.accel_potential_cross_pair,
-                  pg.accel_jerk_cross_pair)
+                  pg.accel_jerk_cross_pair, pg.accel_rows_x_hilo,
+                  pg.accel_potential_rows_x_hilo, pg.accel_jerk_rows_x_hilo,
+                  pg.accel_cross_pair_x_hilo,
+                  pg.accel_potential_cross_pair_x_hilo,
+                  pg.accel_jerk_cross_pair_x_hilo)
         for fn in jitted:
             fn.clear_cache()
         yield
@@ -140,14 +145,57 @@ class TestPallasHalfring:
             np.asarray(jj), np.asarray(jj_ref),
             atol=3e-6 * float(jnp.max(jnp.linalg.norm(jj_ref, axis=1))))
 
+    def test_extended_tier(self):
+        """Extended halfring through the Pallas cross-pair-x kernels
+        (interpret) ≡ the df32 oracle."""
+        from oc_nbody_tpu.ops import df32
 
-def test_halfring_rejects_extended_tier():
-    """The extended tier rides the one-sided collectives for now — the
-    construction must fail loudly, not silently degrade (the round-2 W6
-    pattern)."""
-    with pytest.raises(ValueError, match="halfring"):
-        make_sharded_force(eps=EPS, mesh=_mesh(8), mode="halfring",
-                           precision="extended")
+        pos, vel, mass = _cluster(n=96, seed=9)
+        sf = make_sharded_force(eps=EPS, mesh=_mesh(8), mode="halfring",
+                                backend="pallas", precision="extended")
+        out = jax.jit(sf.accel)(pos, mass)
+        ref = df32.accel_extended(pos, mass, eps=EPS, chunk=64)
+        scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-6 * scale)
+        aj, jj = jax.jit(sf.accel_jerk)(pos, vel, mass)
+        _, jj_ref = df32.accel_jerk_extended(pos, vel, mass, eps=EPS,
+                                             chunk=64)
+        np.testing.assert_allclose(
+            np.asarray(jj), np.asarray(jj_ref),
+            atol=3e-6 * float(jnp.max(jnp.linalg.norm(jj_ref, axis=1))))
+
+
+@pytest.mark.parametrize("d", [5, 8])
+def test_halfring_extended_tier_matches_df32_oracle(d):
+    """precision="extended" through halfring (hi/lo planes circulate,
+    cross-pair-x kernels, one-sided diag): must agree with the
+    single-device extended oracle to the tier's own accuracy."""
+    from oc_nbody_tpu.ops import df32
+
+    pos, vel, mass = _cluster(n=112, seed=5)
+    sf = make_sharded_force(eps=EPS, mesh=_mesh(d), mode="halfring",
+                            backend="jnp", precision="extended")
+    out = jax.jit(sf.accel)(pos, mass)
+    ref = df32.accel_extended(pos, mass, eps=EPS, chunk=64)
+    scale = float(jnp.max(jnp.linalg.norm(ref, axis=1)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-6 * scale)
+
+    acc, phi, _ = jax.jit(sf.accel_potential)(pos, mass)
+    _, phi_ref = df32.accel_potential_extended(pos, mass, eps=EPS, chunk=64)
+    # the tier oracle's phi INCLUDES the softened self term (its
+    # docstring contract); ShardedForce returns the corrected phi
+    phi_ref = phi_ref + gravity.self_phi(jnp.asarray(mass, jnp.float32),
+                                         jnp.float32(EPS), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               atol=3e-6 * float(jnp.max(jnp.abs(phi_ref))))
+
+    aj, jj = jax.jit(sf.accel_jerk)(pos, vel, mass)
+    _, jj_ref = df32.accel_jerk_extended(pos, vel, mass, eps=EPS, chunk=64)
+    np.testing.assert_allclose(
+        np.asarray(jj), np.asarray(jj_ref),
+        atol=3e-6 * float(jnp.max(jnp.linalg.norm(jj_ref, axis=1))))
 
 
 def test_cross_pair_jnp_matches_one_sided():
