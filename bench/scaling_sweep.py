@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=131072)
     ap.add_argument("--modes", nargs="*",
-                    default=["allgather", "ring", "rdma"])
+                    default=["allgather", "ring", "rdma", "halfring"])
     ap.add_argument("--devices", nargs="*", type=int, default=None,
                     help="device counts to sweep (default: 1,2,4,..,all)")
     ap.add_argument("--repeats", type=int, default=5)

@@ -102,6 +102,11 @@ def _halfring_sweep(ax, d, locals_, circ0, diag_out, cross_fn):
     ``locals_``/``circ0``: tuples of per-shard arrays (pos[, vel], mass).
     ``cross_fn(rows, circ) -> (outs_on_rows, outs_on_circ)`` with tuples
     of equal length as ``diag_out``. Returns the summed outputs tuple.
+
+    Memory: the reaction slot buffer is (D·S, ...) per device — full-N
+    sized, like allgather's source replication (a per-slot ppermute
+    return would trade that for D/2 more collectives; not worth it at
+    the N/D this engine shards).
     """
     S = circ0[0].shape[0]
     idx = lax.axis_index(ax)
