@@ -9,7 +9,8 @@ Usage: python bench/validate_pallas.py [--section S]
 
 Sections (default "all"): base (one-sided + resident sym + tiers +
 streamed), chunked (f32 chunked family), batched (f32 multi-dispatch),
-chunkedx (extended chunked family), batchedx (extended multi-dispatch).
+chunkedx (extended chunked family), batchedx (extended multi-dispatch),
+cross (halfring cross-pair wrappers, f32 + extended).
 Cold compiles are 1-6 min/program through this environment's remote-
 compile relay and a KILLED process does not populate the compile cache —
 running section by section lets each process exit cleanly and cache its
@@ -211,6 +212,77 @@ def main():
             pos_s, vel_s, mass_s, 0.05, chunk=ck, n_batches=2)
         _chk("jerk-x-bat", float(jnp.max(jnp.linalg.norm(j - rj, axis=1)))
              / jsc, XTOL)
+
+    if on("cross"):
+        # halfring cross-pair wrappers (parallel/force.py mode="halfring"):
+        # two disjoint sets; jnp twins are the oracle. Sizes straddle a
+        # tile boundary so the zero-mass common-size padding executes.
+        kpa, kpb, kva = jax.random.split(jax.random.PRNGKey(33), 3)
+        nA, nB = 2048, 2048
+        pA = jax.random.normal(kpa, (nA, 3), jnp.float64)
+        pB = jax.random.normal(kpb, (nB, 3), jnp.float64) + 0.5
+        vA = 0.3 * jax.random.normal(kva, (nA, 3), jnp.float64)
+        vB = 0.3 * jax.random.normal(kva, (nB, 3), jnp.float64)
+        mA = jax.random.uniform(kpa, (nA,), jnp.float64, 0.5, 1.5) / nA
+        mB = jax.random.uniform(kpb, (nB,), jnp.float64, 0.5, 1.5) / nB
+        pA32, pB32 = pA.astype(jnp.float32), pB.astype(jnp.float32)
+        mA32, mB32 = mA.astype(jnp.float32), mB.astype(jnp.float32)
+
+        raA, raB = gravity.accel_cross_pair(pA32, pB32, mA32, mB32, 0.05)
+        oaA, oaB = pg.accel_cross_pair(pA32, pB32, mA32, mB32, 0.05)
+        csc = float(jnp.max(jnp.linalg.norm(raA, axis=1)))
+        _chk("cross-accel",
+             max(float(jnp.max(jnp.abs(oaA - raA))),
+                 float(jnp.max(jnp.abs(oaB - raB)))) / csc, TOL)
+        r = gravity.accel_potential_cross_pair(pA32, pB32, mA32, mB32, 0.05)
+        o = pg.accel_potential_cross_pair(pA32, pB32, mA32, mB32, 0.05)
+        _chk("cross-phi",
+             max(float(jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y))))
+                 for x, y in zip(r, o)) / min(csc, float(jnp.max(jnp.abs(r[1])))),
+             TOL)
+        r = gravity.accel_jerk_cross_pair(pA32, vA.astype(jnp.float32),
+                                          pB32, vB.astype(jnp.float32),
+                                          mA32, mB32, 0.05)
+        o = pg.accel_jerk_cross_pair(pA32, vA.astype(jnp.float32),
+                                     pB32, vB.astype(jnp.float32),
+                                     mA32, mB32, 0.05)
+        _chk("cross-jerk",
+             max(float(jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y))))
+                 for x, y in zip(r, o))
+             / float(jnp.max(jnp.linalg.norm(r[1], axis=1))), TOL)
+
+        # extended cross-pair (df32 twins are the oracle)
+        from oc_nbody_tpu.ops import df32
+        def _split(a):
+            hi = a.astype(jnp.float32)
+            return hi, (a - hi.astype(a.dtype)).astype(jnp.float32)
+        rAh, rAl = _split(pA)
+        rBh, rBl = _split(pB)
+        vAh, vAl = _split(vA)
+        vBh, vBl = _split(vB)
+        r = df32.accel_cross_pair_x_hilo(rAh, rAl, rBh, rBl, mA32, mB32,
+                                         0.05, chunk=256)
+        o = pg.accel_cross_pair_x_hilo(rAh, rAl, rBh, rBl, mA32, mB32, 0.05)
+        _chk("cross-accel-x",
+             max(float(jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y))))
+                 for x, y in zip(r, o)) / csc, XTOL)
+        r = df32.accel_jerk_cross_pair_x_hilo(
+            rAh, rAl, vAh, vAl, rBh, rBl, vBh, vBl, mA32, mB32, 0.05,
+            chunk=256)
+        o = pg.accel_jerk_cross_pair_x_hilo(
+            rAh, rAl, vAh, vAl, rBh, rBl, vBh, vBl, mA32, mB32, 0.05)
+        _chk("cross-jerk-x",
+             max(float(jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y))))
+                 for x, y in zip(r, o))
+             / float(jnp.max(jnp.linalg.norm(r[1], axis=1))), XTOL)
+        r = df32.accel_potential_cross_pair_x_hilo(
+            rAh, rAl, rBh, rBl, mA32, mB32, 0.05, chunk=256)
+        o = pg.accel_potential_cross_pair_x_hilo(
+            rAh, rAl, rBh, rBl, mA32, mB32, 0.05)
+        _chk("cross-phi-x",
+             max(float(jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(y))))
+                 for x, y in zip(r, o))
+             / float(jnp.max(jnp.abs(r[1]))), XTOL)
 
     if failures:
         print("FAILURES:", failures)
