@@ -33,7 +33,7 @@ def _mesh_cfg(tmp_path, mode, backend="jnp", n=96):
     return cfg
 
 
-@pytest.mark.parametrize("mode", ["allgather", "ring"])
+@pytest.mark.parametrize("mode", ["allgather", "ring", "halfring"])
 def test_driver_on_mesh_matches_single_device(tmp_path, mode):
     res = run(_mesh_cfg(tmp_path, mode))
     cfg1 = _mesh_cfg(tmp_path, mode)
