@@ -3811,6 +3811,13 @@ def accel_jerk_sym_x_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
 # caller: per-set centring would put A and B in different frames). Both sets
 # are zero-mass padded to a common tile multiple; padded rows contribute 0
 # in either direction (gm = 0) and their output rows are sliced off.
+#
+# VMEM-RESIDENT like the sym kernels: both transposed operand sets plus the
+# two outputs live in regular VMEM (~32 B/particle/plane), so per-shard
+# sizes are good to the same ~262k residency class as STREAM_N. For larger
+# shards use mode="ring" (streamed one-sided kernels); a chunked cross-pair
+# form (the accel_sym_chunked machinery applied across two shards) is the
+# natural extension if a >262k-per-shard halfring use case appears.
 # --------------------------------------------------------------------------
 
 def _cross_pad(pos, gm, npad):
