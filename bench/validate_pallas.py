@@ -217,14 +217,17 @@ def main():
         # halfring cross-pair wrappers (parallel/force.py mode="halfring"):
         # two disjoint sets; jnp twins are the oracle. Sizes straddle a
         # tile boundary so the zero-mass common-size padding executes.
-        kpa, kpb, kva = jax.random.split(jax.random.PRNGKey(33), 3)
+        # distinct keys per operand: identical vA/vB (or mA/mB) would let an
+        # A/B operand swap in the kernels validate as correct
+        kpa, kpb, kva, kvb, kma, kmb = jax.random.split(
+            jax.random.PRNGKey(33), 6)
         nA, nB = 2048, 2048
         pA = jax.random.normal(kpa, (nA, 3), jnp.float64)
         pB = jax.random.normal(kpb, (nB, 3), jnp.float64) + 0.5
         vA = 0.3 * jax.random.normal(kva, (nA, 3), jnp.float64)
-        vB = 0.3 * jax.random.normal(kva, (nB, 3), jnp.float64)
-        mA = jax.random.uniform(kpa, (nA,), jnp.float64, 0.5, 1.5) / nA
-        mB = jax.random.uniform(kpb, (nB,), jnp.float64, 0.5, 1.5) / nB
+        vB = 0.3 * jax.random.normal(kvb, (nB, 3), jnp.float64)
+        mA = jax.random.uniform(kma, (nA,), jnp.float64, 0.5, 1.5) / nA
+        mB = jax.random.uniform(kmb, (nB,), jnp.float64, 0.5, 1.5) / nB
         pA32, pB32 = pA.astype(jnp.float32), pB.astype(jnp.float32)
         mA32, mB32 = mA.astype(jnp.float32), mB.astype(jnp.float32)
 

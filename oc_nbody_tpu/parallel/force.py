@@ -468,13 +468,16 @@ class ShardedForce:
             if self.mode == "halfring":
                 # pair-symmetric: each unordered shard pair computed once
                 # (diag via the size-aware sym dispatcher, crosses via the
-                # cross-pair kernels, reactions returned by psum_scatter)
-                diag = (k.accel(pos_l, mass_l, eps32, G32),)
+                # cross-pair kernels, reactions returned by psum_scatter).
+                # The jnp kernels honour the configured row-chunk (memory
+                # bound); the Pallas wrappers tile internally.
+                ckw = {"chunk": self.chunk} if k is gravity else {}
+                diag = (k.accel(pos_l, mass_l, eps32, G32, **ckw),)
 
                 def cross(rows, circ):
                     aA, aB = k.accel_cross_pair(rows[0], circ[0],
                                                 rows[1], circ[1],
-                                                eps32, G32)
+                                                eps32, G32, **ckw)
                     return (aA,), (aB,)
 
                 return _halfring_sweep(
@@ -535,11 +538,13 @@ class ShardedForce:
                 # self-term corrected; cross phi has no self term (disjoint
                 # sets) — so the outer self_phi addition is skipped for
                 # this mode (see below)
-                diag = k.accel_potential(pos_l, mass_l, eps32, G32)
+                ckw = {"chunk": self.chunk} if k is gravity else {}
+                diag = k.accel_potential(pos_l, mass_l, eps32, G32, **ckw)
 
                 def cross(rows, circ):
                     aA, pA, aB, pB = k.accel_potential_cross_pair(
-                        rows[0], circ[0], rows[1], circ[1], eps32, G32)
+                        rows[0], circ[0], rows[1], circ[1], eps32, G32,
+                        **ckw)
                     return (aA, pA), (aB, pB)
 
                 return _halfring_sweep(
@@ -605,12 +610,13 @@ class ShardedForce:
 
         def shard_fn(pos_l, vel_l, mass_l):
             if self.mode == "halfring":
-                diag = k.accel_jerk(pos_l, vel_l, mass_l, eps32, G32)
+                ckw = {"chunk": self.chunk} if k is gravity else {}
+                diag = k.accel_jerk(pos_l, vel_l, mass_l, eps32, G32, **ckw)
 
                 def cross(rows, circ):
                     aA, jA, aB, jB = k.accel_jerk_cross_pair(
                         rows[0], rows[1], circ[0], circ[1],
-                        rows[2], circ[2], eps32, G32)
+                        rows[2], circ[2], eps32, G32, **ckw)
                     return (aA, jA), (aB, jB)
 
                 return _halfring_sweep(
