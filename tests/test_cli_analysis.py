@@ -118,3 +118,33 @@ def test_api_quickstart_example(capsys):
         assert "dE/E_int" in out and "r_half" in out
     finally:
         sys.path.pop(0)
+
+
+def test_escapers_script(tmp_path):
+    """analysis/escapers.py: per-particle escape census + tail split from a
+    snapshot sequence, rebuilding the potential from the embedded config."""
+    cfg = tmp_path / "strip.json"
+    cfg.write_text(json.dumps({
+        "ic": {"kind": "king", "n": 64, "w0": 3.0, "seed": 2},
+        "potential": {"kind": "milky_way"},
+        "orbit": {"kind": "circular", "R0_pc": 2000.0},
+        "units": {"kind": "henon", "mass_msun": 5.0e4, "length_pc": 10.0},
+        "integrator": {"dt": 1.0 / 64, "eps": 1.0 / 16},
+        "output": {"out_dir": str(tmp_path / "strip"), "t_end": 0.5,
+                   "diag_every": 0.25, "snap_every": 0.25, "stdout": False},
+        "backend": "jnp",
+    }))
+    assert cli.main(["run", str(cfg)]) == 0
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "analysis"))
+    try:
+        import escapers
+        csv = str(tmp_path / "esc.csv")
+        png = str(tmp_path / "esc.png")
+        assert escapers.main([str(tmp_path / "strip"), "--csv", csv,
+                              "--save", png]) == 0
+        assert os.path.exists(png)
+        header = open(csv).readline().strip()
+        assert header == "id,t_escape,tail"
+    finally:
+        sys.path.pop(0)
