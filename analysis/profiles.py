@@ -99,6 +99,38 @@ def radial_profiles(pos, vel, mass, bins=30, center=None):
     return out
 
 
+def core_radius(pos, mass, center=None, k=6, chunk=2048):
+    """Casertano & Hut (1985) density-weighted core radius and core density.
+
+    Local density around each particle from its k-th nearest neighbour
+    (rho_i = (k-1) m_mean / (4/3 pi r_k^3), the CH85 unbiased form), then
+      r_core   = sum_i rho_i |x_i - x_d| / sum_i rho_i
+      rho_core = sum_i rho_i^2 / sum_i rho_i
+    with x_d the density-weighted centre. The standard core-collapse
+    diagnostic: r_core shrinks by orders of magnitude toward collapse
+    while r_half barely moves. Distances are chunked (O(chunk x N) memory).
+
+    Returns (r_core, rho_core, center_density_weighted).
+    """
+    n = pos.shape[0]
+    k = min(k, n - 1)
+    if center is None:
+        center = density_center(pos, mass)
+    rk = np.empty(n)
+    for i0 in range(0, n, chunk):
+        blk = pos[i0:i0 + chunk]
+        d2 = ((blk[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+        # k-th neighbour excluding self (self distance 0 is column k=0)
+        rk[i0:i0 + chunk] = np.sqrt(np.partition(d2, k, axis=1)[:, k])
+    rho = (k - 1) * mass.mean() / (4.0 / 3.0 * np.pi * np.maximum(
+        rk, 1e-300) ** 3)
+    wsum = rho.sum()
+    c_d = (rho[:, None] * pos).sum(0) / wsum
+    r_core = float((rho * np.linalg.norm(pos - c_d, axis=1)).sum() / wsum)
+    rho_core = float((rho * rho).sum() / wsum)
+    return r_core, rho_core, c_d
+
+
 def mass_function(mass, sel, bins=20):
     """dN/dlog10(m) histogram over a selection (equal-mass runs return
     a single bin — callers should check the dynamic range first)."""
@@ -123,7 +155,9 @@ def main(argv=None):
     p = radial_profiles(pos, vel, mass, bins=args.bins)
     r = np.linalg.norm(pos - p["center"], axis=1)
 
-    print(f"t={t:.6g}  N={len(mass)}  r_half={p['r_half']:.4g}")
+    r_c, rho_c, _ = core_radius(pos, mass, center=p["center"])
+    print(f"t={t:.6g}  N={len(mass)}  r_half={p['r_half']:.4g}  "
+          f"r_core={r_c:.4g}  rho_core={rho_c:.4g} (Casertano-Hut)")
     print(f"{'r_mid':>10} {'rho':>12} {'sigma_r':>10} {'sigma_t':>10} "
           f"{'beta':>8} {'M(<r)':>10} {'n':>6}")
     for b in range(args.bins):

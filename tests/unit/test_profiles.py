@@ -60,3 +60,16 @@ def test_mass_function_none_for_equal_masses(cluster):
     pos, vel, mass = cluster
     r = np.linalg.norm(pos, axis=1)
     assert profiles.mass_function(mass, r < 1.0) is None
+
+
+def test_core_radius_casertano_hut(cluster):
+    """CH85 density-weighted core radius on Plummer: literature puts the
+    rho-weighted <|x - x_d|> at ~0.7a and the rho-weighted mean density
+    at ~0.5 rho_0 (both broad-tolerance: kNN density at finite N)."""
+    pos, vel, mass = cluster
+    a = 3.0 * np.pi / 16.0
+    r_c, rho_c, c_d = profiles.core_radius(pos, mass)
+    assert 0.4 * a < r_c < 1.1 * a, r_c
+    rho0 = 3.0 / (4.0 * np.pi * a**3)
+    assert 0.25 * rho0 < rho_c < 1.0 * rho0, rho_c
+    assert np.linalg.norm(c_d) < 0.2 * a
