@@ -144,12 +144,61 @@ def mass_function(mass, sel, bins=20):
     return {"m_mid": np.sqrt(edges[:-1] * edges[1:]), "dn_dlogm": n / dlog}
 
 
+def evolution(run_dir, save=None):
+    """Structure evolution over a run's snapshot sequence: r_core (CH85),
+    r_half, and rho_core vs time — the core-collapse view (r_core shrinks
+    by orders of magnitude toward collapse while r_half barely moves)."""
+    import glob
+    import os
+
+    snaps = sorted(glob.glob(os.path.join(run_dir, "snapshot_*.h5")))
+    if len(snaps) < 2:
+        print(f"need >= 2 snapshots in {run_dir}, found {len(snaps)}")
+        return 1
+    rows = []
+    print(f"{'t':>10} {'r_core':>10} {'r_half':>10} {'rho_core':>12}")
+    for path in snaps:
+        pos, vel, mass, t, _ = load_snapshot(path)
+        c = density_center(pos, mass)
+        r = np.sort(np.linalg.norm(pos - c, axis=1))
+        csum = np.cumsum(mass[np.argsort(np.linalg.norm(pos - c, axis=1))])
+        r_half = float(np.interp(0.5 * csum[-1], csum, r))
+        r_c, rho_c, _ = core_radius(pos, mass, center=c)
+        rows.append((t, r_c, r_half, rho_c))
+        print(f"{t:10.4f} {r_c:10.4g} {r_half:10.4g} {rho_c:12.5g}")
+    arr = np.asarray(rows)
+    out = save or os.path.join(run_dir, "structure_evolution.png")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9.6, 4))
+    ax1.plot(arr[:, 0], arr[:, 1], lw=2, label="r_core (CH85)")
+    ax1.plot(arr[:, 0], arr[:, 2], lw=2, label="r_half")
+    ax1.set_yscale("log"), ax1.legend()
+    ax1.set_xlabel("t [code]"), ax1.set_ylabel("radius [code]")
+    ax2.plot(arr[:, 0], arr[:, 3], lw=2, c="tab:red")
+    ax2.set_yscale("log")
+    ax2.set_xlabel("t [code]"), ax2.set_ylabel("rho_core [code]")
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("snapshot")
+    ap.add_argument("snapshot", help="a snapshot file, or (with "
+                    "--evolution) a run directory")
     ap.add_argument("--bins", type=int, default=30)
     ap.add_argument("--save", default=None, help="write a profiles PNG")
+    ap.add_argument("--evolution", action="store_true",
+                    help="treat the argument as a run directory and plot "
+                    "r_core/r_half/rho_core vs time over all snapshots")
     args = ap.parse_args(argv)
+
+    if args.evolution:
+        return evolution(args.snapshot, save=args.save)
 
     pos, vel, mass, t, units = load_snapshot(args.snapshot)
     p = radial_profiles(pos, vel, mass, bins=args.bins)

@@ -51,6 +51,11 @@ def test_cli_run_and_analysis(tmp_path, capsys):
         assert os.path.exists(str(tmp_path / "prof.png"))
         out = capsys.readouterr().out
         assert "r_half=" in out
+        assert "r_core=" in out
+
+        assert profiles.main([run_dir, "--evolution",
+                              "--save", str(tmp_path / "evo.png")]) == 0
+        assert os.path.exists(str(tmp_path / "evo.png"))
     finally:
         sys.path.pop(0)
 
