@@ -192,6 +192,10 @@ class BlockHermite:
         v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
         x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
 
+        # state at which a1_full/j1_full were evaluated (the pec2 branch
+        # moves it): the ext parts below must use the SAME state, or the
+        # pairwise split a1p = a1_full − a_ext1 mixes evaluation points
+        xe, ve = xp, vp
         if self.pec2:
             # re-evaluate at the corrected active rows (inactive sources
             # keep their prediction — identical to what pass 1 saw) and
@@ -202,6 +206,7 @@ class BlockHermite:
             a1_full, j1_full = self._eval_active(xp2, vp2, s.mass, active, n)
             v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
             x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
+            xe, ve = xp2, vp2
 
         # new rung: Aarseth criterion applied to the pairwise and external
         # force components SEPARATELY (see BlockCarry docstring), rung = min.
@@ -209,7 +214,7 @@ class BlockHermite:
         # using the stored t_i endpoint ext parts and fresh t_next ones.
         inv_h2 = 1.0 / h2
         inv_h3 = inv_h2 / h
-        a_ext1, j_ext1 = self._ext_parts(xp, vp, a1_full)
+        a_ext1, j_ext1 = self._ext_parts(xe, ve, a1_full)
         a0p, j0p = a0 - carry.a_ext, j0 - carry.j_ext
         a1p, j1p = a1_full - a_ext1, j1_full - j_ext1
         p2_1, p3 = self._interp_derivs(a0p, j0p, a1p, j1p, h, inv_h2, inv_h3)

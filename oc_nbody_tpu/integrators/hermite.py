@@ -77,6 +77,10 @@ def _shape_dt_fn(dt, dt_min, dt_max, quantize: bool):
         k = jnp.clip(k, 0.0, 62.0).astype(jnp.int64)
         pow2 = jnp.left_shift(jnp.int64(1), k).astype(jnp.float64)
         dt = dt_max / pow2
+        # quantization rounds DOWN and can land below dt_min — the safety
+        # clamp wins over the grid (the value is then off-grid, which only
+        # costs one off-phase step; stepping below dt_min never happens)
+        dt = jnp.maximum(dt, dt_min)
     return dt
 
 
@@ -108,6 +112,16 @@ class Hermite4:
     # (the corrector is iterated once toward its fixed point); same 4th
     # order. Standard option in Makino–Aarseth Hermite codes.
     pec2: bool = False
+
+    def __post_init__(self):
+        import math
+        if self.quantize and not math.isfinite(float(self.dt_max)):
+            # dt_max/2^k with dt_max=inf is inf for every k — the first
+            # predictor step would produce inf positions and die as NaN
+            # energies instead of a clear message
+            raise ValueError(
+                "quantize=True requires a finite dt_max (the quantization "
+                "grid is dt_max / 2^k)")
 
     def init(self, state: ParticleState) -> HermiteCarry:
         acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
@@ -156,8 +170,15 @@ class Hermite4:
         # interpolated higher derivatives (at t0), then shift to t1
         a2_1, a3 = _interp_derivs(a0, j0, a1, j1, dt)
 
+        # growth-limit against the CARRIED dt, not the executed one: the
+        # executed dt may be a boundary-clipped landing step (advance_to),
+        # and (a) capping growth at 2x a tiny clip would cripple the next
+        # segment's restart, (b) the a2/a3 interpolation over a
+        # nearly-degenerate (dt << carry.dt) pair is rounding noise, so a
+        # landing step carries the previous dt forward unchanged.
         dt_new = self._aarseth_dt(a1, j1, a2_1, a3)
-        dt_new = jnp.minimum(dt_new, 2.0 * dt)      # growth limiter
+        dt_new = jnp.minimum(dt_new, 2.0 * carry.dt)
+        dt_new = jnp.where(dt >= 0.25 * carry.dt, dt_new, carry.dt)
         dt_new = self._shape_dt(dt_new)
 
         state_new = s.replace(pos=x1, vel=v1, time=s.time + dt)
@@ -200,7 +221,11 @@ class Hermite4:
         return jax.lax.while_loop(cond, body, carry)
 
     def reached(self, carry: HermiteCarry, t_end) -> bool:
-        return float(carry.state.time) >= float(t_end) * (1 - 1e-14)
+        # sign-safe form of the advance_to cond's tolerance: t_end*(1-eps)
+        # moves toward zero for NEGATIVE t_end, which would leave reached()
+        # false after advance_to stopped — an infinite driver loop
+        te = float(t_end)
+        return float(carry.state.time) >= te - 1e-14 * abs(te) - 1e-300
 
     def checkpoint_aux(self, carry: HermiteCarry) -> dict:
         return {"acc": carry.acc, "jerk": carry.jerk, "dt": carry.dt,
@@ -243,6 +268,7 @@ class MacroHermite(Hermite4):
     host_stepping: bool = True
 
     def __post_init__(self):
+        super().__post_init__()
         # per-instance jitted O(N) programs (self is frozen/hashable; the
         # closures constant-fold eta/dt_min/dt_max/quantize at trace time)
         @jax.jit
@@ -263,8 +289,11 @@ class MacroHermite(Hermite4):
         def finish(carry, x1, v1, a1, j1, dt):
             dt = jnp.asarray(dt, carry.state.pos.dtype)
             a2_1, a3 = _interp_derivs(carry.acc, carry.jerk, a1, j1, dt)
+            # growth-limit vs the CARRIED dt + landing-step guard — same
+            # rationale as Hermite4._step_with_dt
             dt_new = _aarseth_shared_dt(a1, j1, a2_1, a3, self.eta)
-            dt_new = jnp.minimum(dt_new, 2.0 * dt)
+            dt_new = jnp.minimum(dt_new, 2.0 * carry.dt)
+            dt_new = jnp.where(dt >= 0.25 * carry.dt, dt_new, carry.dt)
             dt_new = _shape_dt_fn(dt_new, self.dt_min, self.dt_max,
                                   self.quantize)
             state_new = carry.state.replace(pos=x1, vel=v1,

@@ -109,7 +109,7 @@ def _kdk_close(state, acc_new, dt):
 
 
 @dataclasses.dataclass(frozen=True)
-class MacroKDK:
+class MacroKDK(LeapfrogKDK):
     """Host-stepped KDK for N past the single-XLA-program window.
 
     One in-jit force eval at N = 4M is a ~60 s XLA program and at 8M
@@ -118,16 +118,17 @@ class MacroKDK:
     ``n_batches`` separate same-shape dispatches
     (ForceModel.accel_batched → the batched chunked-sym kernels) and
     the kick/drift updates are small O(N) jitted programs between them.
-    Same trajectory as LeapfrogKDK up to f32 pair-summation order;
-    duck-types it for the driver, with ``host_stepping = True`` telling
-    run.py not to wrap ``advance_to_bounded`` in jit (it is the
-    dispatch-splitting itself) and to precompute the diagnostics
-    potential the same way. Enable with ``integrator.macro_batches > 0``
-    (kdk only; see configs/c7_2m_chunked.toml header for the in-jit
-    2M point this takes over from)."""
+    Same trajectory as LeapfrogKDK up to f32 pair-summation order.
+    Subclasses LeapfrogKDK so reached/checkpoint_aux/restore — the
+    snapshot-interchange contract — are literally the same code (the
+    MacroHermite pattern); the in-jit loop methods are overridden with
+    host loops (accel_batched is the dispatch splitting itself and must
+    not be traced). ``host_stepping = True`` tells run.py not to wrap
+    ``advance_to_bounded`` in jit and to precompute the diagnostics
+    potential batched. Enable with ``integrator.macro_batches > 0``
+    (see configs/c7_2m_chunked.toml header for the in-jit 2M point this
+    takes over from)."""
 
-    force: object
-    dt: float
     n_batches: int = 8
     host_stepping: bool = True
 
@@ -140,11 +141,20 @@ class MacroKDK:
         return KDKCarry(state=state, acc=acc,
                         n_steps=jnp.asarray(0, jnp.int64))
 
+    # ---- host-driven loop methods (the in-jit ones do not apply) -------
     def step(self, carry: KDKCarry) -> KDKCarry:
         s_half = _kdk_kick_drift(carry.state, carry.acc, self.dt)
         acc_new = self._accel(s_half.pos, s_half.mass)
         s_new = _kdk_close(s_half, acc_new, self.dt)
         return KDKCarry(state=s_new, acc=acc_new, n_steps=carry.n_steps + 1)
+
+    def advance(self, carry: KDKCarry, n: int) -> KDKCarry:
+        for _ in range(n):
+            carry = self.step(carry)
+        return carry
+
+    def advance_to(self, carry: KDKCarry, t_end) -> KDKCarry:
+        return self.advance_to_bounded(carry, t_end, 10 ** 9)
 
     def advance_to_bounded(self, carry: KDKCarry, t_end,
                            max_steps: int) -> KDKCarry:
@@ -153,15 +163,3 @@ class MacroKDK:
             carry = self.step(carry)
             done += 1
         return carry
-
-    def reached(self, carry: KDKCarry, t_end) -> bool:
-        return float(carry.state.time) >= float(t_end) - 1e-12 * abs(float(t_end))
-
-    def checkpoint_aux(self, carry: KDKCarry) -> dict:
-        return {"acc": carry.acc, "n_steps": carry.n_steps}
-
-    def restore(self, state: ParticleState, aux: dict) -> KDKCarry:
-        if "acc" in aux:
-            return KDKCarry(state=state, acc=jnp.asarray(aux["acc"]),
-                            n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64))
-        return self.init(state)

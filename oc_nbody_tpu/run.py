@@ -172,6 +172,28 @@ def _run(cfg: SimConfig, resume: bool = False,
                 state, force, out.fractions, f64_pairwise=out.diag_f64)
         )
 
+    if kind == "block":
+        # the block integrator only synchronises on the dt_max block grid
+        # (integer block times): an off-grid output target returns a state
+        # whose large-rung particles still sit at earlier times — silently
+        # wrong diagnostics/snapshots. Snap every output boundary to the
+        # grid (at least one block); Myr-converted cadences practically
+        # never land on it by themselves.
+        g = float(cfg.integrator.dt_max)
+        snapped = {
+            "diag_every": max(g, round(out.diag_every / g) * g),
+            "snap_every": max(g, round(out.snap_every / g) * g),
+            "t_end": t0 + max(g, round((out.t_end - t0) / g) * g),
+        }
+        changed = {k: v for k, v in snapped.items()
+                   if abs(v - getattr(out, k)) > 1e-12 * max(1.0, abs(v))}
+        if changed:
+            if out.stdout:
+                olds = {k: getattr(out, k) for k in changed}
+                print(f"block grid: snapped {olds} -> {changed} "
+                      f"(dt_max = {g})")
+            out = dataclasses.replace(out, **snapped)
+
     # ceil so a non-multiple t_end still gets simulated in full; the final
     # target is clamped to t_end exactly (ADVICE round-1)
     n_diag = max(1, math.ceil((out.t_end - t0) / out.diag_every - 1e-9))
