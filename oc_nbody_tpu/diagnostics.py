@@ -128,7 +128,11 @@ def lagrangian_radii(state: ParticleState, fractions=(0.1, 0.25, 0.5, 0.75, 0.9)
     csum = jnp.cumsum(m[order])
     targets = jnp.asarray(fractions, jnp.float64) * csum[-1]
     idx = jnp.clip(jnp.searchsorted(csum, targets), 0, r.shape[0] - 1)
-    return r_sorted[idx]
+    # a fully-disrupted selection (mask sums to zero mass) has no
+    # meaningful radii: searchsorted(0) would return the innermost
+    # particle's radius for every fraction — a tiny, plausible-looking
+    # garbage value. NaN signals "no cluster" honestly.
+    return jnp.where(csum[-1] > 0, r_sorted[idx], jnp.nan)
 
 
 def bound_mass_energy(state: ParticleState, force: ForceModel,
@@ -156,9 +160,15 @@ def bound_mass_energy(state: ParticleState, force: ForceModel,
 
 
 def tidal_radius(m_bound, tidal_coeff, G):
-    """King tidal radius r_t = (G M_b / (Ω² − ∂²Φ/∂R²))^{1/3}."""
+    """King tidal radius r_t = (G M_b / (Ω² − ∂²Φ/∂R²))^{1/3}.
+
+    A non-positive coefficient (cored host potential interiors, where the
+    tidal tensor's largest eigenvalue can be more negative than Ω² is
+    positive) means NO tidal truncation: r_t = inf, not the ~1e100 of a
+    tiny-denominator clamp."""
     lam = jnp.maximum(tidal_coeff, 1e-300)
-    return (G * m_bound / lam) ** (1.0 / 3.0)
+    r = (G * m_bound / lam) ** (1.0 / 3.0)
+    return jnp.where(tidal_coeff > 0, r, jnp.inf)
 
 
 def bound_mass_tidal(state: ParticleState, force: ForceModel,
@@ -224,17 +234,32 @@ def compute_all(state: ParticleState, force: ForceModel,
     where the caller precomputes (phi_pair, phi_ext) with the batched
     chunked kernels outside the jit and passes them via
     ``precomputed_phi`` (every other column is O(N) or O(N·iters))."""
-    e = energies(state, force, f64_pairwise=f64_pairwise,
-                 precomputed_phi=precomputed_phi)
+    if precomputed_phi is None:
+        # ONE pairwise-potential pass per row, shared by energies() and
+        # (isolated clusters) the bound-mass energy cut — a second O(N²)
+        # evaluation is never CSE-guaranteed, and under diag_f64 the cut
+        # would otherwise use f32 phi while the energies report f64
+        if f64_pairwise:
+            from oc_nbody_tpu.ops import gravity
+            _, phi_pair = gravity.accel_potential(
+                state.pos, state.mass, force.eps, force.G,
+                compute_dtype=jnp.float64, chunk=512)
+            phi_ext = (force.external.phi(state.pos)
+                       if force.external is not None
+                       else jnp.zeros_like(phi_pair))
+        else:
+            _, phi_pair, phi_ext = force.accel_potential(state.pos,
+                                                         state.mass)
+        precomputed_phi = (phi_pair, phi_ext)
+    e = energies(state, force, precomputed_phi=precomputed_phi)
     center = density_center(state)
     L = angular_momentum(state)
     if force.external is not None:
         m_b, n_b, r_t, mask = bound_mass_tidal(state, force, center=center,
                                                method="tensor")
     else:
-        m_b, n_b, mask = bound_mass_energy(
-            state, force,
-            phi_pair=None if precomputed_phi is None else precomputed_phi[0])
+        m_b, n_b, mask = bound_mass_energy(state, force,
+                                           phi_pair=precomputed_phi[0])
         r_t = jnp.asarray(jnp.inf)
     rl = lagrangian_radii(state, fractions, center=center, mask=mask)
     out = dict(e)

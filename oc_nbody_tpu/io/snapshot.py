@@ -26,6 +26,7 @@ import dataclasses
 import glob
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import h5py
@@ -103,6 +104,13 @@ def write_snapshot(
 
 def read_snapshot(path: str, state_dtype=jnp.float64) -> Snapshot:
     with h5py.File(path, "r") as f:
+        version = int(f.attrs.get("schema_version", 1))
+        if version > SCHEMA_VERSION:
+            # partially-matching groups from a future schema would restore
+            # silently wrong integrator state — reject instead
+            raise ValueError(
+                f"snapshot {path!r} has schema v{version}; this reader "
+                f"understands up to v{SCHEMA_VERSION}")
         g = f["particles"]
         state = make_state(
             pos=np.asarray(g["pos"]),
@@ -125,9 +133,21 @@ def read_snapshot(path: str, state_dtype=jnp.float64) -> Snapshot:
                     units=units, attrs=attrs)
 
 
+def _snapshot_index(path: str) -> int:
+    try:
+        return int(os.path.basename(path).rsplit("_", 1)[1].split(".")[0])
+    except (IndexError, ValueError):
+        return -1
+
+
 def latest_snapshot(out_dir: str) -> Optional[str]:
-    """Most recent valid snapshot file in a run directory (for resume)."""
-    paths = sorted(glob.glob(os.path.join(out_dir, "snapshot_*.h5")))
+    """Most recent valid snapshot file in a run directory (for resume).
+
+    Ordered by the PARSED index: lexicographic order breaks past index
+    99999 ("snapshot_100000.h5" < "snapshot_99999.h5"), which would
+    resume from an older state and then overwrite the true latest."""
+    paths = sorted(glob.glob(os.path.join(out_dir, "snapshot_*.h5")),
+                   key=_snapshot_index)
     for p in reversed(paths):
         try:
             with h5py.File(p, "r") as f:
@@ -154,10 +174,7 @@ class SnapshotWriter:
         self._diag_path = os.path.join(out_dir, "diagnostics.h5")
         # one writer thread: HDF5 writes (~0.5 s at large N) overlap the next
         # superstep on device; ordering is preserved, atomicity unchanged
-        self._pool = (
-            __import__("concurrent.futures", fromlist=["ThreadPoolExecutor"])
-            .ThreadPoolExecutor(max_workers=1) if async_io else None
-        )
+        self._pool = ThreadPoolExecutor(max_workers=1) if async_io else None
         self._pending = []
 
     def snapshot_path(self, index: int) -> str:
@@ -176,16 +193,30 @@ class SnapshotWriter:
         if self._pool is None:
             return _write_file(path, data, aux_np, integrator_kind,
                                self.units, attrs_np)
+        # reap already-completed writes first: a failed write (disk
+        # full, permissions) must surface at the NEXT snapshot, not hours
+        # later at the end-of-run flush
+        for fut in [f for f in self._pending if f.done()]:
+            self._pending.remove(fut)
+            fut.result()  # re-raises the write error, if any
         fut = self._pool.submit(_write_file, path, data, aux_np,
                                 integrator_kind, self.units, attrs_np)
         self._pending.append(fut)
         return path
 
     def flush(self) -> None:
-        """Wait for queued snapshot writes; re-raise any write error."""
+        """Wait for ALL queued snapshot writes, then re-raise the first
+        error (re-raising eagerly would abandon later futures mid-write —
+        e.g. the emergency snapshot queued after a NaN abort)."""
         pending, self._pending = self._pending, []
+        first_err = None
         for fut in pending:
-            fut.result()
+            try:
+                fut.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                first_err = first_err or e
+        if first_err is not None:
+            raise first_err
 
     def append_diagnostics(self, row: dict) -> None:
         with h5py.File(self._diag_path, "a") as f:
@@ -209,7 +240,19 @@ class SnapshotWriter:
         """
         if not os.path.exists(self._diag_path):
             return
-        with h5py.File(self._diag_path, "a") as f:
+        try:
+            f = h5py.File(self._diag_path, "a")
+        except OSError:
+            # diagnostics.h5 is mutated in place (unlike the atomic
+            # snapshots), so a crash mid-append can corrupt it; the
+            # snapshot checkpoint is the authoritative state, so resume
+            # must proceed — move the corrupt table aside and start fresh
+            corrupt = self._diag_path + ".corrupt"
+            os.replace(self._diag_path, corrupt)
+            print(f"warning: diagnostics table unreadable; moved to "
+                  f"{corrupt} (resume continues from the snapshot)")
+            return
+        with f:
             if "time" not in f:
                 return
             t = np.asarray(f["time"])
@@ -240,7 +283,8 @@ class SnapshotWriter:
         if os.path.exists(self._diag_path):
             os.remove(self._diag_path)
         for name in os.listdir(self.out_dir):
-            if name.startswith("snapshot_") and name.endswith(".h5"):
+            if name.startswith("snapshot_") and name.endswith(
+                    (".h5", ".h5.tmp")):  # .tmp: orphan of a crashed write
                 os.remove(os.path.join(self.out_dir, name))
 
     def read_diagnostics(self) -> dict:
