@@ -33,7 +33,12 @@ def energies(state: ParticleState, force: ForceModel,
     by orders of magnitude; the spec's per-crossing target is about the
     CLUSTER, so the driver also reports dE normalised by |E_int(t=0)|
     (VERDICT round-1 item 4 / W6).
+
+    Time-dependent externals are bound at state.time — the energy row is
+    the instantaneous E(t) (not conserved when the field varies; see
+    jacobi_energy for the rotating-pattern conserved quantity).
     """
+    force = force.at_time(state.time)  # no-op for static externals
     m = state.mass.astype(jnp.float64)
     if precomputed_phi is not None:
         # oversized-eval path (MacroKDK): the O(N²) potential was computed
@@ -143,6 +148,7 @@ def bound_mass_energy(state: ParticleState, force: ForceModel,
     mean velocity of currently-bound stars; iterate to a fixpoint (shapes
     fixed, mask-based). Returns (M_bound, N_bound, mask).
     """
+    force = force.at_time(state.time)  # no-op for static externals
     m = state.mass.astype(jnp.float64)
     if phi_pair is None:
         _, phi_pair, _ = force.accel_potential(state.pos, state.mass)
@@ -191,6 +197,7 @@ def bound_mass_tidal(state: ParticleState, force: ForceModel,
 
     Returns (M_bound, N_bound, r_t, mask).
     """
+    force = force.at_time(state.time)  # no-op for static externals
     if force.external is None:
         m_tot = jnp.sum(state.mass.astype(jnp.float64))
         n = state.mass.shape[0]
@@ -234,6 +241,7 @@ def compute_all(state: ParticleState, force: ForceModel,
     where the caller precomputes (phi_pair, phi_ext) with the batched
     chunked kernels outside the jit and passes them via
     ``precomputed_phi`` (every other column is O(N) or O(N·iters))."""
+    force = force.at_time(state.time)  # no-op for static externals
     if precomputed_phi is None:
         # ONE pairwise-potential pass per row, shared by energies() and
         # (isolated clusters) the bound-mass energy cut — a second O(N²)
@@ -275,3 +283,19 @@ def compute_all(state: ParticleState, force: ForceModel,
     for f, r in zip(fractions, rl):
         out[f"r_lagr_{int(round(f * 100))}"] = r
     return out
+
+
+def jacobi_energy(state: ParticleState, force: ForceModel, omega_p,
+                  f64_pairwise: bool = False) -> jax.Array:
+    """E_J = E_tot − ω_p·L_z, the Jacobi integral (f64 scalar).
+
+    The conserved quantity for a field rigidly rotating about z at
+    pattern speed ``omega_p`` (models/potentials.py Rotating — bars,
+    spiral patterns, a perturber on a CircularTrajectory with
+    omega = omega_p): in such a field E_tot and L_z each drift
+    secularly but E − ω_p L_z does not. This is the rotating-frame
+    energy check to use instead of dE/E when the external field has a
+    pattern speed."""
+    e = energies(state, force, f64_pairwise=f64_pairwise)
+    L = angular_momentum(state)
+    return e["E_tot"] - jnp.asarray(omega_p, jnp.float64) * L[2]

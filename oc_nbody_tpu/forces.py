@@ -21,6 +21,25 @@ from oc_nbody_tpu.models.potentials import Potential
 from oc_nbody_tpu.ops import gravity
 
 
+# module-level jitted O(N) helpers for the host-level batched paths: the
+# external field is a pytree ARGUMENT (not a captured constant), so a
+# time-dependent Bound external (whose t leaf changes every macro step)
+# hits the same cache entry instead of retracing per step
+@jax.jit
+def _ext_accel_jit(ext, pos):
+    return ext.accel(pos)
+
+
+@jax.jit
+def _ext_phi_jit(ext, pos):
+    return ext.phi(pos)
+
+
+@jax.jit
+def _ext_accel_jerk_jit(ext, pos, vel):
+    return ext.accel_jerk_ext(pos, vel)
+
+
 def _default_backend() -> str:
     # Mosaic kernels lower only on TPU; any other accelerator (GPU, future
     # backends) must take the XLA-fused jnp path.
@@ -56,6 +75,19 @@ class ForceModel:
     def _resolve(self) -> str:
         b = self.backend
         return _default_backend() if b == "auto" else b
+
+    def at_time(self, t):
+        """Bind the external field's evaluation time (models/potentials.py
+        time-dependent section). Free for static externals (returns self);
+        integrators call this with the physical time of every force
+        evaluation, so time-dependent fields (GMC flybys, rotating bars)
+        need no stepper changes. ``t`` may be a tracer — Bound carries it
+        as a pytree leaf."""
+        if self.external is None:
+            return self
+        ext = self.external.at(t)
+        return self if ext is self.external else dataclasses.replace(
+            self, external=ext)
 
     # ---- pairwise dispatch --------------------------------------------
     def _pair_accel(self, pos, mass):
@@ -175,7 +207,7 @@ class ForceModel:
                 pos, mass, self.eps, self.G, guarded=not self.softened,
                 n_batches=n_batches)
         if self.external is not None:
-            acc = acc + jax.jit(self.external.accel)(pos)
+            acc = acc + _ext_accel_jit(self.external, pos)
         return acc
 
     def accel_potential_batched(self, pos, mass, n_batches: int = 8):
@@ -197,8 +229,8 @@ class ForceModel:
                     pos, mass, self.eps, self.G, guarded=not self.softened,
                     n_batches=n_batches)
         if self.external is not None:
-            acc = acc + jax.jit(self.external.accel)(pos)
-            phi_ext = jax.jit(self.external.phi)(pos)
+            acc = acc + _ext_accel_jit(self.external, pos)
+            phi_ext = _ext_phi_jit(self.external, pos)
         else:
             phi_ext = jnp.zeros_like(phi_pair)
         return acc, phi_pair, phi_ext
@@ -217,9 +249,7 @@ class ForceModel:
                 pos, vel, mass, self.eps, self.G,
                 guarded=not self.softened, n_batches=n_batches)
         if self.external is not None:
-            a_ext, da_ext = jax.jit(
-                lambda p, v: jax.jvp(self.external.accel, (p,), (v,)))(
-                    pos, vel)
+            a_ext, da_ext = _ext_accel_jerk_jit(self.external, pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
@@ -235,10 +265,11 @@ class ForceModel:
         return acc, phi_pair, phi_ext
 
     def accel_jerk(self, pos, vel, mass):
-        """(accel, jerk) including the external field's (v·∇)a_ext term."""
+        """(accel, jerk) including the external field's exact force
+        derivative (v·∇)a_ext (+ ∂a_ext/∂t when a time is bound)."""
         acc, jerk = self._pair_accel_jerk(pos, vel, mass)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
@@ -262,8 +293,7 @@ class ForceModel:
                 pos_rows, vel_rows, src_pos, src_vel, src_mass,
                 self.eps, self.G, guarded=not self.softened)
             if self.external is not None:
-                a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
-                                        (vel_rows,))
+                a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
                 acc = acc + a_ext
                 jerk = jerk + da_ext
             return acc, jerk
@@ -277,8 +307,7 @@ class ForceModel:
             acc = acc.astype(pos_rows.dtype)
             jerk = jerk.astype(pos_rows.dtype)
             if self.external is not None:
-                a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
-                                        (vel_rows,))
+                a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
                 acc = acc + a_ext
                 jerk = jerk + da_ext
             return acc, jerk
@@ -302,7 +331,7 @@ class ForceModel:
         acc = acc.astype(pos_rows.dtype)
         jerk = jerk.astype(pos_rows.dtype)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,), (vel_rows,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk

@@ -109,13 +109,15 @@ class BlockHermite:
         dt = jnp.sqrt(self.eta * num / jnp.maximum(den, tiny))
         return jnp.where(den > 0, dt, jnp.inf)
 
-    def _ext_parts(self, pos, vel, like):
-        """(a_ext, j_ext) of the external field — exact jvp, O(N)."""
+    def _ext_parts(self, pos, vel, like, t):
+        """(a_ext, j_ext) of the external field at physical time ``t`` —
+        exact jvp incl. the bound-time ∂a/∂t term, O(N)."""
         if self.force.external is None:
             # two distinct buffers: aliased leaves break the driver's
             # donate_argnums superstep (donate-same-buffer-twice)
             return jnp.zeros_like(like), jnp.zeros_like(like)
-        a_ext, j_ext = jax.jvp(self.force.external.accel, (pos,), (vel,))
+        ext = self.force.external.at(t)
+        a_ext, j_ext = ext.accel_jerk_ext(pos, vel)
         return a_ext.astype(like.dtype), j_ext.astype(like.dtype)
 
     @staticmethod
@@ -127,10 +129,11 @@ class BlockHermite:
 
     # ---- lifecycle ----------------------------------------------------
     def init(self, state: ParticleState) -> BlockCarry:
-        acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
+        acc, jerk = self.force.at_time(state.time).accel_jerk(
+            state.pos, state.vel, state.mass)
         acc = acc.astype(state.pos.dtype)
         jerk = jerk.astype(state.pos.dtype)
-        a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc)
+        a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc, state.time)
 
         def aj_dt(a_vec, j_vec):
             a = _norm(a_vec)
@@ -182,8 +185,12 @@ class BlockHermite:
         xp = pos + d * vel + (d2 / 2) * carry.acc + (d3 / 6) * carry.jerk
         vp = vel + d * carry.acc + (d2 / 2) * carry.jerk
 
-        # evaluate (a1, j1) on active rows, sources = all predicted
-        a1_full, j1_full = self._eval_active(xp, vp, s.mass, active, n)
+        # evaluate (a1, j1) on active rows, sources = all predicted;
+        # all evaluations in this step happen at physical time t_phys
+        t_phys = carry.t_origin + t_next.astype(jnp.float64) * dt_min
+        force_t = self.force.at_time(t_phys)
+        a1_full, j1_full = self._eval_active(force_t, xp, vp, s.mass,
+                                             active, n)
 
         # correct active rows over their own step h = dt_i * dt_min
         h = (carry.dt_i.astype(jnp.float64) * dt_min)[:, None]
@@ -203,7 +210,8 @@ class BlockHermite:
             am0 = active[:, None]
             xp2 = jnp.where(am0, x1, xp)
             vp2 = jnp.where(am0, v1, vp)
-            a1_full, j1_full = self._eval_active(xp2, vp2, s.mass, active, n)
+            a1_full, j1_full = self._eval_active(force_t, xp2, vp2,
+                                                 s.mass, active, n)
             v1 = vel + (h / 2) * (a0 + a1_full) + (h2 / 12) * (j0 - j1_full)
             x1 = pos + (h / 2) * (vel + v1) + (h2 / 12) * (a0 - a1_full)
             xe, ve = xp2, vp2
@@ -214,7 +222,7 @@ class BlockHermite:
         # using the stored t_i endpoint ext parts and fresh t_next ones.
         inv_h2 = 1.0 / h2
         inv_h3 = inv_h2 / h
-        a_ext1, j_ext1 = self._ext_parts(xe, ve, a1_full)
+        a_ext1, j_ext1 = self._ext_parts(xe, ve, a1_full, t_phys)
         a0p, j0p = a0 - carry.a_ext, j0 - carry.j_ext
         a1p, j1p = a1_full - a_ext1, j1_full - j_ext1
         p2_1, p3 = self._interp_derivs(a0p, j0p, a1p, j1p, h, inv_h2, inv_h3)
@@ -251,11 +259,12 @@ class BlockHermite:
             n_active_sum=carry.n_active_sum + n_active.astype(jnp.int64),
         )
 
-    def _eval_active(self, xp, vp, mass, active, n):
-        """(a1, j1) for active rows (zeros elsewhere), fixed shapes."""
+    def _eval_active(self, force, xp, vp, mass, active, n):
+        """(a1, j1) for active rows (zeros elsewhere), fixed shapes.
+        ``force`` is the (possibly time-bound) force model for this step."""
         sizes = self._bucket_sizes(n)
         if len(sizes) == 1:
-            a1, j1 = self.force.accel_jerk_on_rows(xp, vp, xp, vp, mass)
+            a1, j1 = force.accel_jerk_on_rows(xp, vp, xp, vp, mass)
             return a1, j1
 
         n_active = jnp.sum(active)
@@ -271,7 +280,7 @@ class BlockHermite:
                 # (scoped-VMEM overflow at N≳32k) or a bool sort.
                 _, idx = jax.lax.top_k(active.astype(jnp.int32), b)
                 valid = jnp.arange(b) < jnp.sum(active)
-                a_r, j_r = self.force.accel_jerk_on_rows(
+                a_r, j_r = force.accel_jerk_on_rows(
                     xp[idx], vp[idx], xp, vp, mass)
                 # scatter via an overflow row so fill slots never clobber
                 idx_s = jnp.where(valid, idx, n)
@@ -360,7 +369,8 @@ class BlockHermite:
             else:
                 # pre-round-2 checkpoint: ext parts are a pure function of
                 # (pos, vel), recompute exactly
-                a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc)
+                a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc,
+                                               state.time)
             return BlockCarry(
                 state=state,
                 acc=acc, jerk=jnp.asarray(aux["jerk"]),

@@ -124,7 +124,8 @@ class Hermite4:
                 "grid is dt_max / 2^k)")
 
     def init(self, state: ParticleState) -> HermiteCarry:
-        acc, jerk = self.force.accel_jerk(state.pos, state.vel, state.mass)
+        acc, jerk = self.force.at_time(state.time).accel_jerk(
+            state.pos, state.vel, state.mass)
         acc = acc.astype(state.pos.dtype)
         jerk = jerk.astype(state.pos.dtype)
         a = _norm(acc)
@@ -153,7 +154,9 @@ class Hermite4:
         xp = s.pos + dt * s.vel + (dt2 / 2) * a0 + (dt3 / 6) * j0
         vp = s.vel + dt * a0 + (dt2 / 2) * j0
 
-        a1, j1 = self.force.accel_jerk(xp, vp, s.mass)
+        # predictor/corrector evaluations happen at the step's END time
+        force_t1 = self.force.at_time(s.time + dt)
+        a1, j1 = force_t1.accel_jerk(xp, vp, s.mass)
         a1 = a1.astype(s.pos.dtype)
         j1 = j1.astype(s.pos.dtype)
 
@@ -162,7 +165,7 @@ class Hermite4:
         if self.pec2:
             # second corrector pass: re-evaluate at the corrected state and
             # re-apply the corrector from the same (a0, j0)
-            a1, j1 = self.force.accel_jerk(x1, v1, s.mass)
+            a1, j1 = force_t1.accel_jerk(x1, v1, s.mass)
             a1 = a1.astype(s.pos.dtype)
             j1 = j1.astype(s.pos.dtype)
             x1, v1 = _correct(s.pos, s.vel, a0, j0, a1, j1, dt)
@@ -319,24 +322,26 @@ class MacroHermite(Hermite4):
         object.__setattr__(self, "_jit_finish", finish)
         object.__setattr__(self, "_jit_init_dt", init_dt)
 
-    def _accel_jerk(self, pos, vel, mass):
-        a, j = self.force.accel_jerk_batched(pos, vel, mass,
-                                             n_batches=self.n_batches)
+    def _accel_jerk(self, pos, vel, mass, t):
+        a, j = self.force.at_time(t).accel_jerk_batched(
+            pos, vel, mass, n_batches=self.n_batches)
         return a.astype(pos.dtype), j.astype(pos.dtype)
 
     def init(self, state: ParticleState) -> HermiteCarry:
-        acc, jerk = self._accel_jerk(state.pos, state.vel, state.mass)
+        acc, jerk = self._accel_jerk(state.pos, state.vel, state.mass,
+                                     state.time)
         return HermiteCarry(state=state, acc=acc, jerk=jerk,
                             dt=self._jit_init_dt(acc, jerk),
                             n_steps=jnp.asarray(0, jnp.int64))
 
     def _host_step(self, carry: HermiteCarry, dt) -> HermiteCarry:
+        t1 = carry.state.time + dt  # evaluations at the step's END time
         xp, vp = self._jit_predict(carry.state, carry.acc, carry.jerk, dt)
-        a1, j1 = self._accel_jerk(xp, vp, carry.state.mass)
+        a1, j1 = self._accel_jerk(xp, vp, carry.state.mass, t1)
         x1, v1 = self._jit_correct(carry.state, carry.acc, carry.jerk,
                                    a1, j1, dt)
         if self.pec2:
-            a1, j1 = self._accel_jerk(x1, v1, carry.state.mass)
+            a1, j1 = self._accel_jerk(x1, v1, carry.state.mass, t1)
             x1, v1 = self._jit_correct(carry.state, carry.acc, carry.jerk,
                                        a1, j1, dt)
         return self._jit_finish(carry, x1, v1, a1, j1, dt)

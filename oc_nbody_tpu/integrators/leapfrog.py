@@ -42,7 +42,8 @@ class LeapfrogKDK:
     dt: float
 
     def init(self, state: ParticleState) -> KDKCarry:
-        acc = self.force.accel(state.pos, state.mass).astype(state.pos.dtype)
+        acc = self.force.at_time(state.time).accel(
+            state.pos, state.mass).astype(state.pos.dtype)
         return KDKCarry(state=state, acc=acc,
                         n_steps=jnp.asarray(0, jnp.int64))
 
@@ -51,7 +52,10 @@ class LeapfrogKDK:
         dt = jnp.asarray(self.dt, s.pos.dtype)
         v_half = s.vel + (0.5 * dt) * acc
         pos_new = s.pos + dt * v_half
-        acc_new = self.force.accel(pos_new, s.mass).astype(s.pos.dtype)
+        # the closing force eval is at the step's END time (time-dependent
+        # externals bind it; static externals: at_time is a no-op)
+        acc_new = self.force.at_time(s.time + dt).accel(
+            pos_new, s.mass).astype(s.pos.dtype)
         vel_new = v_half + (0.5 * dt) * acc_new
         state_new = s.replace(pos=pos_new, vel=vel_new, time=s.time + dt)
         return KDKCarry(state=state_new, acc=acc_new, n_steps=carry.n_steps + 1)
@@ -132,19 +136,21 @@ class MacroKDK(LeapfrogKDK):
     n_batches: int = 8
     host_stepping: bool = True
 
-    def _accel(self, pos, mass):
-        return self.force.accel_batched(
+    def _accel(self, pos, mass, t):
+        return self.force.at_time(t).accel_batched(
             pos, mass, n_batches=self.n_batches).astype(pos.dtype)
 
     def init(self, state: ParticleState) -> KDKCarry:
-        acc = self._accel(state.pos, state.mass)
+        acc = self._accel(state.pos, state.mass, state.time)
         return KDKCarry(state=state, acc=acc,
                         n_steps=jnp.asarray(0, jnp.int64))
 
     # ---- host-driven loop methods (the in-jit ones do not apply) -------
     def step(self, carry: KDKCarry) -> KDKCarry:
         s_half = _kdk_kick_drift(carry.state, carry.acc, self.dt)
-        acc_new = self._accel(s_half.pos, s_half.mass)
+        # s_half.time is still the step-START time (_kdk_close advances
+        # it); the closing eval happens at the step's END time
+        acc_new = self._accel(s_half.pos, s_half.mass, s_half.time + self.dt)
         s_new = _kdk_close(s_half, acc_new, self.dt)
         return KDKCarry(state=s_new, acc=acc_new, n_steps=carry.n_steps + 1)
 

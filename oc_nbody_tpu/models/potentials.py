@@ -97,6 +97,23 @@ class Potential:
         lam_max = jnp.linalg.eigvalsh(self.tidal_tensor(xyz))[-1]
         return lam_max + omega2
 
+    # ---- time binding (time-dependent fields) --------------------------
+    def at(self, t):
+        """Bind an evaluation time. Time-independent potentials return
+        ``self`` unchanged; :class:`TimeDependentPotential` subclasses
+        return a :class:`Bound` wrapper whose phi/accel evaluate at ``t``.
+        Integrators call this once per force evaluation with the physical
+        time of that evaluation, so the SAME stepper code drives static
+        and time-dependent external fields."""
+        return self
+
+    def accel_jerk_ext(self, pos, vel):
+        """(a_ext, da_ext/dt) along a trajectory: the exact convective
+        derivative (v·∇)a via one jvp — plus ∂a/∂t when a time is bound
+        (see :meth:`Bound.accel_jerk_ext`). The external-jerk entry point
+        for Hermite/block steppers."""
+        return jax.jvp(self.accel, (pos,), (vel,))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +271,12 @@ class Composite(Potential):
     def accel(self, xyz):
         return sum(c.accel(xyz) for c in self.components)
 
+    def at(self, t):
+        comps = tuple(c.at(t) for c in self.components)
+        if all(c is c0 for c, c0 in zip(comps, self.components)):
+            return self  # all static: no retrace-relevant structure change
+        return Composite(components=comps)
+
 
 def composite(components: Sequence[Potential]) -> Composite:
     return Composite(components=tuple(components))
@@ -285,3 +308,216 @@ def milky_way(G: float, mass_scale: float = 1.0, length_scale: float = 1.0) -> C
                       b=jnp.asarray(MW_DISK_B * L)),
         NFW(GMs=jnp.asarray(G * MW_HALO_MS * m), rs=jnp.asarray(MW_HALO_RS * L)),
     ])
+
+
+# ===========================================================================
+# Time-dependent external fields
+# ===========================================================================
+# Open-cluster dynamics beyond a static tide: GMC flybys (MovingCenter),
+# rotating bar/spiral patterns (Rotating + LongMuraliBar), adiabatic
+# perturbation growth (Ramped). Design: a time-dependent potential never
+# exposes phi/accel directly — integrators bind the physical time of each
+# force evaluation with ``.at(t)`` (a no-op for static potentials), which
+# returns a Bound wrapper carrying ``t`` as a pytree leaf. All stepper and
+# diagnostic code is therefore identical for static and dynamic fields, and
+# the bound time flows through jit as a traced value (no recompiles per
+# step). The external jerk picks up the exact ∂a/∂t term through one jvp
+# over (pos, t) — no finite differencing (Bound.accel_jerk_ext).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TimeDependentPotential(Potential):
+    """Base for fields Φ(x, t). Subclasses implement phi_t / accel_t.
+
+    phi/accel (the time-independent surface) raise: every evaluation must
+    go through ``.at(t)`` so a missed time-binding is a loud error rather
+    than a silently frozen field."""
+
+    def phi_t(self, xyz, t):
+        raise NotImplementedError
+
+    def accel_t(self, xyz, t):
+        raise NotImplementedError
+
+    def at(self, t):
+        return Bound(base=self, t=jnp.asarray(t, jnp.result_type(float)))
+
+    def phi(self, xyz):
+        raise TypeError(
+            f"{type(self).__name__} is time-dependent: bind an evaluation "
+            "time with .at(t) (integrators do this automatically)")
+
+    def accel(self, xyz):
+        raise TypeError(
+            f"{type(self).__name__} is time-dependent: bind an evaluation "
+            "time with .at(t) (integrators do this automatically)")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bound(Potential):
+    """A TimeDependentPotential with its evaluation time bound as a leaf.
+
+    Behaves as an ordinary (static) Potential at that instant — all the
+    generic derived quantities (vcirc, tidal tensor, ...) work through the
+    inherited phi-based autodiff paths."""
+
+    base: TimeDependentPotential
+    t: jax.Array
+
+    def phi(self, xyz):
+        return self.base.phi_t(xyz, self.t)
+
+    def accel(self, xyz):
+        return self.base.accel_t(xyz, self.t)
+
+    def at(self, t):
+        return Bound(base=self.base, t=jnp.asarray(t, jnp.result_type(float)))
+
+    def accel_jerk_ext(self, pos, vel):
+        """Total time derivative along the trajectory: (v·∇)a + ∂a/∂t,
+        both exact via a single jvp over (pos, t)."""
+        t = self.t
+        return jax.jvp(self.base.accel_t, (pos, t),
+                       (vel.astype(pos.dtype), jnp.ones_like(t)))
+
+
+# ---- trajectories (pytrees, so parameters flow through jit) ---------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LinearTrajectory:
+    """x_c(t) = x0 + v0 t — an impulsive flyby path (GMC passage)."""
+
+    x0: jax.Array
+    v0: jax.Array
+
+    def __call__(self, t):
+        return self.x0 + self.v0 * t
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CircularTrajectory:
+    """x_c(t) on a circle of radius R in the z = z0 plane, angular speed
+    omega, starting angle phase — a perturber on a circular galactic
+    orbit (the CR3BP secondary when paired with a central mass)."""
+
+    radius: jax.Array
+    omega: jax.Array
+    phase: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
+    z0: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
+
+    def __call__(self, t):
+        ang = self.omega * t + self.phase
+        r = self.radius
+        return jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang),
+                          self.z0 * jnp.ones_like(ang)], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MovingCenter(TimeDependentPotential):
+    """``base`` rigidly translated along a trajectory x_c(t).
+
+    The workhorse perturber wrapper: a Plummer-softened GMC on a straight
+    flyby is ``MovingCenter(PlummerSphere(...), LinearTrajectory(...))``."""
+
+    base: Potential
+    trajectory: object  # LinearTrajectory | CircularTrajectory | pytree callable
+
+    def phi_t(self, xyz, t):
+        return self.base.phi(xyz - self.trajectory(t))
+
+    def accel_t(self, xyz, t):
+        return self.base.accel(xyz - self.trajectory(t))
+
+
+def _rot_z(xyz, ang):
+    """Rotate xyz by +ang about the z axis."""
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Rotating(TimeDependentPotential):
+    """``base`` rigidly rotating about z at pattern speed omega_p.
+
+    Inertial-frame field of a bar/spiral pattern: Φ(x, t) =
+    Φ_base(R_z(−θ) x) with θ = omega_p·t + phase; accelerations are
+    rotated back to the inertial frame. For any ``base`` the Jacobi
+    integral E_J = E − omega_p·L_z is conserved (diagnostics.jacobi_energy
+    — the rotating-frame energy check)."""
+
+    base: Potential
+    omega_p: jax.Array
+    phase: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
+
+    def _angle(self, t):
+        return self.omega_p * t + self.phase
+
+    def phi_t(self, xyz, t):
+        return self.base.phi(_rot_z(xyz, -self._angle(t)))
+
+    def accel_t(self, xyz, t):
+        ang = self._angle(t)
+        return _rot_z(self.base.accel(_rot_z(xyz, -ang)), ang)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ramped(TimeDependentPotential):
+    """``base`` with a smooth amplitude ramp A(t): 0 → 1 over [t0, t1].
+
+    Dehnen (2000) growth polynomial: A(ξ) = 3/16 ξ⁵ − 5/8 ξ³ + 15/16 ξ +
+    1/2, ξ = clip(2(t−t0)/(t1−t0) − 1), which is C² at both ends — the
+    standard adiabatic switch-on for bar perturbations."""
+
+    base: Potential
+    t0: jax.Array
+    t1: jax.Array
+
+    def amplitude(self, t):
+        xi = jnp.clip(2.0 * (t - self.t0) / (self.t1 - self.t0) - 1.0,
+                      -1.0, 1.0)
+        return ((3.0 / 16.0) * xi**5 - (5.0 / 8.0) * xi**3
+                + (15.0 / 16.0) * xi + 0.5)
+
+    def phi_t(self, xyz, t):
+        return self.amplitude(t) * self.base.phi(xyz)
+
+    def accel_t(self, xyz, t):
+        return self.amplitude(t) * self.base.accel(xyz)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LongMuraliBar(Potential):
+    """Long & Murali (1992) softened-needle bar along x.
+
+    Φ = (GM/2a) ln[(x − a + T₋)/(x + a + T₊)], T_± = √((a ∓ x)² + y² +
+    (b + √(c² + z²))²). Closed-form, finite everywhere; the standard
+    analytic triaxial bar model. Acceleration by exact autodiff of Φ
+    (O(N), not a hot path). Wrap in :class:`Rotating` (optionally
+    :class:`Ramped`) for a pattern-rotating Galactic bar."""
+
+    GM: jax.Array
+    a: jax.Array   # bar half-length
+    b: jax.Array   # in-plane softening
+    c: jax.Array   # vertical softening
+
+    def phi(self, xyz):
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        w = self.b + jnp.sqrt(self.c**2 + z * z)
+        yw2 = y * y + w * w
+        tm = jnp.sqrt((self.a - x) ** 2 + yw2)
+        tp = jnp.sqrt((self.a + x) ** 2 + yw2)
+        return (self.GM / (2.0 * self.a)) * jnp.log(
+            (x - self.a + tm) / (x + self.a + tp))
+
+    def accel(self, xyz):
+        xyz = jnp.asarray(xyz, jnp.result_type(float))
+        return -jax.grad(lambda p: jnp.sum(self.phi(p)))(xyz)

@@ -205,6 +205,18 @@ class ShardedForce:
     # rejects it with the routing rationale).
     precision: str = dataclasses.field(default="f32", metadata=dict(static=True))
 
+    def at_time(self, t):
+        """Bind the external field's evaluation time (same contract as
+        ForceModel.at_time): no-op for static externals, a Bound wrapper
+        carrying ``t`` as a pytree leaf for time-dependent ones. The
+        bound external evaluates on each shard's LOCAL rows inside
+        shard_map — O(rows), no collectives involved."""
+        if self.external is None:
+            return self
+        ext = self.external.at(t)
+        return self if ext is self.external else dataclasses.replace(
+            self, external=ext)
+
     # ---- rows-vs-sources kernel dispatch ------------------------------
     def _rows_kernel(self):
         if self.backend == "pallas" or (
@@ -447,7 +459,7 @@ class ShardedForce:
         acc = acc[:n].astype(pos.dtype)
         jerk = jerk[:n].astype(pos.dtype)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
@@ -660,7 +672,7 @@ class ShardedForce:
         acc = acc[:n].astype(pos.dtype)
         jerk = jerk[:n].astype(pos.dtype)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos,), (vel,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
@@ -702,7 +714,7 @@ class ShardedForce:
         acc = acc.astype(pos_rows.dtype)
         jerk = jerk.astype(pos_rows.dtype)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,), (vel_rows,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
@@ -746,8 +758,7 @@ class ShardedForce:
         acc = acc.astype(pos_rows.dtype)
         jerk = jerk.astype(pos_rows.dtype)
         if self.external is not None:
-            a_ext, da_ext = jax.jvp(self.external.accel, (pos_rows,),
-                                    (vel_rows,))
+            a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
             acc = acc + a_ext
             jerk = jerk + da_ext
         return acc, jerk
