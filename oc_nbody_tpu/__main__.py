@@ -22,12 +22,26 @@ def main(argv=None):
     p_run.add_argument("--profile", metavar="DIR", default=None,
                        help="capture a Perfetto/XProf trace of the run "
                             "into DIR (view with xprof/tensorboard)")
+    p_run.add_argument("--platform", default=None,
+                       choices=("cpu", "tpu"),
+                       help="force the JAX platform (default: whatever the "
+                            "environment provides). cpu uses the jnp blocked "
+                            "kernels — useful for debugging or when no TPU "
+                            "is reachable; overrides env-level platform "
+                            "forcing, must act before JAX backend init")
 
     p_info = sub.add_parser("info", help="print a resolved config")
     p_info.add_argument("config")
     p_info.add_argument("--set", dest="overrides", action="append", default=[])
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        # Must land before the first backend touch; jax.config wins over
+        # env-level forcing (this environment's sitecustomize pins
+        # JAX_PLATFORMS, so the env var alone is not enough).
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from oc_nbody_tpu.utils.cache import enable_compile_cache
 

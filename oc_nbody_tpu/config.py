@@ -40,11 +40,52 @@ class ICConfig:
 
 
 @dataclasses.dataclass
+class PerturberConfig:
+    """A moving perturber ADDED to the main potential (GMC / dwarf-galaxy
+    flyby): models/potentials.py MovingCenter on a linear or circular
+    galactocentric trajectory. All parameters physical (pc, km/s, Myr)."""
+
+    kind: str = "none"           # none | plummer | point_mass
+    mass_msun: float = 1.0e5
+    scale_pc: float = 10.0       # Plummer b / point-mass softening
+    trajectory: str = "linear"   # linear | circular
+    # linear: start position + constant velocity
+    x0_pc: tuple = (-8000.0, 100.0, 0.0)
+    v0_kms: tuple = (20.0, 0.0, 0.0)
+    # circular: radius/phase/plane; period_myr = 0 derives the angular
+    # rate from the MAIN potential's v_circ at that radius
+    radius_pc: float = 8000.0
+    period_myr: float = 0.0
+    phase_deg: float = 0.0
+    z0_pc: float = 0.0
+
+
+@dataclasses.dataclass
+class BarConfig:
+    """A rotating Long–Murali bar ADDED to the main potential
+    (models/potentials.py LongMuraliBar inside Rotating, optionally
+    Ramped for adiabatic growth)."""
+
+    kind: str = "none"           # none | long_murali
+    mass_msun: float = 1.0e10
+    a_pc: float = 4000.0         # half-length
+    b_pc: float = 1000.0         # in-plane softening
+    c_pc: float = 500.0          # vertical softening
+    pattern_speed_kms_kpc: float = 39.0
+    angle0_deg: float = 28.0     # bar angle at t = 0
+    grow_myr: float = 0.0        # > 0: Dehnen ramp over [0, grow_myr]
+
+
+@dataclasses.dataclass
 class PotentialConfig:
     kind: str = "none"           # none | milky_way | point_mass
     # point_mass params (physical)
     mass_msun: float = 1.0e11
     softening_pc: float = 0.0
+    # time-dependent additions ([potential.perturber] / [potential.bar])
+    perturber: PerturberConfig = dataclasses.field(
+        default_factory=PerturberConfig)
+    bar: BarConfig = dataclasses.field(default_factory=BarConfig)
 
 
 @dataclasses.dataclass
@@ -129,14 +170,25 @@ class SimConfig:
                 raise KeyError(f"unknown config section {section!r}")
             current = getattr(cfg, section)
             if dataclasses.is_dataclass(current):
-                names = {f.name: f for f in dataclasses.fields(current)}
-                for k, v in value.items():
-                    if k not in names:
-                        raise KeyError(f"unknown key {section}.{k}")
-                    setattr(current, k, _coerce(v, names[k].type))
+                _apply_section(current, value, section)
             else:
                 setattr(cfg, section, value)
         return cfg
+
+
+def _apply_section(obj, d: dict, path: str) -> None:
+    """Recursively apply a (possibly nested) config dict onto a dataclass
+    tree — nested TOML tables like [potential.perturber] land on nested
+    dataclass fields; unknown keys stay loud errors with their full path."""
+    names = {f.name: f for f in dataclasses.fields(obj)}
+    for k, v in d.items():
+        if k not in names:
+            raise KeyError(f"unknown key {path}.{k}")
+        current = getattr(obj, k)
+        if dataclasses.is_dataclass(current) and isinstance(v, dict):
+            _apply_section(current, v, f"{path}.{k}")
+        else:
+            setattr(obj, k, _coerce(v, names[k].type))
 
 
 def _coerce(value, type_str):

@@ -323,6 +323,9 @@ def milky_way(G: float, mass_scale: float = 1.0, length_scale: float = 1.0) -> C
 # the bound time flows through jit as a traced value (no recompiles per
 # step). The external jerk picks up the exact ∂a/∂t term through one jvp
 # over (pos, t) — no finite differencing (Bound.accel_jerk_ext).
+# Wrappers COMPOSE: each binds its base with .at(t) (identity for
+# static bases), so Ramped(Rotating(bar)) or a Composite mixing static
+# and moving members all work through one outer .at(t).
 
 
 @jax.tree_util.register_dataclass
@@ -428,10 +431,10 @@ class MovingCenter(TimeDependentPotential):
     trajectory: object  # LinearTrajectory | CircularTrajectory | pytree callable
 
     def phi_t(self, xyz, t):
-        return self.base.phi(xyz - self.trajectory(t))
+        return self.base.at(t).phi(xyz - self.trajectory(t))
 
     def accel_t(self, xyz, t):
-        return self.base.accel(xyz - self.trajectory(t))
+        return self.base.at(t).accel(xyz - self.trajectory(t))
 
 
 def _rot_z(xyz, ang):
@@ -460,11 +463,11 @@ class Rotating(TimeDependentPotential):
         return self.omega_p * t + self.phase
 
     def phi_t(self, xyz, t):
-        return self.base.phi(_rot_z(xyz, -self._angle(t)))
+        return self.base.at(t).phi(_rot_z(xyz, -self._angle(t)))
 
     def accel_t(self, xyz, t):
         ang = self._angle(t)
-        return _rot_z(self.base.accel(_rot_z(xyz, -ang)), ang)
+        return _rot_z(self.base.at(t).accel(_rot_z(xyz, -ang)), ang)
 
 
 @jax.tree_util.register_dataclass
@@ -487,10 +490,10 @@ class Ramped(TimeDependentPotential):
                 + (15.0 / 16.0) * xi + 0.5)
 
     def phi_t(self, xyz, t):
-        return self.amplitude(t) * self.base.phi(xyz)
+        return self.amplitude(t) * self.base.at(t).phi(xyz)
 
     def accel_t(self, xyz, t):
-        return self.amplitude(t) * self.base.accel(xyz)
+        return self.amplitude(t) * self.base.at(t).accel(xyz)
 
 
 @jax.tree_util.register_dataclass

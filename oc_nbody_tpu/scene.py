@@ -61,6 +61,70 @@ def build_external_potential(cfg: SimConfig, us: UnitSystem) -> Optional[pot_mod
     raise ValueError(f"unknown potential kind {p.kind!r}")
 
 
+def _build_perturber(cfg: SimConfig, us: UnitSystem,
+                     host: Optional[pot_mod.Potential]):
+    """[potential.perturber] → a MovingCenter in code units (or None)."""
+    p = cfg.potential.perturber
+    if p.kind == "none":
+        return None
+    L = 1.0 / us.length_pc
+    GM = jnp.asarray(us.G * p.mass_msun / us.mass_msun)
+    scale = jnp.asarray(p.scale_pc * L)
+    if p.kind == "plummer":
+        base = pot_mod.PlummerSphere(GM=GM, b=scale)
+    elif p.kind == "point_mass":
+        base = pot_mod.PointMass(GM=GM, softening=scale)
+    else:
+        raise ValueError(f"unknown perturber kind {p.kind!r}")
+    if p.trajectory == "linear":
+        traj = pot_mod.LinearTrajectory(
+            x0=jnp.asarray([c * L for c in p.x0_pc], jnp.float64),
+            v0=jnp.asarray([us.to_code(c, "velocity") for c in p.v0_kms],
+                           jnp.float64))
+    elif p.trajectory == "circular":
+        R = p.radius_pc * L
+        if p.period_myr > 0:
+            omega = 2.0 * math.pi / us.to_code(p.period_myr, "time")
+        else:
+            if host is None:
+                raise ValueError(
+                    "perturber.period_myr = 0 derives the circular rate "
+                    "from the main potential's v_circ, but potential.kind "
+                    "is 'none' — set period_myr explicitly")
+            omega = float(host.vcirc(R)) / R
+        traj = pot_mod.CircularTrajectory(
+            radius=jnp.asarray(R), omega=jnp.asarray(omega),
+            phase=jnp.asarray(math.radians(p.phase_deg)),
+            z0=jnp.asarray(p.z0_pc * L))
+    else:
+        raise ValueError(f"unknown perturber trajectory {p.trajectory!r}")
+    return pot_mod.MovingCenter(base=base, trajectory=traj)
+
+
+def _build_bar(cfg: SimConfig, us: UnitSystem):
+    """[potential.bar] → a Rotating (optionally Ramped) LongMuraliBar."""
+    b = cfg.potential.bar
+    if b.kind == "none":
+        return None
+    if b.kind != "long_murali":
+        raise ValueError(f"unknown bar kind {b.kind!r}")
+    L = 1.0 / us.length_pc
+    bar = pot_mod.LongMuraliBar(
+        GM=jnp.asarray(us.G * b.mass_msun / us.mass_msun),
+        a=jnp.asarray(b.a_pc * L), b=jnp.asarray(b.b_pc * L),
+        c=jnp.asarray(b.c_pc * L))
+    # km/s/kpc → rad/Myr → rad/code-time
+    from oc_nbody_tpu.utils.units import KMS_IN_PC_PER_MYR
+    omega_myr = b.pattern_speed_kms_kpc * KMS_IN_PC_PER_MYR / 1000.0
+    pot = pot_mod.Rotating(
+        base=bar, omega_p=jnp.asarray(omega_myr * us.time_myr),
+        phase=jnp.asarray(math.radians(b.angle0_deg)))
+    if b.grow_myr > 0:
+        pot = pot_mod.Ramped(base=pot, t0=jnp.asarray(0.0),
+                             t1=jnp.asarray(us.to_code(b.grow_myr, "time")))
+    return pot
+
+
 def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
     ic = cfg.ic
     key = jax.random.PRNGKey(ic.seed)
@@ -133,7 +197,14 @@ def build_scene(cfg: SimConfig) -> Scene:
     us = build_units(cfg)
     external = build_external_potential(cfg, us)
     state = build_ic(cfg, us)
+    # orbit placement uses the HOST potential only: a perturber/bar is a
+    # perturbation of the orbit, not part of its circular-speed balance
     state = place_on_orbit(state, external, cfg, us)
+    additions = [p for p in (_build_perturber(cfg, us, external),
+                             _build_bar(cfg, us)) if p is not None]
+    if additions:
+        comps = ([external] if external is not None else []) + additions
+        external = comps[0] if len(comps) == 1 else pot_mod.composite(comps)
     # forward RNG stream for the run itself, disjoint from build_ic's keys
     # (which are split directly from PRNGKey(seed))
     rng_key = jax.random.fold_in(jax.random.PRNGKey(cfg.ic.seed), 0x52554E)

@@ -127,6 +127,10 @@ def test_compute_all_single_potential_pass():
                     calls["n"] += 1
                     return v(*a, **kw)
                 return wrapped
+            if k == "at_time":
+                # compute_all rebinds force = force.at_time(t) first; keep
+                # the counting proxy alive across that (no-op) rebinding
+                return lambda t: self
             return v
 
     row = diagnostics.compute_all(st, Counting())

@@ -130,3 +130,52 @@ def test_run_block_kind(tmp_path):
     cfg.integrator.n_levels = 4
     res = run(cfg)
     assert float(res.state.time) == pytest.approx(0.5)
+
+
+def test_run_with_gmc_perturber(tmp_path):
+    """CLI-shaped run with a [potential.perturber]: the moving field is
+    advanced inside the jitted loop (force.at_time) and the run completes
+    with finite diagnostics (configs/gmc_flyby_8k.toml at toy scale)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.potential.kind = "milky_way"
+    cfg.orbit.kind = "circular"
+    cfg.orbit.R0_pc = 8000.0
+    cfg.potential.perturber.kind = "plummer"
+    cfg.potential.perturber.mass_msun = 5.0e5
+    cfg.potential.perturber.scale_pc = 15.0
+    cfg.potential.perturber.x0_pc = (8030.0, -20.0, 0.0)
+    cfg.potential.perturber.v0_kms = (0.0, 280.0, 0.0)
+    res = run(cfg)
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    # the perturber really acts: rerun without it gives different state
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.output.out_dir = str(tmp_path / "run2")
+    cfg2.potential.kind = "milky_way"
+    cfg2.orbit.kind = "circular"
+    cfg2.orbit.R0_pc = 8000.0
+    res2 = run(cfg2)
+    assert not np.allclose(np.asarray(res.state.pos),
+                           np.asarray(res2.state.pos))
+
+
+def test_run_with_rotating_bar(tmp_path):
+    """CLI-shaped run with a ramped rotating bar: Jacobi integral in the
+    bar frame is the conserved check once the ramp ends (configs/
+    bar_cluster_8k.toml at toy scale)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.potential.kind = "milky_way"
+    cfg.orbit.kind = "circular"
+    cfg.orbit.R0_pc = 4000.0
+    cfg.potential.bar.kind = "long_murali"
+    cfg.potential.bar.grow_myr = 0.0   # bar on from t=0 → E_J conserved
+    res = run(cfg)
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    from oc_nbody_tpu.diagnostics import jacobi_energy
+    from oc_nbody_tpu.scene import build_scene
+    scene = build_scene(cfg)
+    omega_p = scene.config.potential.bar.pattern_speed_kms_kpc  # physical
+    from oc_nbody_tpu.utils.units import KMS_IN_PC_PER_MYR
+    om_code = omega_p * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr
+    ej0 = float(jacobi_energy(scene.state, scene.force, om_code))
+    ej1 = float(jacobi_energy(res.state, scene.force, om_code))
+    assert ej1 == pytest.approx(ej0, rel=5e-4)
