@@ -41,6 +41,11 @@ def main(argv=None):
         # metric on orbit runs where E_tot is galaxy-dominated
         ax.plot(t, d["dE_over_E_int"], lw=1, ls="--",
                 label="dE / |E_int(0)|")
+    if "dEJ_over_EJ" in d:
+        # rotating pattern configured: the Jacobi integral is the
+        # conserved quantity (constant only after any growth ramp)
+        ax.plot(t, d["dEJ_over_EJ"], lw=1, ls=":", label="dE_J / |E_J(0)|")
+    if "dE_over_E_int" in d or "dEJ_over_EJ" in d:
         ax.legend(fontsize=8)
     ax.set_xlabel("t [code]")
     ax.set_ylabel("dE/E")
@@ -63,6 +68,13 @@ def main(argv=None):
     ax.set_xlabel("t [code]")
     ax.set_ylabel("M_bound / M_bound(0)")
     ax.set_title("bound mass (tidal stripping)")
+    if "d_pert" in d:
+        # flyby runs: overlay the perturber-cluster separation so closest
+        # approach lines up with any step in the stripping curve
+        ax2 = ax.twinx()
+        ax2.plot(t, d["d_pert"], lw=1, color="tab:red", alpha=0.6)
+        ax2.set_yscale("log")
+        ax2.set_ylabel("d_pert [code]", color="tab:red")
 
     ax = axes[1, 1]
     ax.plot(t, d["KE"], label="KE", lw=1)

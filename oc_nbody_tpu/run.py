@@ -53,6 +53,48 @@ def run(cfg: SimConfig, resume: bool = False,
     return _run(cfg, resume=resume, progress=progress)
 
 
+def _diag_extra_fn(cfg: SimConfig, scene):
+    """Physics-aware extra diagnostic columns for time-dependent fields
+    (jit-safe; returns None when neither applies):
+
+    * ``E_J`` = E_tot − Ω_p·L_z — the Jacobi integral, the conserved
+      quantity when the external field rotates rigidly at the configured
+      bar pattern speed (diagnostics.jacobi_energy rationale; constant
+      only once the growth ramp has ended).
+    * ``d_pert`` — distance from the cluster density centre to the
+      configured perturber (locates closest approach in flyby runs).
+    """
+    import jax.numpy as jnp
+
+    from oc_nbody_tpu.models import potentials as pot_mod
+    from oc_nbody_tpu.utils.units import KMS_IN_PC_PER_MYR
+
+    omega = None
+    if cfg.potential.bar.kind != "none":
+        omega = (cfg.potential.bar.pattern_speed_kms_kpc
+                 * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr)
+    traj = None
+    if cfg.potential.perturber.kind != "none":
+        ext = scene.force.external
+        comps = (ext.components if isinstance(ext, pot_mod.Composite)
+                 else [ext])
+        for c in comps:
+            if isinstance(c, pot_mod.MovingCenter):
+                traj = c.trajectory
+    if omega is None and traj is None:
+        return None
+
+    def add(row, state):
+        if omega is not None:
+            row["E_J"] = row["E_tot"] - omega * row["Lz"]
+        if traj is not None:
+            cen = jnp.stack([row["cx"], row["cy"], row["cz"]])
+            row["d_pert"] = jnp.linalg.norm(traj(state.time) - cen)
+        return row
+
+    return add
+
+
 def _run(cfg: SimConfig, resume: bool = False,
          progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
@@ -154,13 +196,18 @@ def _run(cfg: SimConfig, resume: bool = False,
                 _state["size"] = best
             if done:
                 return carry
+    extra_cols = _diag_extra_fn(cfg, scene)
+
+    def _with_extras(row, state):
+        return extra_cols(row, state) if extra_cols is not None else row
+
     if host_stepping:
         # the O(N²) potential is computed OUTSIDE the jit by the batched
         # kernels (same reason as advance above); the O(N) remainder of
         # the row stays one jitted program
         _diag_rest = jax.jit(
-            lambda state, force, phi: diag_mod.compute_all(
-                state, force, out.fractions, precomputed_phi=phi))
+            lambda state, force, phi: _with_extras(diag_mod.compute_all(
+                state, force, out.fractions, precomputed_phi=phi), state))
 
         def compute_diag(state, force):
             _, phi_pair, phi_ext = force.accel_potential_batched(
@@ -168,8 +215,9 @@ def _run(cfg: SimConfig, resume: bool = False,
             return _diag_rest(state, force, (phi_pair, phi_ext))
     else:
         compute_diag = jax.jit(
-            lambda state, force: diag_mod.compute_all(
-                state, force, out.fractions, f64_pairwise=out.diag_f64)
+            lambda state, force: _with_extras(diag_mod.compute_all(
+                state, force, out.fractions, f64_pairwise=out.diag_f64),
+                state)
         )
 
     if kind == "block":
@@ -218,17 +266,25 @@ def _run(cfg: SimConfig, resume: bool = False,
     # galaxy-dominated E_tot flatters orbit runs by orders of magnitude
     # (VERDICT round-1 item 4); dE_over_E_int is the honest per-crossing metric.
     e_int0 = abs(float(row0.get("E_int", e0)))
+    ej0 = float(row0["E_J"]) if "E_J" in row0 else None
     if resume:
         prev = writer.read_diagnostics()
         if "E_tot" in prev and len(prev["E_tot"]):
             e0 = float(prev["E_tot"][0])
         if "E_int" in prev and len(prev["E_int"]):
             e_int0 = abs(float(prev["E_int"][0]))
+        if ej0 is not None and "E_J" in prev and len(prev["E_J"]):
+            ej0 = float(prev["E_J"][0])
 
     def drift_cols(row):
         e = float(row["E_tot"])
         row["dE_over_E"] = (e - e0) / abs(e0) if e0 else 0.0
         row["dE_over_E_int"] = (e - e0) / e_int0 if e_int0 else 0.0
+        if ej0 is not None and "E_J" in row:
+            # Jacobi drift: the honest conservation check for a rigidly
+            # rotating pattern (constant only after any growth ramp)
+            row["dEJ_over_EJ"] = ((float(row["E_J"]) - ej0) / abs(ej0)
+                                  if ej0 else 0.0)
         if hasattr(stepper, "rung_occupancy"):
             occ = np.asarray(jax.device_get(stepper.rung_occupancy(carry)))
             for k, c in enumerate(occ):

@@ -147,6 +147,9 @@ def test_run_with_gmc_perturber(tmp_path):
     cfg.potential.perturber.v0_kms = (0.0, 280.0, 0.0)
     res = run(cfg)
     assert np.isfinite(res.diagnostics["E_tot"]).all()
+    # d_pert column: the closing perturber's separation shrinks
+    dp = res.diagnostics["d_pert"]
+    assert np.isfinite(dp).all() and dp[-1] < dp[0]
     # the perturber really acts: rerun without it gives different state
     cfg2 = _tiny_cfg(tmp_path)
     cfg2.output.out_dir = str(tmp_path / "run2")
@@ -170,12 +173,16 @@ def test_run_with_rotating_bar(tmp_path):
     cfg.potential.bar.grow_myr = 0.0   # bar on from t=0 → E_J conserved
     res = run(cfg)
     assert np.isfinite(res.diagnostics["E_tot"]).all()
+    # the driver emits the Jacobi columns itself, and E_J is conserved
+    ej = res.diagnostics["E_J"]
+    assert np.isfinite(ej).all()
+    assert abs(res.diagnostics["dEJ_over_EJ"][-1]) < 5e-4
+    # ... and it matches diagnostics.jacobi_energy recomputed post-hoc
     from oc_nbody_tpu.diagnostics import jacobi_energy
     from oc_nbody_tpu.scene import build_scene
-    scene = build_scene(cfg)
-    omega_p = scene.config.potential.bar.pattern_speed_kms_kpc  # physical
     from oc_nbody_tpu.utils.units import KMS_IN_PC_PER_MYR
-    om_code = omega_p * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr
-    ej0 = float(jacobi_energy(scene.state, scene.force, om_code))
+    scene = build_scene(cfg)
+    om_code = (cfg.potential.bar.pattern_speed_kms_kpc
+               * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr)
     ej1 = float(jacobi_energy(res.state, scene.force, om_code))
-    assert ej1 == pytest.approx(ej0, rel=5e-4)
+    assert ej1 == pytest.approx(ej[-1], rel=1e-9)
