@@ -25,6 +25,11 @@ REPEATS = 10
 
 
 def main():
+    # ride out transient TPU-grant outages (utils/backend_wait.py) —
+    # the driver runs this unattended at round end
+    from oc_nbody_tpu.utils.backend_wait import wait_for_backend
+    wait_for_backend()
+
     from oc_nbody_tpu.forces import make_force_model
     from oc_nbody_tpu.models.plummer import plummer
 
