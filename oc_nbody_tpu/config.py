@@ -185,7 +185,13 @@ def _apply_section(obj, d: dict, path: str) -> None:
         if k not in names:
             raise KeyError(f"unknown key {path}.{k}")
         current = getattr(obj, k)
-        if dataclasses.is_dataclass(current) and isinstance(v, dict):
+        if dataclasses.is_dataclass(current):
+            if not isinstance(v, dict):
+                # a scalar here would silently replace the whole nested
+                # section and surface later as a distant AttributeError
+                raise TypeError(
+                    f"{path}.{k} is a config section (table); got "
+                    f"{type(v).__name__} {v!r}")
             _apply_section(current, v, f"{path}.{k}")
         else:
             setattr(obj, k, _coerce(v, names[k].type))
@@ -275,5 +281,9 @@ def apply_overrides(cfg: SimConfig, overrides: list[str]) -> SimConfig:
             value = json.loads(raw)
         except json.JSONDecodeError:
             value = raw
+        if dataclasses.is_dataclass(getattr(obj, leaf)):
+            raise TypeError(
+                f"{dotted!r} is a config section; override its fields "
+                f"(e.g. --set {dotted}.kind=...) instead")
         setattr(obj, leaf, _coerce(value, field.type))
     return cfg

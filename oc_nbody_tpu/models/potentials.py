@@ -277,6 +277,23 @@ class Composite(Potential):
             return self  # all static: no retrace-relevant structure change
         return Composite(components=comps)
 
+    def accel_jerk_ext(self, pos, vel):
+        """Sum of member jerks, each member handling its own ∂a/∂t.
+
+        The inherited single-jvp-over-pos path would be WRONG here for
+        time-bound members: a :class:`Bound` member's ``t`` is a fixed
+        pytree leaf of this composite, so d/dpos misses its ∂a/∂t term
+        entirely (while the member's own ``accel_jerk_ext`` jvp's over
+        (pos, t) exactly). Static members are unchanged — their
+        ``accel_jerk_ext`` is the pos-only jvp."""
+        acc = jnp.zeros_like(pos)
+        jerk = jnp.zeros_like(pos)
+        for c in self.components:
+            a, j = c.accel_jerk_ext(pos, vel)
+            acc = acc + a
+            jerk = jerk + j
+        return acc, jerk
+
 
 def composite(components: Sequence[Potential]) -> Composite:
     return Composite(components=tuple(components))

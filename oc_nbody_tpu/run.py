@@ -67,20 +67,21 @@ def _diag_extra_fn(cfg: SimConfig, scene):
     import jax.numpy as jnp
 
     from oc_nbody_tpu.models import potentials as pot_mod
-    from oc_nbody_tpu.utils.units import KMS_IN_PC_PER_MYR
 
+    ext = scene.force.external
+    comps = (ext.components if isinstance(ext, pot_mod.Composite)
+             else [ext]) if ext is not None else []
     omega = None
-    if cfg.potential.bar.kind != "none":
-        omega = (cfg.potential.bar.pattern_speed_kms_kpc
-                 * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr)
     traj = None
-    if cfg.potential.perturber.kind != "none":
-        ext = scene.force.external
-        comps = (ext.components if isinstance(ext, pot_mod.Composite)
-                 else [ext])
-        for c in comps:
-            if isinstance(c, pot_mod.MovingCenter):
-                traj = c.trajectory
+    for c in comps:
+        # read Ω_p off the wrapper actually integrated (possibly inside a
+        # growth ramp) rather than re-deriving from the config — one unit
+        # conversion, in scene._build_bar only
+        base = c.base if isinstance(c, pot_mod.Ramped) else c
+        if isinstance(base, pot_mod.Rotating) and omega is None:
+            omega = base.omega_p
+        if isinstance(c, pot_mod.MovingCenter) and traj is None:
+            traj = c.trajectory
     if omega is None and traj is None:
         return None
 
@@ -210,7 +211,11 @@ def _run(cfg: SimConfig, resume: bool = False,
                 state, force, out.fractions, precomputed_phi=phi), state))
 
         def compute_diag(state, force):
-            _, phi_pair, phi_ext = force.accel_potential_batched(
+            # bind the evaluation time FIRST: a time-dependent external
+            # raises on unbound evaluation, and the macro advance paths
+            # all bind (leapfrog.py/hermite.py batched evals)
+            force_t = force.at_time(state.time)
+            _, phi_pair, phi_ext = force_t.accel_potential_batched(
                 state.pos, state.mass, n_batches=stepper.n_batches)
             return _diag_rest(state, force, (phi_pair, phi_ext))
     else:

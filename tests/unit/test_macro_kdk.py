@@ -214,3 +214,33 @@ def test_batched_rejects_df32_and_jnp():
             force.accel_batched(state.pos, state.mass)
         with pytest.raises(ValueError, match="batched oversized"):
             force.accel_jerk_batched(state.pos, state.vel, state.mass)
+
+
+def test_macro_driver_with_time_dependent_field(interpret, tmp_path):
+    """Host-stepped driver + a configured perturber: the diagnostics'
+    precomputed-phi path must bind the evaluation time before calling
+    accel_potential_batched (a time-dependent external raises on unbound
+    evaluation — round-3 review fix)."""
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.run import run
+
+    cfg = SimConfig.from_dict({
+        "units": {"kind": "henon"},
+        "ic": {"kind": "plummer", "n": 192, "seed": 5},
+        "potential": {"kind": "milky_way",
+                      "perturber": {"kind": "plummer",
+                                    "mass_msun": 5.0e5, "scale_pc": 15.0,
+                                    "x0_pc": [8030.0, -20.0, 0.0],
+                                    "v0_kms": [0.0, 280.0, 0.0]}},
+        "orbit": {"kind": "circular", "R0_pc": 8000.0},
+        "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 0.05,
+                       "macro_batches": 2},
+        "backend": "pallas",
+        "output": {"out_dir": str(tmp_path / "macro_td"),
+                   "t_end": 4.0 / 64, "diag_every": 2.0 / 64,
+                   "snap_every": 2.0 / 64, "stdout": False},
+    })
+    res = run(cfg)
+    assert res.n_steps == 4
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    assert np.isfinite(res.diagnostics["d_pert"]).all()

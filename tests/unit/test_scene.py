@@ -213,3 +213,13 @@ def test_nested_config_roundtrip_from_dict():
     assert cfg.potential.bar.pattern_speed_kms_kpc == 33.0
     # sibling defaults untouched
     assert cfg.potential.perturber.kind == "none"
+
+
+def test_config_section_scalar_is_loud():
+    """A scalar where a nested section is expected fails at parse time,
+    not as a distant AttributeError (round-3 review fix)."""
+    with pytest.raises(TypeError, match="potential.perturber"):
+        SimConfig.from_dict({"potential": {"perturber": 3}})
+    from oc_nbody_tpu.config import apply_overrides
+    with pytest.raises(TypeError, match="config section"):
+        apply_overrides(SimConfig(), ["potential.perturber=x"])

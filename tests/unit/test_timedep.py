@@ -200,6 +200,38 @@ def test_accel_jerk_ext_matches_finite_difference(key):
     np.testing.assert_allclose(np.asarray(adot), fd, rtol=1e-6, atol=1e-8)
 
 
+def test_composite_accel_jerk_ext_keeps_dt_term(key):
+    """A Composite mixing static + time-bound members must NOT drop the
+    moving member's ∂a/∂t: the inherited pos-only jvp would (the bound t
+    is a fixed leaf of the composite), which is exactly how every
+    config-built perturber/bar reaches Hermite/block steppers
+    (scene.build_scene composes with the host potential)."""
+    mw = P.milky_way(G=1.0)
+    mov = P.MovingCenter(
+        base=P.PlummerSphere(GM=jnp.asarray(3.0), b=jnp.asarray(0.7)),
+        trajectory=P.LinearTrajectory(
+            x0=jnp.asarray([7.5, 0.0, -0.2]), v0=jnp.asarray([1.0, -0.5, 0.3])))
+    comp = P.composite([mw, mov])
+    pos = _points(key, 16, scale=1.0) + jnp.asarray([8.0, 0.0, 0.0])
+    vel = 0.5 * jax.random.normal(jax.random.fold_in(key, 3), pos.shape,
+                                  jnp.float64)
+    t0 = 0.8
+    a, adot = comp.at(t0).accel_jerk_ext(pos, vel)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.asarray(comp.at(t0).accel(pos)), rtol=1e-12)
+    # exact reference: jvp over the JOINT (pos, t) — the true total
+    # derivative along the trajectory (FD at h=1e-6 has ~1e-4 truncation
+    # noise near the perturber, so compare exactly instead)
+    aref, jref = jax.jvp(lambda p, t: comp.at(t).accel(p),
+                         (pos, jnp.asarray(t0)),
+                         (vel, jnp.asarray(1.0)))
+    np.testing.assert_allclose(np.asarray(adot), np.asarray(jref),
+                               rtol=1e-12, atol=0.0)
+    # and the sum really contains the dt term: the pos-only jvp differs
+    pos_only = jax.jvp(comp.at(t0).accel, (pos,), (vel,))[1]
+    assert float(jnp.max(jnp.abs(adot - pos_only))) > 1e-3
+
+
 def test_static_accel_jerk_ext_unchanged(key):
     """For static fields accel_jerk_ext is exactly the old (v·∇)a jvp."""
     mw = P.milky_way(G=1.0)
