@@ -373,3 +373,43 @@ def test_diagnostics_bind_time(key):
     m = st.mass.astype(jnp.float64)
     want0 = float(jnp.sum(m * ext.at(0.0).phi(st.pos)))
     np.testing.assert_allclose(float(e0["E_ext"]), want0, rtol=1e-10)
+
+
+def test_energy_balance_equals_field_work(key):
+    """Global physics contract of the whole TD machinery: with a moving
+    external field, dE_tot/dt = Σᵢ mᵢ ∂φ/∂t(xᵢ, t) — the work done BY the
+    field. Integrate a KDK run and compare the measured ΔE_tot against
+    the midpoint-rule integral of the analytic power (both O(dt²))."""
+    from oc_nbody_tpu import diagnostics
+    from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
+
+    f = _flyby_force(speed=4.0)
+    st = plummer(64, key)
+    dt = 1.0 / 256
+    kdk = LeapfrogKDK(force=f, dt=dt)
+    step = jax.jit(kdk.step)
+
+    def e_tot(state):
+        return float(diagnostics.energies(state, f)["E_tot"])
+
+    def power(pos, mass, t):
+        # Σ m ∂φ/∂t at fixed positions — exact via jvp over t
+        g = lambda tt: jnp.sum(mass * f.external.at(tt).phi(pos))
+        return float(jax.jvp(g, (jnp.asarray(t, jnp.float64),),
+                             (jnp.asarray(1.0, jnp.float64),))[1])
+
+    c = kdk.init(st)
+    e0 = e_tot(c.state)
+    work = 0.0
+    n_steps = 96
+    for _ in range(n_steps):
+        x_prev = c.state.pos
+        t_prev = float(c.state.time)
+        c = step(c)
+        x_mid = 0.5 * (x_prev + c.state.pos)
+        work += dt * power(x_mid, c.state.mass, t_prev + 0.5 * dt)
+    dE = e_tot(c.state) - e0
+    # the field actually did work (non-trivial test) ...
+    assert abs(dE) > 1e-6
+    # ... and the books balance to integrator order
+    assert abs(dE - work) < 0.02 * abs(dE) + 1e-8
