@@ -186,3 +186,24 @@ def test_run_with_rotating_bar(tmp_path):
                * KMS_IN_PC_PER_MYR / 1000.0 * scene.units.time_myr)
     ej1 = float(jacobi_energy(res.state, scene.force, om_code))
     assert ej1 == pytest.approx(ej[-1], rel=1e-9)
+
+
+def test_run_hermite_with_perturber(tmp_path):
+    """Hermite + configured perturber end-to-end: this is the path whose
+    external jerk silently dropped da_ext/dt before the Composite
+    accel_jerk_ext fix (round-3 review) — pin that it runs and that the
+    adaptive stepper stays healthy alongside the moving field."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.kind = "hermite"
+    cfg.integrator.eta = 0.02
+    cfg.potential.kind = "milky_way"
+    cfg.orbit.kind = "circular"
+    cfg.orbit.R0_pc = 8000.0
+    cfg.potential.perturber.kind = "plummer"
+    cfg.potential.perturber.mass_msun = 5.0e5
+    cfg.potential.perturber.scale_pc = 15.0
+    cfg.potential.perturber.x0_pc = (8030.0, -20.0, 0.0)
+    cfg.potential.perturber.v0_kms = (0.0, 280.0, 0.0)
+    res = run(cfg)
+    assert np.isfinite(res.diagnostics["E_tot"]).all()
+    assert np.isfinite(res.diagnostics["d_pert"]).all()
