@@ -37,6 +37,16 @@ class ICConfig:
     m_max_msun: float = 100.0
     seed: int = 0
     file: Optional[str] = None   # snapshot path when kind == "file"
+    # primordial binaries (models/binaries.py): split binary_fraction of
+    # the IC's stars into pairs (the state then has n*(1+fraction) rows).
+    # a_min/a_max are the log-uniform semi-major-axis bounds in CODE
+    # units — pick a_min at least a few times integrator.eps or the pair
+    # is softened away (models/binaries.py docstring).
+    binary_fraction: float = 0.0
+    binary_a_min: Optional[float] = None
+    binary_a_max: Optional[float] = None
+    binary_q_min: float = 0.1
+    binary_e_max: float = 0.95
 
 
 @dataclasses.dataclass

@@ -136,16 +136,36 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
         masses = sampler(ic.n, k_imf, m_min=ic.m_min_msun, m_max=ic.m_max_msun)
 
     if ic.kind == "plummer":
-        return plummer(ic.n, k_ic, a=ic.a, total_mass=ic.total_mass,
-                       G=us.G, masses=masses)
-    if ic.kind == "king":
+        state = plummer(ic.n, k_ic, a=ic.a, total_mass=ic.total_mass,
+                        G=us.G, masses=masses)
+    elif ic.kind == "king":
         from oc_nbody_tpu.models.king import king
-        return king(ic.n, ic.w0, seed=ic.seed, total_mass=ic.total_mass,
-                    G=us.G, masses=masses)
-    if ic.kind == "file":
+        state = king(ic.n, ic.w0, seed=ic.seed, total_mass=ic.total_mass,
+                     G=us.G, masses=masses)
+    elif ic.kind == "file":
         from oc_nbody_tpu.io.snapshot import read_snapshot
-        return read_snapshot(ic.file).state
-    raise ValueError(f"unknown IC kind {ic.kind!r}")
+        state = read_snapshot(ic.file).state
+    else:
+        raise ValueError(f"unknown IC kind {ic.kind!r}")
+
+    if ic.binary_fraction > 0.0:
+        if ic.binary_a_min is None or ic.binary_a_max is None:
+            raise ValueError(
+                "ic.binary_fraction > 0 requires ic.binary_a_min and "
+                "ic.binary_a_max (semi-major-axis bounds, code units)")
+        if ic.binary_a_min < 2.0 * cfg.integrator.eps:
+            raise ValueError(
+                f"ic.binary_a_min = {ic.binary_a_min} is below twice the "
+                f"softening eps = {cfg.integrator.eps}: such pairs are "
+                "softened away, not binaries — raise a_min or lower eps")
+        from oc_nbody_tpu.models.binaries import add_binaries
+        pop = add_binaries(
+            state, jax.random.fold_in(key, 0x42494E),
+            fraction=ic.binary_fraction,
+            a_min=ic.binary_a_min, a_max=ic.binary_a_max,
+            G=us.G, q_min=ic.binary_q_min, e_max=ic.binary_e_max)
+        state = pop.state
+    return state
 
 
 def eccentric_orbit_ic(potential: pot_mod.Potential, r_apo, r_peri):

@@ -10,16 +10,35 @@ real (possibly failing) init.
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+
+
+def _cpu_pinned() -> bool:
+    """True when this process is already configured for the CPU backend —
+    then the TPU relay is never touched and waiting on it would be a pure
+    stall (measured: the test suite's entry-point test blocked ~30 min
+    during a grant outage on a probe its CPU run could never need).
+    Reading jax.config does NOT initialise backends."""
+    try:
+        import jax
+        plats = getattr(jax.config, "jax_platforms", None) or ""
+        return plats.split(",")[0].strip() == "cpu"
+    except Exception:
+        return False
 
 
 def wait_for_backend(budget_s: float = 1800.0, probe_s: float = 150.0,
                      sleep_s: float = 120.0) -> None:
     """Block until a `jax.devices()` probe succeeds, or the budget is spent
     (then return anyway and let the caller's init produce the genuine
-    error). No-op cost when the backend is healthy: one fast subprocess."""
+    error). No-op cost when the backend is healthy: one fast subprocess.
+    Skipped entirely for CPU-pinned processes and under
+    OCN_SKIP_BACKEND_WAIT=1."""
+    if os.environ.get("OCN_SKIP_BACKEND_WAIT") == "1" or _cpu_pinned():
+        return
     deadline = time.monotonic() + budget_s
     while True:
         try:
