@@ -107,6 +107,29 @@ def census(pos, vel, mass, G=1.0, chunk=512):
                 hard=e_bind > ke_mean, ke_mean=ke_mean)
 
 
+def _evolution(run_dir, G, chunk):
+    """Pair counts and survival across a run's snapshot sequence.
+
+    Survival tracks the FIRST snapshot's pairs by particle id: a pair
+    "survives" at time t if the same (id, id) couple is still a bound
+    mutual-NN pair then (exchanges count as loss — rare and deliberate)."""
+    snaps = sorted(glob.glob(os.path.join(run_dir, "snapshot_*.h5")))
+    if not snaps:
+        raise SystemExit(f"no snapshot_*.h5 in {run_dir}")
+    initial = None
+    print(f"{'t':>12} {'pairs':>7} {'hard':>6} {'survive':>8}")
+    for snap in snaps:
+        pos, vel, mass, ids, t, _ = _load(snap)
+        c = census(pos, vel, mass, G=G, chunk=chunk)
+        pairs = {tuple(sorted((int(ids[a]), int(ids[b]))))
+                 for a, b in zip(c["i"], c["j"])}
+        if initial is None:
+            initial = pairs
+        frac = len(pairs & initial) / max(len(initial), 1)
+        print(f"{t:>12.5g} {len(pairs):>7d} {int(c['hard'].sum()):>6d} "
+              f"{frac:>8.3f}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("snapshot", help="snapshot file or run directory")
@@ -114,7 +137,24 @@ def main(argv=None):
     ap.add_argument("--save", default=None, help="save an (a, e) figure")
     ap.add_argument("--chunk", type=int, default=512,
                     help="NN-sweep row chunk (memory/time tradeoff)")
+    ap.add_argument("--evolution", action="store_true",
+                    help="census every snapshot in the run directory: pair "
+                         "counts + survival of the first snapshot's pairs")
     args = ap.parse_args(argv)
+
+    if args.evolution:
+        run_dir = (args.snapshot if os.path.isdir(args.snapshot)
+                   else os.path.dirname(args.snapshot))
+        first = _pick_snapshot(run_dir)
+        _, _, _, _, _, cfg_json = _load(first)
+        G = 1.0
+        if cfg_json is not None:
+            from oc_nbody_tpu.config import SimConfig
+            from oc_nbody_tpu.scene import build_units
+            G = float(build_units(SimConfig.from_dict(
+                json.loads(cfg_json))).G)
+        _evolution(run_dir, G, args.chunk)
+        return 0
 
     snap = _pick_snapshot(args.snapshot)
     pos, vel, mass, ids, t, cfg_json = _load(snap)

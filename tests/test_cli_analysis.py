@@ -153,3 +153,41 @@ def test_escapers_script(tmp_path):
         assert header == "id,t_escape,tail"
     finally:
         sys.path.pop(0)
+
+
+def test_binaries_script(tmp_path):
+    """analysis/binaries.py: bound-pair census CLI over a run with a
+    primordial binary population (models/binaries.py)."""
+    cfg = tmp_path / "bins.json"
+    cfg.write_text(json.dumps({
+        "ic": {"kind": "plummer", "n": 64, "seed": 3,
+               "binary_fraction": 0.25, "binary_a_min": 4e-3,
+               "binary_a_max": 2e-2},
+        "integrator": {"dt": 1.0 / 256, "eps": 1.0 / 1024},
+        "output": {"out_dir": str(tmp_path / "bins"), "t_end": 0.125,
+                   "diag_every": 0.0625, "snap_every": 0.0625,
+                   "stdout": False},
+        "backend": "jnp",
+    }))
+    assert cli.main(["run", str(cfg)]) == 0
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "analysis"))
+    try:
+        import binaries as binaries_script
+        csv = str(tmp_path / "pairs.csv")
+        png = str(tmp_path / "ae.png")
+        # census the t=0 snapshot: this coarse-dt smoke run scrambles the
+        # tightest pairs dynamically (dt ~ P_min/3), which is the run's
+        # problem, not the census's
+        snap0 = os.path.join(str(tmp_path / "bins"), "snapshot_00000.h5")
+        assert binaries_script.main([snap0, "--csv", csv,
+                                     "--save", png, "--chunk", "32"]) == 0
+        assert os.path.exists(png)
+        header = open(csv).readline().strip()
+        assert header == "id_i,id_j,a,e,e_bind,hard"
+        # 16 injected pairs at a << interparticle spacing: all found
+        assert sum(1 for _ in open(csv)) - 1 >= 16
+        assert binaries_script.main([str(tmp_path / "bins"),
+                                     "--evolution", "--chunk", "32"]) == 0
+    finally:
+        sys.path.pop(0)
