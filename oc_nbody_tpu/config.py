@@ -99,6 +99,27 @@ class PotentialConfig:
 
 
 @dataclasses.dataclass
+class SEVConfig:
+    """[sev] — stellar evolution (models/stellar_evolution.py): analytic
+    main-sequence lifetimes → instantaneous remnant formation (WD/NS/BH
+    initial–final mass relation) with optional Maxwellian natal kicks.
+    Applied by the driver at every diagnostics boundary; the energy
+    carried away is accounted in the E_sev_cum diagnostics column.
+    Physical masses are m_code * units.mass_msun — set units.mass_msun
+    to the cluster's physical mass (n · ⟨m⟩_IMF) for realistic clocks."""
+
+    kind: str = "none"            # none | simple
+    epoch0_myr: float = 0.0       # cluster age at t = 0 (stars with
+    # t_MS < epoch0 are remnants from the start)
+    kick_sigma_ns_kms: float = 0.0  # per-component Maxwellian σ, NS natal kick
+    kick_sigma_bh_kms: float = 0.0  # … BH
+    kick_sigma_wd_kms: float = 0.0  # … WD (usually 0)
+    m_ns_min_msun: float = 8.0    # IFMR: WD below, NS from here
+    m_bh_min_msun: float = 20.0   # IFMR: BH from here
+    m_ns_msun: float = 1.4        # fixed NS mass
+
+
+@dataclasses.dataclass
 class OrbitConfig:
     kind: str = "none"           # none | circular | eccentric
     R0_pc: float = 8000.0        # circular orbit radius
@@ -158,6 +179,7 @@ class SimConfig:
     ic: ICConfig = dataclasses.field(default_factory=ICConfig)
     potential: PotentialConfig = dataclasses.field(default_factory=PotentialConfig)
     orbit: OrbitConfig = dataclasses.field(default_factory=OrbitConfig)
+    sev: SEVConfig = dataclasses.field(default_factory=SEVConfig)
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)
     output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

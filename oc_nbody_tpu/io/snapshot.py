@@ -181,8 +181,15 @@ class SnapshotWriter:
         return os.path.join(self.out_dir, f"snapshot_{index:05d}.h5")
 
     def write(self, index: int, state: ParticleState, aux=None,
-              integrator_kind=None, step: int = 0, rng_key=None) -> str:
+              integrator_kind=None, step: int = 0, rng_key=None,
+              extra_attrs=None) -> str:
         attrs = {"step": int(step)}
+        if extra_attrs:
+            # driver-level checkpoint scalars (e.g. the cumulative
+            # stellar-evolution energy jump E_sev_cum) that must survive a
+            # resume even though diagnostics-row truncation drops the row
+            # written AT the checkpoint time (run.py resume path)
+            attrs.update(extra_attrs)
         if self.config_json is not None:
             attrs["config_json"] = self.config_json
         if rng_key is not None:

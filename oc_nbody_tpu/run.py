@@ -96,6 +96,19 @@ def _diag_extra_fn(cfg: SimConfig, scene):
     return add
 
 
+def _reinit_carry(stepper, old_carry, new_state):
+    """Rebuild the integrator carry after an out-of-band state change
+    (stellar-evolution mass update): the stored accelerations / jerks /
+    rung assignments are stale once masses changed, so re-derive them via
+    stepper.init (one force evaluation — deaths are rare events) while
+    preserving the run counters."""
+    c = stepper.init(new_state)
+    keep = {f.name: getattr(old_carry, f.name)
+            for f in dataclasses.fields(c)
+            if f.name in ("n_steps", "n_active_sum")}
+    return dataclasses.replace(c, **keep) if keep else c
+
+
 def _run(cfg: SimConfig, resume: bool = False,
          progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
@@ -120,6 +133,7 @@ def _run(cfg: SimConfig, resume: bool = False,
     t0 = float(scene.state.time)
     carry = None
     snap_index = 0
+    restored_attrs = {}
     rng_key = scene.rng_key  # persisted in every snapshot (SURVEY.md §4.4)
     if resume:
         path = latest_snapshot(out.out_dir)
@@ -143,6 +157,7 @@ def _run(cfg: SimConfig, resume: bool = False,
             snap_index = int(path.rsplit("_", 1)[1].split(".")[0]) + 1
             if "rng_key" in snap.attrs:
                 rng_key = np.asarray(snap.attrs["rng_key"], np.uint32)
+            restored_attrs = snap.attrs
             # drop stale rows written after this checkpoint (crash leftovers)
             # BEFORE the e0 baseline is read back below
             writer.truncate_diagnostics(t0)
@@ -151,6 +166,31 @@ def _run(cfg: SimConfig, resume: bool = False,
         # would otherwise be appended-to / shadow a later --resume
         writer.reset_outputs()
         carry = stepper.init(scene.state)
+
+    # stellar evolution (models/stellar_evolution.py): tables are built
+    # from the FRESH IC state (scene.state, deterministic from the config)
+    # even on resume — the restored state already carries remnant masses
+    # and the tables must describe the progenitors. The update itself is
+    # idempotent, so re-applying it to a restored state is a no-op.
+    sev = None
+    _sev = {"e_cum": 0.0, "restored": False}
+    if cfg.sev.kind not in (None, "none"):
+        if cfg.sev.kind != "simple":
+            raise ValueError(f"unknown sev kind {cfg.sev.kind!r}")
+        from oc_nbody_tpu.models.stellar_evolution import make_stellar_evolution
+        sev = make_stellar_evolution(cfg.sev, scene.units, scene.state,
+                                     scene.rng_key)
+        if "e_sev_cum" in restored_attrs:
+            # the checkpoint of record for the cumulative jump energy: the
+            # diagnostics-table truncation above drops the row written AT
+            # t0, so its last surviving row predates any jump applied
+            # exactly at the checkpoint boundary
+            _sev["e_cum"] = float(restored_attrs["e_sev_cum"])
+            _sev["restored"] = True
+        if int(sev.count_pending(carry.state)):
+            # stars already past t_death at t0 (epoch0_myr) — fold them
+            # into the IC before the drift baseline e0 is measured
+            carry = _reinit_carry(stepper, carry, sev.update(carry.state))
 
     # donate the carry: the old state buffers are dead after each superstep,
     # halving HBM pressure for large N (SURVEY.md §5 "donated-buffer
@@ -280,6 +320,12 @@ def _run(cfg: SimConfig, resume: bool = False,
             e_int0 = abs(float(prev["E_int"][0]))
         if ej0 is not None and "E_J" in prev and len(prev["E_J"]):
             ej0 = float(prev["E_J"][0])
+        if (sev is not None and not _sev["restored"]
+                and "E_sev_cum" in prev and len(prev["E_sev_cum"])):
+            # fallback for pre-e_sev_cum snapshots: the last surviving
+            # diagnostics row (may miss a jump applied exactly at the
+            # checkpoint time — the snapshot attr is authoritative)
+            _sev["e_cum"] = float(prev["E_sev_cum"][-1])
 
     def drift_cols(row):
         e = float(row["E_tot"])
@@ -294,7 +340,22 @@ def _run(cfg: SimConfig, resume: bool = False,
             occ = np.asarray(jax.device_get(stepper.rung_occupancy(carry)))
             for k, c in enumerate(occ):
                 row[f"rung_{k:02d}"] = float(c)
+        if sev is not None:
+            import jax.numpy as jnp
+            row["M_tot"] = float(jnp.sum(
+                carry.state.mass.astype(jnp.float64)))
+            row["N_rem"] = float(sev.n_dead(carry.state))
+            row["dM_sev"] = sev.mass_lost(carry.state)
+            row["E_sev_cum"] = _sev["e_cum"]
+            # the honest conservation check under mass loss: E_tot jumps
+            # by the accounted E_sev_cum at each death, so E − E_sev_cum
+            # should drift only by integrator error
+            row["dE_cons_over_E_int"] = ((e - e0 - _sev["e_cum"]) / e_int0
+                                         if e_int0 else 0.0)
         return row
+
+    def _snap_attrs():
+        return {"e_sev_cum": _sev["e_cum"]} if sev is not None else None
 
     row0 = drift_cols(row0)
     row0["wall_s"] = 0.0
@@ -302,15 +363,28 @@ def _run(cfg: SimConfig, resume: bool = False,
     if not resume or snap_index == 0:
         writer.write(snap_index, carry.state, aux=stepper.checkpoint_aux(carry),
                      integrator_kind=kind, step=int(carry.n_steps),
-                     rng_key=rng_key)
+                     rng_key=rng_key, extra_attrs=_snap_attrs())
         snap_index += 1
 
     for i in range(1, n_diag + 1):
         t_target = min(t0 + i * out.diag_every, out.t_end)
         with watch.phase("advance"):
             carry = advance_to(carry, t_target)
+        e_pre = None
+        if sev is not None and int(sev.count_pending(carry.state)):
+            # one or more stars crossed t_death in this interval: measure
+            # E_tot before the mass drop + kick (same positions), apply
+            # it, rebuild the carry (stale acc/jerk/rungs), and account
+            # the jump into E_sev_cum after the post-update row below
+            with watch.phase("stellar_evolution"):
+                e_pre = float(jax.device_get(
+                    compute_diag(carry.state, scene.force)["E_tot"]))
+                carry = _reinit_carry(stepper, carry,
+                                      sev.update(carry.state))
         with watch.phase("diagnostics"):
             row = jax.device_get(compute_diag(carry.state, scene.force))
+        if e_pre is not None:
+            _sev["e_cum"] += float(row["E_tot"]) - e_pre
         row = drift_cols(row)
         e = float(row["E_tot"])
         row["wall_s"] = _time.perf_counter() - wall_start
@@ -320,7 +394,7 @@ def _run(cfg: SimConfig, resume: bool = False,
             writer.write(snap_index, carry.state,
                          aux=stepper.checkpoint_aux(carry),
                          integrator_kind=kind, step=int(carry.n_steps),
-                         rng_key=rng_key)
+                         rng_key=rng_key, extra_attrs=_snap_attrs())
             writer.flush()
             raise FloatingPointError(
                 f"non-finite total energy at t={float(carry.state.time):.6g}; "
@@ -332,7 +406,7 @@ def _run(cfg: SimConfig, resume: bool = False,
                 writer.write(snap_index, carry.state,
                              aux=stepper.checkpoint_aux(carry),
                              integrator_kind=kind, step=int(carry.n_steps),
-                             rng_key=rng_key)
+                             rng_key=rng_key, extra_attrs=_snap_attrs())
             snap_index += 1
 
         if out.stdout:
