@@ -85,6 +85,40 @@ def test_resume_is_bit_exact_across_deaths(full_run, tmp_path):
                                rtol=1e-10, atol=1e-14)
 
 
+@pytest.mark.parametrize("integ", [
+    {"kind": "hermite", "eta": 0.02, "eps": 0.125, "dt_max": 1.0 / 16},
+    {"kind": "block", "eta": 0.02, "eps": 0.125, "dt_max": 1.0 / 16,
+     "n_levels": 6},
+])
+def test_budget_and_resume_other_integrators(tmp_path, integ):
+    """The SEV update rebuilds the integrator carry out-of-band
+    (run._reinit_carry): acc/jerk/rung assignments are stale once masses
+    change, so hermite/block must re-init and still (a) close the energy
+    budget and (b) resume bit-exactly across death events."""
+    def cfg(name, t_end):
+        c = _cfg(tmp_path, name, t_end=t_end)
+        return dataclasses.replace(
+            c, integrator=dataclasses.replace(c.integrator, **integ))
+
+    res_full = run(cfg(f"{integ['kind']}_full", 10.0))
+    d = res_full.diagnostics
+    assert d["N_rem"][-1] > d["N_rem"][0]
+    assert abs(d["dE_cons_over_E_int"][-1]) < 2e-3, (
+        f"{integ['kind']}: budget residual {d['dE_cons_over_E_int'][-1]}")
+
+    run(cfg(f"{integ['kind']}_legs", 5.0))
+    res_b = run(cfg(f"{integ['kind']}_legs", 10.0), resume=True)
+    np.testing.assert_array_equal(np.asarray(res_full.state.mass),
+                                  np.asarray(res_b.state.mass))
+    np.testing.assert_array_equal(np.asarray(res_full.state.pos),
+                                  np.asarray(res_b.state.pos))
+    np.testing.assert_array_equal(np.asarray(res_full.state.vel),
+                                  np.asarray(res_b.state.vel))
+    np.testing.assert_allclose(res_b.diagnostics["E_sev_cum"][-1],
+                               res_full.diagnostics["E_sev_cum"][-1],
+                               rtol=1e-10, atol=1e-14)
+
+
 def test_kicks_change_velocities(tmp_path):
     # same seed, kicks on vs off: remnant velocities must differ
     cfg_off = _cfg(tmp_path, "nokick", t_end=10.0)
