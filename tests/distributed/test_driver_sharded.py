@@ -47,6 +47,43 @@ def test_driver_on_mesh_matches_single_device(tmp_path, mode):
         _mesh_cfg(tmp_path, mode).output.out_dir, "diagnostics.h5"))
 
 
+def test_driver_on_mesh_with_stellar_evolution(tmp_path):
+    """[sev] through the sharded driver: the death-table where-update and
+    the carry rebuild must compose with sharded state arrays, and the
+    mesh run must apply the same (deterministic) death schedule as the
+    single-device run."""
+    def cfg_at(d, name):
+        cfg = _mesh_cfg(tmp_path, "allgather", n=96)
+        cfg.mesh.n_devices = d
+        cfg.output.out_dir = str(tmp_path / name)
+        # top-heavy IMF + physical-mass units so several stars die inside
+        # a short run (time unit ≈ 1.2 Myr; lifetimes 3 Myr upward)
+        cfg.units.mass_msun = 1235.0
+        cfg.units.length_pc = 2.0
+        cfg.ic.imf = "salpeter"
+        cfg.ic.m_min_msun = 5.0
+        cfg.ic.m_max_msun = 100.0
+        cfg.sev.kind = "simple"
+        cfg.sev.epoch0_myr = 3.0
+        cfg.sev.kick_sigma_ns_kms = 20.0
+        cfg.output.t_end = 2.0
+        cfg.output.diag_every = 0.5
+        cfg.output.snap_every = 1.0
+        return cfg
+
+    res8 = run(cfg_at(8, "sev_mesh"))
+    res1 = run(cfg_at(1, "sev_single"))
+    assert res8.diagnostics["N_rem"][-1] > 0, "no deaths — test is vacuous"
+    np.testing.assert_array_equal(np.asarray(res8.diagnostics["N_rem"]),
+                                  np.asarray(res1.diagnostics["N_rem"]))
+    np.testing.assert_allclose(np.asarray(res8.state.mass),
+                               np.asarray(res1.state.mass), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res8.state.pos),
+                               np.asarray(res1.state.pos), atol=1e-7)
+    np.testing.assert_allclose(res8.diagnostics["E_sev_cum"][-1],
+                               res1.diagnostics["E_sev_cum"][-1], rtol=1e-6)
+
+
 def test_driver_rdma_mode_end_to_end(tmp_path, monkeypatch):
     """mode='rdma' through the WHOLE driver (scene builds the sharded
     force, run() steps it) with the Pallas ring kernels under the TPU
