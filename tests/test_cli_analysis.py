@@ -191,3 +191,61 @@ def test_binaries_script(tmp_path):
                                      "--evolution", "--chunk", "32"]) == 0
     finally:
         sys.path.pop(0)
+
+
+def test_convert_script_roundtrip(tmp_path):
+    """analysis/convert.py: the universal adapter. A foreign plain table
+    (m x y z vx vy vz) imports into a schema-v1 snapshot that drives a
+    run via ic.kind="file"; export reproduces the particle data exactly
+    in both csv and npz forms."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 24
+    table = np.column_stack([
+        np.full(n, 1.0 / n), rng.normal(size=(n, 3)),
+        0.1 * rng.normal(size=(n, 3))])
+    src = tmp_path / "mcluster.dat"
+    np.savetxt(src, table)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "analysis"))
+    try:
+        import convert
+        ic_h5 = str(tmp_path / "ic.h5")
+        convert.main(["import", str(src), ic_h5, "--mass-scale", "2.0"])
+
+        # imported snapshot drives a run as a file IC
+        cfg = tmp_path / "fromfile.json"
+        cfg.write_text(json.dumps({
+            "ic": {"kind": "file", "file": ic_h5},
+            "integrator": {"dt": 1.0 / 64, "eps": 1.0 / 8},
+            "output": {"out_dir": str(tmp_path / "run_file"), "t_end": 0.125,
+                       "diag_every": 0.125, "snap_every": 0.125,
+                       "stdout": False},
+            "backend": "jnp",
+        }))
+        assert cli.main(["run", str(cfg)]) == 0
+
+        # exact particle round-trip through csv and npz
+        csv = str(tmp_path / "snap.csv")
+        npz = str(tmp_path / "snap.npz")
+        convert.main(["export", ic_h5, csv])
+        convert.main(["export", ic_h5, npz])
+        back = np.loadtxt(csv, delimiter=",")
+        np.testing.assert_allclose(back[:, 0], 2.0 * table[:, 0], rtol=1e-7)
+        np.testing.assert_array_equal(back[:, 1:4], table[:, 1:4])
+        with np.load(npz) as z:
+            np.testing.assert_array_equal(z["pos"], table[:, 1:4])
+            np.testing.assert_array_equal(z["vel"], table[:, 4:7])
+            assert z["ids"].shape == (n,)
+
+        # npz also imports (with ids and time preserved)
+        ic2 = str(tmp_path / "ic2.h5")
+        convert.main(["import", npz, ic2, "--time", "1.5"])
+        import h5py
+        with h5py.File(ic2) as f:
+            assert float(f.attrs["time"]) == 1.5
+            assert f["particles/pos"].shape == (n, 3)
+    finally:
+        sys.path.pop(0)
