@@ -45,7 +45,13 @@ def main(argv=None):
         # rotating pattern configured: the Jacobi integral is the
         # conserved quantity (constant only after any growth ramp)
         ax.plot(t, d["dEJ_over_EJ"], lw=1, ls=":", label="dE_J / |E_J(0)|")
-    if "dE_over_E_int" in d or "dEJ_over_EJ" in d:
+    if "dE_cons_over_E_int" in d:
+        # stellar evolution configured: E_tot steps at every death, so the
+        # conservation check is the ledger-corrected residual
+        ax.plot(t, d["dE_cons_over_E_int"], lw=1, ls="-.",
+                label="(dE − E_sev) / |E_int(0)|")
+    if ("dE_over_E_int" in d or "dEJ_over_EJ" in d
+            or "dE_cons_over_E_int" in d):
         ax.legend(fontsize=8)
     ax.set_xlabel("t [code]")
     ax.set_ylabel("dE/E")
@@ -64,9 +70,15 @@ def main(argv=None):
 
     ax = axes[1, 0]
     if "M_bound" in d:
-        ax.plot(t, d["M_bound"] / d["M_bound"][0], lw=1)
+        ax.plot(t, d["M_bound"] / d["M_bound"][0], lw=1, label="M_bound")
+    if "M_tot" in d:
+        # stellar-evolution runs: total mass steps down at each death —
+        # distinct from tidal stripping (bound-fraction) losses
+        ax.plot(t, d["M_tot"] / d["M_tot"][0], lw=1, ls="--",
+                color="tab:purple", label="M_tot (stellar evolution)")
+        ax.legend(fontsize=8)
     ax.set_xlabel("t [code]")
-    ax.set_ylabel("M_bound / M_bound(0)")
+    ax.set_ylabel("M / M(0)")
     ax.set_title("bound mass (tidal stripping)")
     if "d_pert" in d:
         # flyby runs: overlay the perturber-cluster separation so closest
