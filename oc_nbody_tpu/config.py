@@ -42,6 +42,11 @@ class ICConfig:
     # a_min/a_max are the log-uniform semi-major-axis bounds in CODE
     # units — pick a_min at least a few times integrator.eps or the pair
     # is softened away (models/binaries.py docstring).
+    # net rotation (models/rotation.py, Lynden-Bell sign-flip): fraction
+    # of retrograde stars made prograde about z. Preserves every star's
+    # energy and L², so the model stays in equilibrium; 1.0 = maximal
+    # rotation for the chosen profile.
+    rotation: float = 0.0
     binary_fraction: float = 0.0
     binary_a_min: Optional[float] = None
     binary_a_max: Optional[float] = None

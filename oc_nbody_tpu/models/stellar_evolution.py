@@ -127,6 +127,12 @@ def _count_pending(state, tables: SEVTables):
     return jnp.sum((dead & (state.mass > tables.m_mid)).astype(jnp.int32))
 
 
+# jitted once at module level: wrapping in the method would build a fresh
+# jit wrapper (and pay a Python retrace) at every diagnostics boundary
+_update_jit = jax.jit(_update)
+_count_pending_jit = jax.jit(_count_pending)
+
+
 @dataclasses.dataclass(frozen=True)
 class StellarEvolution:
     """Jitted wrapper the driver calls at diagnostics boundaries."""
@@ -137,11 +143,11 @@ class StellarEvolution:
         """Number of stars past t_death whose mass is not yet updated
         (O(N), one tiny host transfer — the driver skips the O(N²)
         energy bookkeeping and carry rebuild when this is zero)."""
-        return jax.jit(_count_pending)(state, self.tables)
+        return _count_pending_jit(state, self.tables)
 
     def update(self, state):
         """Apply pending deaths; returns the new state."""
-        return jax.jit(_update)(state, self.tables)[0]
+        return _update_jit(state, self.tables)[0]
 
     # diagnostics helpers (host-side, cheap)
     def n_dead(self, state) -> int:

@@ -148,6 +148,13 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
     else:
         raise ValueError(f"unknown IC kind {ic.kind!r}")
 
+    if ic.rotation != 0.0:
+        # before add_binaries: rotation acts on the systems' centre-of-mass
+        # velocities, not on the binaries' internal orbits
+        from oc_nbody_tpu.models.rotation import add_rotation
+        state = add_rotation(state, jax.random.fold_in(key, 0x524F54),
+                             ic.rotation)
+
     if ic.binary_fraction > 0.0:
         if ic.binary_a_min is None or ic.binary_a_max is None:
             raise ValueError(
