@@ -73,11 +73,16 @@ def radial_profiles(pos, vel, mass, bins=30, center=None):
     rhat = x / np.maximum(r[:, None], 1e-300)
     vr = (v * rhat).sum(axis=1)
     vt2 = (v * v).sum(axis=1) - vr * vr
+    # cylindrical azimuthal velocity about z through the density centre —
+    # nonzero mean when the cluster rotates (ic.rotation / tidal torques)
+    R = np.maximum(np.hypot(x[:, 0], x[:, 1]), 1e-300)
+    vphi = (x[:, 0] * v[:, 1] - x[:, 1] * v[:, 0]) / R
 
     out = {"r_mid": np.sqrt(edges[:-1] * edges[1:]), "edges": edges,
            "r_half": r_half, "center": center,
            "rho": np.full(bins, np.nan), "sigma_r": np.full(bins, np.nan),
            "sigma_t": np.full(bins, np.nan), "beta": np.full(bins, np.nan),
+           "v_phi": np.full(bins, np.nan),
            "count": np.zeros(bins, int),
            "m_cum": np.interp(np.sqrt(edges[:-1] * edges[1:]), r_s, csum)}
     shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
@@ -93,6 +98,7 @@ def radial_profiles(pos, vel, mass, bins=30, center=None):
         mvr = (w * vr[sel]).sum() / wsum
         out["sigma_r"][b] = np.sqrt((w * (vr[sel] - mvr) ** 2).sum() / wsum)
         out["sigma_t"][b] = np.sqrt((w * vt2[sel]).sum() / wsum)
+        out["v_phi"][b] = (w * vphi[sel]).sum() / wsum
         if out["sigma_r"][b] > 0:
             out["beta"][b] = 1.0 - out["sigma_t"][b] ** 2 / (
                 2.0 * out["sigma_r"][b] ** 2)
@@ -208,14 +214,21 @@ def main(argv=None):
     print(f"t={t:.6g}  N={len(mass)}  r_half={p['r_half']:.4g}  "
           f"r_core={r_c:.4g}  rho_core={rho_c:.4g} (Casertano-Hut)")
     print(f"{'r_mid':>10} {'rho':>12} {'sigma_r':>10} {'sigma_t':>10} "
-          f"{'beta':>8} {'M(<r)':>10} {'n':>6}")
+          f"{'beta':>8} {'v_phi':>10} {'M(<r)':>10} {'n':>6}")
     for b in range(args.bins):
         if p["count"][b] == 0:
             continue
         print(f"{p['r_mid'][b]:10.4g} {p['rho'][b]:12.5g} "
               f"{p['sigma_r'][b]:10.4g} {p['sigma_t'][b]:10.4g} "
-              f"{p['beta'][b]:8.3f} {p['m_cum'][b]:10.5g} "
-              f"{p['count'][b]:6d}")
+              f"{p['beta'][b]:8.3f} {p['v_phi'][b]:10.4g} "
+              f"{p['m_cum'][b]:10.5g} {p['count'][b]:6d}")
+
+    ok = p["count"] > 1
+    sig = np.nanmean(p["sigma_r"][ok])
+    vrot = np.nansum(p["v_phi"][ok] * p["count"][ok]) / p["count"][ok].sum()
+    if sig > 0 and abs(vrot) > 0.1 * sig:
+        print(f"rotation: <v_phi>/sigma_r = {vrot / sig:+.3f} "
+              f"(ordered rotation about z)")
 
     mf_in = mass_function(mass, r < p["r_half"])
     mf_out = mass_function(mass, r >= p["r_half"])
@@ -242,6 +255,10 @@ def main(argv=None):
                          label=r"$\sigma_r$")
         axes[1].semilogx(p["r_mid"][ok], p["sigma_t"][ok] / np.sqrt(2),
                          "s-", ms=3, label=r"$\sigma_t/\sqrt{2}$")
+        if np.nanmax(np.abs(p["v_phi"][ok])) > 0.1 * np.nanmean(
+                p["sigma_r"][ok]):
+            axes[1].semilogx(p["r_mid"][ok], p["v_phi"][ok], "^-", ms=3,
+                             label=r"$\langle v_\phi\rangle$")
         axes[1].set_xlabel("r")
         axes[1].legend()
         axes[2].semilogx(p["r_mid"][ok], p["m_cum"][ok], "o-", ms=3)
