@@ -122,6 +122,12 @@ class SEVConfig:
     m_ns_min_msun: float = 8.0    # IFMR: WD below, NS from here
     m_bh_min_msun: float = 20.0   # IFMR: BH from here
     m_ns_msun: float = 1.4        # fixed NS mass
+    # winds: this fraction of each star's total mass loss leaves as a
+    # linear wind over the last wind_time_frac of its lifetime; the rest
+    # drops instantaneously at collapse (where any kick is applied).
+    # 0 = all loss at death (default); kicks require <= 0.9.
+    wind_fraction: float = 0.0
+    wind_time_frac: float = 0.1
 
 
 @dataclasses.dataclass

@@ -16,16 +16,22 @@ module provides the standard minimal prescription:
   mass up to ``m_bh_min_msun``, black holes above (0.1 m + 1.0);
 * optional isotropic natal kicks per remnant class (Maxwellian —
   per-component Gaussian of the configured σ), applied exactly once at
-  the death time.
+  the death time;
+* optional continuous winds (``wind_fraction``): that fraction of each
+  star's total loss leaves as a linear-in-time wind over the last
+  ``wind_time_frac`` of its life, the remainder dropping at collapse —
+  the NBODY6-style winds+supernova split, with the same zero-extra-state
+  machinery (see below).
 
 TPU-first design: the death times, remnant masses, and kick vectors are
 all PRECOMPUTED host-side at scene build (O(N), f64 numpy) into a
-``SEVTables`` pytree; the runtime update is one O(N) elementwise
-``jnp.where`` — no data-dependent control flow, no host branching, and
-**idempotent**: ``mass = where(t >= t_death, m_rem, mass)`` plus a
-"newly dead" mask derived from the CURRENT mass (a star is kicked iff it
-is past its death time but its state mass still exceeds the midpoint
-between progenitor and remnant mass). Idempotence is what makes
+``SEVTables`` pytree; the runtime update is one O(N) elementwise pass —
+no data-dependent control flow, no host branching, and **idempotent**:
+``mass = min(mass, target(t))`` against a deterministic MONOTONE
+per-star target (m_init → wind ramp → m_rem), plus a "newly dead" mask
+derived from the CURRENT mass (a star is kicked iff it is past its
+death time but its state mass still exceeds the midpoint between
+pre-collapse and remnant mass). Idempotence is what makes
 checkpoint/resume exact without persisting any extra mutable state: the
 tables are rebuilt deterministically from the config (same IC seed →
 same masses → same tables; kicks drawn from the scene's persisted
@@ -100,22 +106,38 @@ class SEVTables:
     """Per-star death schedule, precomputed once (all code units)."""
 
     t_death: jax.Array   # (N,) f64 code time of death (may be ≤ 0: dead at start)
+    t_wind: jax.Array    # (N,) f64 wind onset (== t_death when winds off)
     m_rem: jax.Array     # (N,) f32 remnant mass
-    m_mid: jax.Array     # (N,) f32 midpoint (m_init + m_rem)/2 — "still alive" test
+    m_pre: jax.Array     # (N,) f32 pre-collapse mass (m_init − wind loss)
+    m_mid: jax.Array     # (N,) f32 midpoint (m_pre + m_rem)/2 — "kick not yet applied" test
     kicks: jax.Array     # (N,3) f64 natal kick velocity (zero rows when σ = 0)
+    m_init: jax.Array    # (N,) f32 initial mass (wind interpolation anchor)
     m_init_sum: jax.Array  # f64 scalar: Σ m_init (for the dM_sev column)
 
 
-def _update(state, tables: SEVTables):
-    """Apply all deaths with t_death ≤ state.time. Pure + idempotent.
+def _mass_target(state_time, tables: SEVTables):
+    """Deterministic per-star target mass at time t (f32, MONOTONE in t):
+    m_init before the wind onset, linear wind erosion to m_pre over
+    [t_wind, t_death], m_rem from t_death on."""
+    span = jnp.maximum(tables.t_death - tables.t_wind, 1e-300)
+    frac = jnp.clip((state_time - tables.t_wind) / span, 0.0, 1.0)
+    m_init64 = tables.m_init.astype(jnp.float64)
+    windy = m_init64 + frac * (tables.m_pre.astype(jnp.float64) - m_init64)
+    target = jnp.where(state_time >= tables.t_death,
+                       tables.m_rem.astype(jnp.float64), windy)
+    return target.astype(tables.m_rem.dtype)
 
-    Returns (new_state, n_newly_dead). A star receives its remnant mass
-    and (once) its natal kick iff it is past its death time AND its
-    current mass still reads as the progenitor's — so re-running the
-    update (e.g. after a resume) changes nothing."""
-    dead = state.time >= tables.t_death                     # (N,) bool
-    newly = dead & (state.mass > tables.m_mid)
-    mass = jnp.where(dead, tables.m_rem, state.mass)
+
+def _update(state, tables: SEVTables):
+    """Advance every star to its target mass at state.time. Pure and
+    IDEMPOTENT: ``mass := min(mass, target(t))`` with a monotone target,
+    so re-running the update (e.g. after a resume) changes nothing.
+
+    Returns (new_state, n_newly_dead). A star receives its natal kick
+    exactly once, at the collapse jump: it is past t_death but its mass
+    still reads above the (m_pre + m_rem)/2 midpoint."""
+    newly = (state.time >= tables.t_death) & (state.mass > tables.m_mid)
+    mass = jnp.minimum(state.mass, _mass_target(state.time, tables))
     vel = state.vel + jnp.where(newly[:, None],
                                 tables.kicks.astype(state.vel.dtype), 0.0)
     return (state.replace(mass=mass.astype(state.mass.dtype), vel=vel),
@@ -123,8 +145,12 @@ def _update(state, tables: SEVTables):
 
 
 def _count_pending(state, tables: SEVTables):
-    dead = state.time >= tables.t_death
-    return jnp.sum((dead & (state.mass > tables.m_mid)).astype(jnp.int32))
+    """Stars whose mass is above their current target (wind erosion due
+    or collapse not yet applied). The relative slack keeps an
+    already-updated (f32-exact) state from re-triggering."""
+    target = _mass_target(state.time, tables)
+    return jnp.sum((state.mass > target
+                    + 1e-6 * tables.m_init).astype(jnp.int32))
 
 
 # jitted once at module level: wrapping in the method would build a fresh
@@ -181,6 +207,28 @@ def make_stellar_evolution(sev_cfg, units, state, rng_key) -> StellarEvolution:
     m_rem_msun = np.minimum(m_rem_msun, m_msun)
     m_rem_code = m_rem_msun / units.mass_msun
 
+    # winds: a fraction of each star's total loss leaves as a linear wind
+    # over the last wind_time_frac of its life; the rest drops at collapse
+    w = float(sev_cfg.wind_fraction)
+    if not 0.0 <= w <= 1.0:
+        raise ValueError(f"sev.wind_fraction must be in [0,1], got {w}")
+    any_kick = max(sev_cfg.kick_sigma_wd_kms, sev_cfg.kick_sigma_ns_kms,
+                   sev_cfg.kick_sigma_bh_kms) > 0
+    if any_kick and w > 0.9:
+        # the exactly-once kick trigger is the collapse mass jump
+        # (m_pre -> m_rem crossing the midpoint); w = 1 erases the jump
+        # and w -> 1 shrinks it below f32 mass resolution
+        raise ValueError(
+            "sev.wind_fraction > 0.9 with natal kicks configured: kicks "
+            "trigger on the collapse mass jump, which needs >= 10% of "
+            "the mass loss to happen at death")
+    m_pre_code = m_init_code - w * (m_init_code - m_rem_code)
+    tf = float(sev_cfg.wind_time_frac)
+    if not 0.0 < tf <= 1.0:
+        raise ValueError(f"sev.wind_time_frac must be in (0,1], got {tf}")
+    t_wind = (t_death - tf * units.to_code(t_ms, "time")) if w > 0 \
+        else np.asarray(t_death)
+
     sigma_kms = np.where(
         m_msun < sev_cfg.m_ns_min_msun, sev_cfg.kick_sigma_wd_kms,
         np.where(m_msun < sev_cfg.m_bh_min_msun, sev_cfg.kick_sigma_ns_kms,
@@ -195,9 +243,12 @@ def make_stellar_evolution(sev_cfg, units, state, rng_key) -> StellarEvolution:
 
     tables = SEVTables(
         t_death=jnp.asarray(t_death, jnp.float64),
+        t_wind=jnp.asarray(t_wind, jnp.float64),
         m_rem=jnp.asarray(m_rem_code, jnp.float32),
-        m_mid=jnp.asarray(0.5 * (m_init_code + m_rem_code), jnp.float32),
+        m_pre=jnp.asarray(m_pre_code, jnp.float32),
+        m_mid=jnp.asarray(0.5 * (m_pre_code + m_rem_code), jnp.float32),
         kicks=kicks,
+        m_init=jnp.asarray(m_init_code, jnp.float32),
         m_init_sum=jnp.asarray(m_init_code.sum(), jnp.float64),
     )
     return StellarEvolution(tables=tables)

@@ -164,6 +164,36 @@ def test_macro_stepper_with_sev(tmp_path, interpret):
                                res_j.diagnostics["E_sev_cum"][-1], rtol=5e-3)
 
 
+def test_wind_mass_loss_budget_and_resume(tmp_path):
+    """wind_fraction=0.5: mass leaves gradually (many boundaries with a
+    strict M_tot decrease, not a few jumps), the energy ledger still
+    closes, and resume across wind erosion stays bit-exact."""
+    def cfg(name, t_end):
+        c = _cfg(tmp_path, name, t_end=t_end)
+        return dataclasses.replace(c, sev=dataclasses.replace(
+            c.sev, wind_fraction=0.5, wind_time_frac=0.5))
+
+    res = run(cfg("winds", 15.0))
+    d = res.diagnostics
+    assert d["N_rem"][-1] > 0
+    dm = np.diff(d["M_tot"])
+    assert np.all(dm <= 1e-12), "mass never increases"
+    assert (dm < -1e-9).sum() >= 10, (
+        "winds should erode mass at most boundaries, got "
+        f"{(dm < -1e-9).sum()} decreasing intervals")
+    assert abs(d["dE_cons_over_E_int"][-1]) < 2e-3
+
+    run(cfg("wind_legs", 7.5))
+    res_b = run(cfg("wind_legs", 15.0), resume=True)
+    np.testing.assert_array_equal(np.asarray(res.state.mass),
+                                  np.asarray(res_b.state.mass))
+    np.testing.assert_array_equal(np.asarray(res.state.pos),
+                                  np.asarray(res_b.state.pos))
+    np.testing.assert_allclose(res_b.diagnostics["E_sev_cum"][-1],
+                               res.diagnostics["E_sev_cum"][-1],
+                               rtol=1e-10, atol=1e-14)
+
+
 def test_kicks_change_velocities(tmp_path):
     # same seed, kicks on vs off: remnant velocities must differ
     cfg_off = _cfg(tmp_path, "nokick", t_end=10.0)

@@ -132,3 +132,76 @@ def test_remnant_never_heavier_than_progenitor_in_tables():
     sev = make_stellar_evolution(cfg, us, state, jax.random.PRNGKey(0))
     assert np.all(np.asarray(sev.tables.m_rem)
                   <= np.asarray(state.mass) * (1 + 1e-6))
+
+
+def _wind_setup(wind_fraction, wind_time_frac=0.5, kick_ns=0.0):
+    us = UnitSystem.henon(mass_msun=1.0, length_pc=1.0)
+    pos = jax.random.normal(jax.random.PRNGKey(3), (6, 3), jnp.float64)
+    mass = jnp.asarray(np.linspace(5.0, 40.0, 6), jnp.float32)
+    state = make_state(pos, jnp.zeros((6, 3), jnp.float64), mass)
+    cfg = SEVConfig(kind="simple", wind_fraction=wind_fraction,
+                    wind_time_frac=wind_time_frac, kick_sigma_ns_kms=kick_ns)
+    sev = make_stellar_evolution(cfg, us, state, jax.random.PRNGKey(7))
+    return us, state, sev
+
+
+def test_wind_mass_monotone_and_lands_on_remnant():
+    """wind_fraction=0.6: masses erode smoothly through the wind phase
+    (strictly between m_init and m_pre), drop to m_rem at collapse, and
+    the min() update is idempotent at every epoch."""
+    us, state, sev = _wind_setup(0.6)
+    m_init = np.asarray(state.mass, np.float64)
+    t_death = np.asarray(sev.tables.t_death)
+    t_wind = np.asarray(sev.tables.t_wind)
+    assert np.all(t_wind < t_death)
+
+    # sweep a star (index 5, heaviest, dies first) through its phases
+    i = 5
+    prev = m_init.copy()
+    seen_partial = False
+    for frac in (0.25, 0.5, 0.75, 1.0001):
+        t = t_wind[i] + frac * (t_death[i] - t_wind[i])
+        s = sev.update(state.replace(time=jnp.asarray(t, jnp.float64)))
+        m = np.asarray(s.mass, np.float64)
+        assert np.all(m <= prev + 1e-12), "mass must never increase"
+        if frac < 1.0:
+            pre = float(np.asarray(sev.tables.m_pre)[i])
+            assert pre < m[i] < m_init[i], "mid-wind mass strictly between"
+            seen_partial = True
+        else:
+            np.testing.assert_allclose(
+                m[i], float(np.asarray(sev.tables.m_rem)[i]), rtol=1e-6)
+        # idempotence at this epoch
+        s2 = sev.update(s)
+        np.testing.assert_array_equal(np.asarray(s.mass), np.asarray(s2.mass))
+        prev = np.maximum.reduce([m])  # continue from the updated masses
+        state = s
+
+
+def test_wind_kick_still_fires_exactly_once():
+    us, state, sev = _wind_setup(0.5, kick_ns=30.0)
+    i = 2  # 19 Msun — the NS class (only kick_sigma_ns is configured)
+    t_death = float(np.asarray(sev.tables.t_death)[i])
+    # boundary mid-wind (no kick), then past death (kick), then again (none)
+    s = sev.update(state.replace(
+        time=jnp.asarray(0.5 * (float(np.asarray(sev.tables.t_wind)[i])
+                                + t_death), jnp.float64)))
+    np.testing.assert_array_equal(np.asarray(s.vel), np.asarray(state.vel))
+    s2 = sev.update(s.replace(time=jnp.asarray(t_death * 1.001, jnp.float64)))
+    dv = np.linalg.norm(np.asarray(s2.vel) - np.asarray(s.vel), axis=1)
+    assert dv[i] > 0
+    s3 = sev.update(s2)
+    np.testing.assert_array_equal(np.asarray(s3.vel), np.asarray(s2.vel))
+
+
+def test_wind_fraction_one_with_kicks_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="wind_fraction"):
+        _wind_setup(1.0, kick_ns=30.0)
+    # without kicks, pure winds are fine and land on m_rem
+    us, state, sev = _wind_setup(1.0)
+    t = float(np.asarray(sev.tables.t_death)[5]) * 1.001
+    s = sev.update(state.replace(time=jnp.asarray(t, jnp.float64)))
+    np.testing.assert_allclose(float(np.asarray(s.mass)[5]),
+                               float(np.asarray(sev.tables.m_rem)[5]),
+                               rtol=1e-6)
