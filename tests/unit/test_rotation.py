@@ -78,3 +78,36 @@ def test_config_surface_and_virial_equilibrium():
                         * jnp.sum(s1.state.vel ** 2, axis=1)))
     np.testing.assert_allclose(ke1, ke0, rtol=1e-12)
     assert _lz(s1.state) > 10.0 * abs(_lz(s0.state))
+
+
+def test_rotating_model_stays_in_equilibrium():
+    """The Lynden-Bell flip claims the model remains a stationary
+    solution. Integrate a maximally rotating Plummer for ~4 crossing
+    times: Lagrangian radii must hold within N-body noise of the
+    non-rotating control, and Lz must be conserved."""
+    from oc_nbody_tpu.run import run
+
+    def res_for(rot, out):
+        cfg = SimConfig.from_dict({
+            "ic": {"n": 1024, "seed": 5, "rotation": rot},
+            "integrator": {"dt": 1.0 / 128, "eps": 1.0 / 32},
+            "output": {"out_dir": out, "t_end": 12.0, "diag_every": 3.0,
+                       "snap_every": 12.0, "stdout": False},
+        })
+        cfg.backend = "jnp"
+        return run(cfg)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        r1 = res_for(1.0, td + "/rot")
+        r0 = res_for(0.0, td + "/norot")
+    d1, d0 = r1.diagnostics, r0.diagnostics
+    # Lz conserved through the integration
+    np.testing.assert_allclose(d1["Lz"][-1], d1["Lz"][0], rtol=1e-3)
+    assert d1["Lz"][0] > 10 * abs(d0["Lz"][0])
+    # structural stability: half-mass radius drifts no more than the
+    # non-rotating control's own relaxation drift (+50% slack)
+    def drift(d):
+        return abs(d["r_lagr_50"][-1] / d["r_lagr_50"][0] - 1.0)
+    assert drift(d1) < max(1.5 * drift(d0), 0.08), (
+        f"rotating model drifted {drift(d1):.3f} vs control {drift(d0):.3f}")
