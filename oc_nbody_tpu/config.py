@@ -37,16 +37,21 @@ class ICConfig:
     m_max_msun: float = 100.0
     seed: int = 0
     file: Optional[str] = None   # snapshot path when kind == "file"
-    # primordial binaries (models/binaries.py): split binary_fraction of
-    # the IC's stars into pairs (the state then has n*(1+fraction) rows).
-    # a_min/a_max are the log-uniform semi-major-axis bounds in CODE
-    # units — pick a_min at least a few times integrator.eps or the pair
-    # is softened away (models/binaries.py docstring).
     # net rotation (models/rotation.py, Lynden-Bell sign-flip): fraction
     # of retrograde stars made prograde about z. Preserves every star's
     # energy and L², so the model stays in equilibrium; 1.0 = maximal
     # rotation for the chosen profile.
     rotation: float = 0.0
+    # uniform velocity multiplier applied after IC generation (before
+    # rotation/binaries). ≈ sqrt(1 + M_gas/M_cluster) re-virializes a
+    # cluster embedded in a [potential.gas] background; < 1 makes a
+    # cold collapsing IC.
+    vel_scale: float = 1.0
+    # primordial binaries (models/binaries.py): split binary_fraction of
+    # the IC's stars into pairs (the state then has n*(1+fraction) rows).
+    # a_min/a_max are the log-uniform semi-major-axis bounds in CODE
+    # units — pick a_min at least a few times integrator.eps or the pair
+    # is softened away (models/binaries.py docstring).
     binary_fraction: float = 0.0
     binary_a_min: Optional[float] = None
     binary_a_max: Optional[float] = None
@@ -92,6 +97,24 @@ class BarConfig:
 
 
 @dataclasses.dataclass
+class GasConfig:
+    """[potential.gas] — embedded natal-gas background (scene._build_gas):
+    a Plummer sphere comoving with the cluster (static, or riding the
+    circular [orbit]), expelled with the C² Dehnen ramp run in reverse
+    over [t_expel_myr, t_expel_myr + expel_myr]. The classic early-
+    cluster survival ("infant mortality") driver. The gas is a rigid
+    background — not depleted self-consistently. Start the embedded
+    phase in equilibrium with the combined well via ic.vel_scale ≈
+    sqrt(1 + M_gas/M_cluster)."""
+
+    kind: str = "none"          # none | plummer
+    mass_msun: float = 0.0      # gas mass (physical)
+    scale_pc: float = 1.0       # Plummer scale radius
+    t_expel_myr: float = 0.0    # expulsion start (code t = from run start)
+    expel_myr: float = 0.0      # expulsion duration; 0 = never expelled
+
+
+@dataclasses.dataclass
 class PotentialConfig:
     kind: str = "none"           # none | milky_way | point_mass
     # point_mass params (physical)
@@ -101,6 +124,7 @@ class PotentialConfig:
     perturber: PerturberConfig = dataclasses.field(
         default_factory=PerturberConfig)
     bar: BarConfig = dataclasses.field(default_factory=BarConfig)
+    gas: GasConfig = dataclasses.field(default_factory=GasConfig)
 
 
 @dataclasses.dataclass

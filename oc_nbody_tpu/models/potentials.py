@@ -494,7 +494,11 @@ class Ramped(TimeDependentPotential):
 
     Dehnen (2000) growth polynomial: A(ξ) = 3/16 ξ⁵ − 5/8 ξ³ + 15/16 ξ +
     1/2, ξ = clip(2(t−t0)/(t1−t0) − 1), which is C² at both ends — the
-    standard adiabatic switch-on for bar perturbations."""
+    standard adiabatic switch-on for bar perturbations.
+
+    REVERSED bounds (t0 > t1) give the mirror-image C² decay 1 → 0 over
+    [t1, t0] — used by the gas-expulsion surface ([potential.gas],
+    scene._build_gas): the natal-gas background leaving the cluster."""
 
     base: Potential
     t0: jax.Array

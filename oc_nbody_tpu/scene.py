@@ -101,6 +101,52 @@ def _build_perturber(cfg: SimConfig, us: UnitSystem,
     return pot_mod.MovingCenter(base=base, trajectory=traj)
 
 
+def _build_gas(cfg: SimConfig, us: UnitSystem,
+               host: Optional[pot_mod.Potential]):
+    """[potential.gas] → an embedded natal-gas Plummer background,
+    comoving with the cluster and (optionally) expelled.
+
+    Centre: the cluster's own frame — at the origin when there is no
+    orbit, riding a CircularTrajectory matching place_on_orbit's phase
+    (start at (R0, 0, 0), prograde at v_circ) for a circular orbit.
+    An eccentric orbit has no closed-form comoving trajectory: refused.
+    Expulsion: the Dehnen C² ramp with REVERSED bounds (potentials.Ramped
+    docstring) takes the amplitude 1 → 0 over [t_expel, t_expel+expel]."""
+    g = cfg.potential.gas
+    if g.kind == "none":
+        return None
+    if g.kind != "plummer":
+        raise ValueError(f"unknown gas kind {g.kind!r}")
+    if g.mass_msun <= 0:
+        raise ValueError("potential.gas.mass_msun must be > 0")
+    L = 1.0 / us.length_pc
+    base = pot_mod.PlummerSphere(
+        GM=jnp.asarray(us.G * g.mass_msun / us.mass_msun),
+        b=jnp.asarray(g.scale_pc * L))
+    orbit = cfg.orbit
+    if orbit.kind == "circular":
+        if host is None:
+            raise ValueError("[potential.gas] on a circular orbit needs "
+                             "the main potential for v_circ")
+        R0 = orbit.R0_pc * L
+        pot = pot_mod.MovingCenter(
+            base=base, trajectory=pot_mod.CircularTrajectory(
+                radius=jnp.asarray(R0),
+                omega=jnp.asarray(float(host.vcirc(R0)) / R0)))
+    elif orbit.kind == "none":
+        pot = base
+    else:
+        raise ValueError(
+            f"[potential.gas] supports orbit.kind none|circular (got "
+            f"{orbit.kind!r}: no closed-form comoving trajectory)")
+    if g.expel_myr > 0:
+        t_start = us.to_code(g.t_expel_myr, "time")
+        t_end = us.to_code(g.t_expel_myr + g.expel_myr, "time")
+        pot = pot_mod.Ramped(base=pot, t0=jnp.asarray(t_end),
+                             t1=jnp.asarray(t_start))  # reversed: decay
+    return pot
+
+
 def _build_bar(cfg: SimConfig, us: UnitSystem):
     """[potential.bar] → a Rotating (optionally Ramped) LongMuraliBar."""
     b = cfg.potential.bar
@@ -147,6 +193,11 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
         state = read_snapshot(ic.file).state
     else:
         raise ValueError(f"unknown IC kind {ic.kind!r}")
+
+    if ic.vel_scale != 1.0:
+        if ic.vel_scale <= 0:
+            raise ValueError(f"ic.vel_scale must be > 0, got {ic.vel_scale}")
+        state = state.replace(vel=state.vel * ic.vel_scale)
 
     if ic.rotation != 0.0:
         # before add_binaries: rotation acts on the systems' centre-of-mass
@@ -228,7 +279,8 @@ def build_scene(cfg: SimConfig) -> Scene:
     # perturbation of the orbit, not part of its circular-speed balance
     state = place_on_orbit(state, external, cfg, us)
     additions = [p for p in (_build_perturber(cfg, us, external),
-                             _build_bar(cfg, us)) if p is not None]
+                             _build_bar(cfg, us),
+                             _build_gas(cfg, us, external)) if p is not None]
     if additions:
         comps = ([external] if external is not None else []) + additions
         external = comps[0] if len(comps) == 1 else pot_mod.composite(comps)
