@@ -116,10 +116,13 @@ class GasConfig:
 
 @dataclasses.dataclass
 class PotentialConfig:
-    kind: str = "none"           # none | milky_way | point_mass
+    kind: str = "none"           # none | milky_way | point_mass | log_halo
     # point_mass params (physical)
     mass_msun: float = 1.0e11
     softening_pc: float = 0.0
+    # log_halo params: flat-rotation-curve spherical halo
+    v0_kms: float = 220.0
+    rc_pc: float = 1000.0
     # time-dependent additions ([potential.perturber] / [potential.bar])
     perturber: PerturberConfig = dataclasses.field(
         default_factory=PerturberConfig)

@@ -145,6 +145,28 @@ class PointMass(Potential):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class LogHalo(Potential):
+    """Spherical logarithmic halo: Φ = ½ v0² ln(r² + rc²).
+
+    The standard flat-rotation-curve host (v_c → v0 for r >> rc) — the
+    usual minimal model for tidal-field studies when the full composite
+    Milky Way is overkill. Config surface: potential.kind = "log_halo"
+    with v0_kms and rc_pc."""
+
+    v0: jax.Array    # asymptotic circular speed (code units)
+    rc: jax.Array    # core radius (code units)
+
+    def phi(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1)
+        return 0.5 * self.v0**2 * jnp.log(r2 + self.rc**2)
+
+    def accel(self, xyz):
+        r2 = jnp.sum(xyz * xyz, axis=-1)
+        return -(self.v0**2 / (r2 + self.rc**2))[..., None] * xyz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class Hernquist(Potential):
     """Hernquist (1990) sphere: Φ = −GM/(r+a)."""
 

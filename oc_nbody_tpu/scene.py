@@ -58,6 +58,11 @@ def build_external_potential(cfg: SimConfig, us: UnitSystem) -> Optional[pot_mod
             GM=jnp.asarray(us.G * p.mass_msun * mass_scale),
             softening=jnp.asarray(p.softening_pc * length_scale),
         )
+    if p.kind == "log_halo":
+        return pot_mod.LogHalo(
+            v0=jnp.asarray(us.to_code(p.v0_kms, "velocity")),
+            rc=jnp.asarray(p.rc_pc * length_scale),
+        )
     raise ValueError(f"unknown potential kind {p.kind!r}")
 
 

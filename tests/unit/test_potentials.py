@@ -15,10 +15,11 @@ def _components():
         P.Hernquist(GM=jnp.asarray(2.0), a=jnp.asarray(0.7)),
         P.MiyamotoNagai(GM=jnp.asarray(1.5), a=jnp.asarray(1.2), b=jnp.asarray(0.3)),
         P.NFW(GMs=jnp.asarray(4.0), rs=jnp.asarray(2.0)),
+        P.LogHalo(v0=jnp.asarray(1.3), rc=jnp.asarray(0.8)),
     ]
 
 
-@pytest.mark.parametrize("pot_idx", range(4))
+@pytest.mark.parametrize("pot_idx", range(5))
 def test_accel_is_minus_grad_phi(pot_idx):
     pot = _components()[pot_idx]
     key = jax.random.PRNGKey(pot_idx)
@@ -74,3 +75,22 @@ def test_second_radial_derivative_vs_fd():
     h = 1.0
     fd = (float(mw.dphi_dR(R + h)) - float(mw.dphi_dR(R - h))) / (2 * h)
     assert float(mw.d2phi_dR2(R)) == pytest.approx(fd, rel=1e-6)
+
+
+def test_log_halo_flat_rotation_curve():
+    pot = P.LogHalo(v0=jnp.asarray(1.7), rc=jnp.asarray(0.5))
+    # v_c -> v0 well outside the core; softened toward the centre
+    assert float(pot.vcirc(100.0)) == pytest.approx(1.7, rel=1e-3)
+    assert float(pot.vcirc(0.1)) < 0.5
+    # config surface: v0_kms converts through the unit system
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.scene import build_external_potential
+    from oc_nbody_tpu.utils.units import UnitSystem
+    cfg = SimConfig.from_dict({
+        "units": {"kind": "henon", "mass_msun": 1000.0, "length_pc": 10.0},
+        "potential": {"kind": "log_halo", "v0_kms": 220.0, "rc_pc": 500.0},
+    })
+    us = UnitSystem.henon(mass_msun=1000.0, length_pc=10.0)
+    pot = build_external_potential(cfg, us)
+    v_phys = float(pot.vcirc(5000.0 / 10.0)) / us.to_code(1.0, "velocity")
+    assert v_phys == pytest.approx(220.0, rel=1e-2)
