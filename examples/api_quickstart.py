@@ -36,8 +36,15 @@ def main(argv=None):
                    length_scale=1.0 / us.length_pc)
     force = make_force_model(eps=0.05, G=us.G, external=mw)
 
-    # 3. IC: virialised Plummer sphere on a circular orbit at R0 = 8 kpc.
+    # 3. IC: virialised Plummer sphere — here with net rotation (the
+    #    Lynden-Bell sign-flip: equilibrium preserved, Lz aligned) —
+    #    on a circular orbit at R0 = 8 kpc. Other IC layers compose the
+    #    same way: models/binaries.add_binaries (primordial pairs),
+    #    models/stellar_evolution.make_stellar_evolution (death tables
+    #    the driver applies at diagnostics boundaries).
+    from oc_nbody_tpu.models.rotation import add_rotation
     state = plummer(n, jax.random.PRNGKey(0))
+    state = add_rotation(state, jax.random.PRNGKey(1), fraction=0.5)
     R0 = us.to_code(8000.0, "length")
     state = state.shifted(
         dpos=jnp.array([R0, 0.0, 0.0]),
