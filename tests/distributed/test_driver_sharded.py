@@ -84,6 +84,38 @@ def test_driver_on_mesh_with_stellar_evolution(tmp_path):
                                res1.diagnostics["E_sev_cum"][-1], rtol=1e-6)
 
 
+def test_driver_on_mesh_with_time_dependent_external(tmp_path):
+    """A time-dependent external ([potential.gas] expelled mid-run) through
+    the sharded driver: ShardedForce.at_time must bind the evaluation time
+    on every shard's local rows, matching the single-device run."""
+    from oc_nbody_tpu.utils.units import UnitSystem
+
+    tm = UnitSystem.henon(mass_msun=1.0, length_pc=1.0).time_myr
+
+    def cfg_at(d, name):
+        cfg = _mesh_cfg(tmp_path, "allgather", n=96)
+        cfg.mesh.n_devices = d
+        cfg.output.out_dir = str(tmp_path / name)
+        cfg.units.mass_msun = 1.0
+        cfg.units.length_pc = 1.0
+        cfg.ic.vel_scale = float(np.sqrt(2.0))
+        cfg.potential.gas.kind = "plummer"
+        cfg.potential.gas.mass_msun = 1.0
+        cfg.potential.gas.scale_pc = 1.0
+        cfg.potential.gas.t_expel_myr = 0.05 * tm
+        cfg.potential.gas.expel_myr = 0.1 * tm
+        cfg.output.t_end = 0.25
+        return cfg
+
+    res8 = run(cfg_at(8, "gas_mesh"))
+    res1 = run(cfg_at(1, "gas_single"))
+    np.testing.assert_allclose(np.asarray(res8.state.pos),
+                               np.asarray(res1.state.pos), atol=1e-9)
+    # the expulsion really happened inside the run window
+    assert res8.diagnostics["E_ext"][0] < -0.1
+    assert abs(res8.diagnostics["E_ext"][-1]) < 1e-10
+
+
 def test_driver_rdma_mode_end_to_end(tmp_path, monkeypatch):
     """mode='rdma' through the WHOLE driver (scene builds the sharded
     force, run() steps it) with the Pallas ring kernels under the TPU
