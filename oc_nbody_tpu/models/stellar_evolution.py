@@ -177,8 +177,14 @@ class StellarEvolution:
 
     # diagnostics helpers (host-side, cheap)
     def n_dead(self, state) -> int:
-        return int(jnp.sum((jnp.asarray(state.mass)
-                            <= self.tables.m_mid).astype(jnp.int32)))
+        """Stars that have completed their collapse (mass at/below the
+        midpoint). Stars whose clamped "remnant" equals their initial
+        mass (very low-mass: the Kalirai IFMR exceeds m for
+        m ≲ 0.44 M☉, so min(m_rem, m) = m) never transition — without
+        the real-jump guard they would all count as remnants from t=0."""
+        real = self.tables.m_rem < self.tables.m_init * (1.0 - 1e-6)
+        dead = jnp.asarray(state.mass) <= self.tables.m_mid
+        return int(jnp.sum((real & dead).astype(jnp.int32)))
 
     def mass_lost(self, state) -> float:
         """Cumulative mass lost to stellar evolution (code units)."""
