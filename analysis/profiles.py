@@ -137,6 +137,46 @@ def core_radius(pos, mass, center=None, k=6, chunk=2048):
     return r_core, rho_core, c_d
 
 
+def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
+    """Observational (projected) profiles along a line of sight.
+
+    Projects out ``axis`` (default z) and returns log-binned surface
+    density Σ(R), the mass-weighted line-of-sight velocity dispersion
+    σ_LOS(R), and the (2-D) effective radius R_eff enclosing half the
+    mass in projection — the quantities star-cluster observations
+    actually constrain (cf. the 3-D profiles above)."""
+    if center is None:
+        center = density_center(pos, mass)
+    keep = [i for i in range(3) if i != axis]
+    xy = (pos - center)[:, keep]
+    vlos = vel[:, axis] - (vel[:, axis] * mass).sum() / mass.sum()
+    R = np.linalg.norm(xy, axis=1)
+    order = np.argsort(R)
+    csum = np.cumsum(mass[order])
+    r_eff = float(np.interp(0.5 * csum[-1], csum, R[order]))
+
+    rmin = max(np.quantile(R, 0.003), 1e-8)
+    rmax = np.quantile(R, 0.995)
+    edges = np.geomspace(rmin, rmax, bins + 1)
+    idx = np.digitize(R, edges) - 1
+    ring = np.pi * (edges[1:] ** 2 - edges[:-1] ** 2)
+    out = {"R_mid": np.sqrt(edges[:-1] * edges[1:]), "edges": edges,
+           "r_eff": r_eff, "sigma": np.full(bins, np.nan),
+           "sigma_los": np.full(bins, np.nan), "count": np.zeros(bins, int)}
+    for b in range(bins):
+        sel = idx == b
+        n = int(sel.sum())
+        out["count"][b] = n
+        if n < 2:
+            continue
+        w = mass[sel]
+        out["sigma"][b] = w.sum() / ring[b]
+        mv = (w * vlos[sel]).sum() / w.sum()
+        out["sigma_los"][b] = np.sqrt(
+            (w * (vlos[sel] - mv) ** 2).sum() / w.sum())
+    return out
+
+
 def mass_function(mass, sel, bins=20):
     """dN/dlog10(m) histogram over a selection (equal-mass runs return
     a single bin — callers should check the dynamic range first)."""
@@ -201,6 +241,9 @@ def main(argv=None):
     ap.add_argument("--evolution", action="store_true",
                     help="treat the argument as a run directory and plot "
                     "r_core/r_half/rho_core vs time over all snapshots")
+    ap.add_argument("--projected", action="store_true",
+                    help="also print projected (observational) profiles: "
+                    "surface density, sigma_LOS, R_eff")
     args = ap.parse_args(argv)
 
     if args.evolution:
@@ -229,6 +272,19 @@ def main(argv=None):
     if sig > 0 and abs(vrot) > 0.1 * sig:
         print(f"rotation: <v_phi>/sigma_r = {vrot / sig:+.3f} "
               f"(ordered rotation about z)")
+
+    if args.projected:
+        pp = projected_profiles(pos, vel, mass, bins=args.bins,
+                                center=p["center"])
+        print(f"projected: R_eff = {pp['r_eff']:.4g} "
+              f"(r_half = {p['r_half']:.4g}; R_eff/r_half "
+              f"= {pp['r_eff'] / p['r_half']:.3f}, ~0.74 for Plummer)")
+        print(f"{'R_mid':>10} {'Sigma':>12} {'sigma_LOS':>10} {'n':>6}")
+        for b in range(args.bins):
+            if pp["count"][b] == 0:
+                continue
+            print(f"{pp['R_mid'][b]:10.4g} {pp['sigma'][b]:12.5g} "
+                  f"{pp['sigma_los'][b]:10.4g} {pp['count'][b]:6d}")
 
     mf_in = mass_function(mass, r < p["r_half"])
     mf_out = mass_function(mass, r >= p["r_half"])

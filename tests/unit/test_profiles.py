@@ -73,3 +73,25 @@ def test_core_radius_casertano_hut(cluster):
     rho0 = 3.0 / (4.0 * np.pi * a**3)
     assert 0.25 * rho0 < rho_c < 1.0 * rho0, rho_c
     assert np.linalg.norm(c_d) < 0.2 * a
+
+
+def test_projected_profiles_plummer(cluster):
+    """Projected Plummer closed forms: Sigma(R) = M a^2/pi (R^2+a^2)^-2,
+    R_eff = a (projected half-mass radius = scale radius exactly), and
+    sigma_LOS(0) = sqrt(3 pi M / 64 a) (central LOS dispersion)."""
+    pos, vel, mass = cluster
+    a = 3.0 * np.pi / 16.0
+    pp = profiles.projected_profiles(pos, vel, mass, bins=24)
+    # R_eff == a for Plummer (in projection the half-mass radius IS a)
+    assert 0.9 * a < pp["r_eff"] < 1.1 * a, pp["r_eff"]
+    # surface density against the closed form, inner/mid bins
+    ok = pp["count"] > 300
+    R = pp["R_mid"][ok]
+    sig_th = a**2 / np.pi / (R**2 + a**2) ** 2  # M = 1
+    ratio = pp["sigma"][ok] / sig_th
+    assert np.all((ratio > 0.8) & (ratio < 1.2)), ratio
+    # central LOS dispersion
+    s0_th = np.sqrt(3.0 * np.pi / (64.0 * a))
+    inner = pp["sigma_los"][ok][:3]
+    assert np.all((inner > 0.85 * s0_th) & (inner < 1.1 * s0_th)), (
+        inner, s0_th)
