@@ -28,6 +28,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--out", default=None, help="output PNG path")
+    ap.add_argument("--orbit", action="store_true",
+                    help="also write <out_stem>_orbit.png: the cluster "
+                    "density-centre's galactocentric track (R(t), z(t), "
+                    "x-y) from the cx/cy/cz diagnostics columns")
     args = ap.parse_args(argv)
 
     d = load_diagnostics(args.run_dir)
@@ -102,6 +106,29 @@ def main(argv=None):
     out = args.out or os.path.join(args.run_dir, "diagnostics.png")
     fig.savefig(out, dpi=130)
     print(f"wrote {out}")
+
+    if args.orbit and all(k in d for k in ("cx", "cy", "cz")):
+        R = np.hypot(d["cx"], d["cy"])
+        fig2, axes2 = plt.subplots(1, 3, figsize=(13, 3.6),
+                                   constrained_layout=True)
+        axes2[0].plot(t, R, lw=1)
+        axes2[0].set_xlabel("t [code]")
+        axes2[0].set_ylabel("R [code]")
+        axes2[0].set_title("galactocentric radius")
+        axes2[1].plot(t, d["cz"], lw=1)
+        axes2[1].axhline(0.0, ls=":", c="gray")
+        axes2[1].set_xlabel("t [code]")
+        axes2[1].set_ylabel("z [code]")
+        axes2[1].set_title("height (disk crossings)")
+        axes2[2].plot(d["cx"], d["cy"], lw=1)
+        axes2[2].plot(d["cx"][0], d["cy"][0], "o", ms=5, c="tab:green")
+        axes2[2].set_aspect("equal")
+        axes2[2].set_xlabel("x [code]")
+        axes2[2].set_ylabel("y [code]")
+        axes2[2].set_title("in-plane track")
+        out2 = os.path.splitext(out)[0] + "_orbit.png"
+        fig2.savefig(out2, dpi=130)
+        print(f"wrote {out2}")
 
 
 if __name__ == "__main__":
