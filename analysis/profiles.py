@@ -161,7 +161,7 @@ def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
     idx = np.digitize(R, edges) - 1
     ring = np.pi * (edges[1:] ** 2 - edges[:-1] ** 2)
     out = {"R_mid": np.sqrt(edges[:-1] * edges[1:]), "edges": edges,
-           "r_eff": r_eff, "sigma": np.full(bins, np.nan),
+           "r_eff": r_eff, "Sigma": np.full(bins, np.nan),
            "sigma_los": np.full(bins, np.nan), "count": np.zeros(bins, int)}
     for b in range(bins):
         sel = idx == b
@@ -170,7 +170,7 @@ def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
         if n < 2:
             continue
         w = mass[sel]
-        out["sigma"][b] = w.sum() / ring[b]
+        out["Sigma"][b] = w.sum() / ring[b]
         mv = (w * vlos[sel]).sum() / w.sum()
         out["sigma_los"][b] = np.sqrt(
             (w * (vlos[sel] - mv) ** 2).sum() / w.sum())
@@ -283,7 +283,7 @@ def main(argv=None):
         for b in range(args.bins):
             if pp["count"][b] == 0:
                 continue
-            print(f"{pp['R_mid'][b]:10.4g} {pp['sigma'][b]:12.5g} "
+            print(f"{pp['R_mid'][b]:10.4g} {pp['Sigma'][b]:12.5g} "
                   f"{pp['sigma_los'][b]:10.4g} {pp['count'][b]:6d}")
 
     mf_in = mass_function(mass, r < p["r_half"])

@@ -88,7 +88,7 @@ def test_projected_profiles_plummer(cluster):
     ok = pp["count"] > 300
     R = pp["R_mid"][ok]
     sig_th = a**2 / np.pi / (R**2 + a**2) ** 2  # M = 1
-    ratio = pp["sigma"][ok] / sig_th
+    ratio = pp["Sigma"][ok] / sig_th
     assert np.all((ratio > 0.8) & (ratio < 1.2)), ratio
     # central LOS dispersion
     s0_th = np.sqrt(3.0 * np.pi / (64.0 * a))
