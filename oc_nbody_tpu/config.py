@@ -202,6 +202,8 @@ class OutputConfig:
     stdout: bool = True
     max_steps_per_dispatch: int = 16384  # cap steps per device dispatch
     diag_f64: bool = False       # full-f64 pairwise PE in diagnostics (slow)
+    core_diag: bool = True       # CH85 r_core/rho_core columns (one extra
+    # bounded O(min(N,65k)²) distance sweep per diagnostics row)
 
 
 @dataclasses.dataclass

@@ -140,6 +140,129 @@ def lagrangian_radii(state: ParticleState, fractions=(0.1, 0.25, 0.5, 0.75, 0.9)
     return jnp.where(csum[-1] > 0, r_sorted[idx], jnp.nan)
 
 
+def local_density(pos, mass, center, k: int = 6,
+                  max_probes: int = 65536, max_sources: int = 65536,
+                  chunk: int = 256):
+    """Casertano & Hut (1985) kth-nearest-neighbour local density estimates.
+
+    For each probe star j: find its k nearest neighbours (self excluded),
+    and estimate rho_j = (mass of the k-1 nearest) / (4pi/3 r_k^3) where
+    r_k is the distance to the kth — the CH85 unbiased form (the kth
+    neighbour defines the volume but its mass is excluded).
+
+    Oversized N: probes and sources are strided down to ``max_probes`` /
+    ``max_sources`` (deterministic stride sampling keeps this key-free and
+    bit-reproducible); subsampled source masses are scaled by the stride so
+    the enclosed-mass estimate stays unbiased in expectation. This bounds
+    the O(N_probe * N_source) distance sweep at any N (the macro path runs
+    this inside one jitted diagnostics program at N = 8M).
+
+    Distances are computed on CENTRED coordinates (pos - center) in f32 —
+    at galactocentric offsets the raw f32 coordinates would eat the
+    mantissa (SURVEY.md §7 hard part #1, same reason the kernels centre).
+
+    Returns (rho, probe_stride): rho is (ceil(N/probe_stride),) float64,
+    aligned with pos[::probe_stride].
+    """
+    n = pos.shape[0]
+    ps = -(-n // max_probes)   # ceil
+    ss = -(-n // max_sources)
+    probes = (pos - center)[::ps].astype(jnp.float32)
+    src = (pos - center)[::ss].astype(jnp.float32)
+    msrc = mass[::ss].astype(jnp.float32) * jnp.float32(ss)
+    npro = probes.shape[0]
+    nsrc = src.shape[0]
+    if nsrc <= k:
+        return jnp.full((npro,), jnp.nan, jnp.float64), ps
+    chunk = min(chunk, npro)
+    npad = -(-npro // chunk) * chunk
+    # padded probes sit at a huge coordinate: their neighbour volumes are
+    # enormous, rho ~ 0, and they are sliced off before returning anyway
+    probes = jnp.concatenate(
+        [probes, jnp.full((npad - npro, 3), 1e30, jnp.float32)], axis=0)
+
+    def body(pchunk):
+        d2 = jnp.sum((pchunk[:, None, :] - src[None, :, :]) ** 2, axis=-1)
+        # exclude self-pairs (and exactly-coincident stars — measure zero)
+        d2 = jnp.where(d2 <= 0.0, jnp.float32(jnp.inf), d2)
+        neg, idx = jax.lax.top_k(-d2, k)       # ascending d2, self excluded
+        rk2 = jnp.maximum(-neg[:, -1], 1e-30).astype(jnp.float64)
+        mnb = jnp.sum(msrc[idx[:, : k - 1]], axis=1).astype(jnp.float64)
+        vol = (4.0 * jnp.pi / 3.0) * rk2 ** 1.5
+        return mnb / vol
+
+    rho = jax.lax.map(body, probes.reshape(-1, chunk, 3)).reshape(-1)
+    return rho[:npro], ps
+
+
+def core_radius_density(state: ParticleState, center=None, k: int = 6,
+                        mask=None, max_probes: int = 65536,
+                        max_sources: int = 65536):
+    """Core radius and central density from CH85 local-density weighting.
+
+    r_core = sqrt(sum rho_j^2 |r_j - c|^2 / sum rho_j^2)  (the rho^2-weighted
+    rms radius — the NBODY-family convention, so values are comparable to
+    what NBODY6-class codes print), and
+    rho_core = sum rho_j^2 / sum rho_j  (CH85's rho-weighted mean density).
+
+    ``mask`` (e.g. the bound mask) restricts which stars are *weighted*;
+    the density field itself is always estimated from all stars. Returns
+    (r_core, rho_core) as f64 scalars; (NaN, NaN) for N <= k+1.
+    """
+    n = state.pos.shape[0]
+    if n <= k + 1:
+        nan = jnp.asarray(jnp.nan, jnp.float64)
+        return nan, nan
+    if center is None:
+        center = density_center(state)
+    rho, ps = local_density(state.pos, state.mass, center, k=k,
+                            max_probes=max_probes, max_sources=max_sources)
+    r2 = jnp.sum((state.pos[::ps].astype(jnp.float64) - center) ** 2, axis=1)
+    if mask is not None:
+        rho = rho * mask[::ps]
+    w = rho * rho
+    wsum = jnp.maximum(jnp.sum(w), 1e-300)
+    r_core = jnp.sqrt(jnp.sum(w * r2) / wsum)
+    rho_core = wsum / jnp.maximum(jnp.sum(rho), 1e-300)
+    # a fully-empty selection (mask sums to zero) has no core
+    ok = jnp.sum(rho) > 0
+    return (jnp.where(ok, r_core, jnp.nan),
+            jnp.where(ok, rho_core, jnp.nan))
+
+
+def velocity_dispersion_1d(state: ParticleState, mask=None) -> jax.Array:
+    """Mass-weighted 1-D velocity dispersion about the (masked) mean
+    velocity: sigma_1d = sqrt(sum m |v - v_bar|^2 / (3 sum m)). f64 scalar;
+    NaN when the mask selects zero mass."""
+    m = state.mass.astype(jnp.float64)
+    if mask is not None:
+        m = m * mask
+    msum = jnp.sum(m)
+    vel = state.vel.astype(jnp.float64)
+    vb = jnp.sum(vel * m[:, None], axis=0) / jnp.maximum(msum, 1e-300)
+    s2 = jnp.sum(m * jnp.sum((vel - vb) ** 2, axis=1))
+    return jnp.where(msum > 0,
+                     jnp.sqrt(s2 / (3.0 * jnp.maximum(msum, 1e-300))),
+                     jnp.nan)
+
+
+def half_mass_relaxation_time(n_bound, m_bound, r_half, G,
+                              gamma: float = 0.11) -> jax.Array:
+    """Spitzer–Hart half-mass relaxation time
+    t_rh = 0.138 N^{1/2} r_h^{3/2} / ( (G m_bar)^{1/2} ln(gamma N) ),
+    evaluated with BOUND N, mean mass and half-mass radius. gamma = 0.11
+    (the Giersz & Heggie calibration; 0.4 is Spitzer's original, 0.02 for
+    steep mass spectra). Returns NaN when N_bound < 2 or ln(gamma N) <= 0
+    (no meaningful relaxation)."""
+    nb = jnp.asarray(n_bound, jnp.float64)
+    mbar = jnp.asarray(m_bound, jnp.float64) / jnp.maximum(nb, 1.0)
+    lnl = jnp.log(jnp.maximum(gamma * nb, 1e-300))
+    t = (0.138 * jnp.sqrt(nb) * jnp.asarray(r_half, jnp.float64) ** 1.5
+         / jnp.sqrt(jnp.asarray(G, jnp.float64) * jnp.maximum(mbar, 1e-300))
+         / jnp.maximum(lnl, 1e-300))
+    return jnp.where((nb >= 2) & (lnl > 0), t, jnp.nan)
+
+
 def bound_mass_energy(state: ParticleState, force: ForceModel,
                       n_iter: int = 8, phi_pair=None):
     """Bound mass via iterated energy cut in the cluster frame.
@@ -235,12 +358,18 @@ def bound_mass_tidal(state: ParticleState, force: ForceModel,
 
 def compute_all(state: ParticleState, force: ForceModel,
                 fractions=(0.1, 0.25, 0.5, 0.75, 0.9),
-                f64_pairwise: bool = False, precomputed_phi=None) -> dict:
+                f64_pairwise: bool = False, precomputed_phi=None,
+                core: bool = True) -> dict:
     """The full diagnostics row (SURVEY.md §5 metrics list); all scalars
     except lagrangian radii. One jit-able call — except at oversized N,
     where the caller precomputes (phi_pair, phi_ext) with the batched
     chunked kernels outside the jit and passes them via
-    ``precomputed_phi`` (every other column is O(N) or O(N·iters))."""
+    ``precomputed_phi`` (every other column is O(N) or O(N·iters)).
+
+    ``core=True`` adds the CH85 core columns (r_core, rho_core) — a second
+    bounded O(min(N,65536)²) distance sweep per row (output.core_diag turns
+    it off for cost-sensitive runs). sigma_1d / Q_virial / t_rh are O(N)
+    and always emitted."""
     force = force.at_time(state.time)  # no-op for static externals
     if precomputed_phi is None:
         # ONE pairwise-potential pass per row, shared by energies() and
@@ -282,6 +411,27 @@ def compute_all(state: ParticleState, force: ForceModel,
     })
     for f, r in zip(fractions, rl):
         out[f"r_lagr_{int(round(f * 100))}"] = r
+
+    # --- structure / relaxation columns (NBODY-family standards) -------
+    # bound-internal virial ratio: KE about the bound COM velocity over
+    # |W| with W = half the bound-mass-weighted pairwise potential (the
+    # unbound tail contributes to phi but sits far away; documented
+    # approximation). Q ~ 0.5 in equilibrium.
+    m64 = state.mass.astype(jnp.float64)
+    vel64 = state.vel.astype(jnp.float64)
+    wb = m64 * mask
+    wsum = jnp.maximum(jnp.sum(wb), 1e-300)
+    vb = jnp.sum(vel64 * wb[:, None], axis=0) / wsum
+    ke_b = 0.5 * jnp.sum(wb * jnp.sum((vel64 - vb) ** 2, axis=1))
+    w_b = 0.5 * jnp.sum(wb * precomputed_phi[0].astype(jnp.float64))
+    out["Q_virial"] = ke_b / jnp.maximum(jnp.abs(w_b), 1e-300)
+    out["sigma_1d"] = velocity_dispersion_1d(state, mask=mask)
+    r_half = lagrangian_radii(state, (0.5,), center=center, mask=mask)[0]
+    out["t_rh"] = half_mass_relaxation_time(n_b, m_b, r_half, force.G)
+    if core:
+        r_c, rho_c = core_radius_density(state, center=center, mask=mask)
+        out["r_core"] = r_c
+        out["rho_core"] = rho_c
     return out
 
 

@@ -227,11 +227,17 @@ class SnapshotWriter:
 
     def append_diagnostics(self, row: dict) -> None:
         with h5py.File(self._diag_path, "a") as f:
+            # a column first appearing mid-series (resume across a code
+            # version that added diagnostics) is NaN-backfilled so every
+            # column keeps one row per diagnostics boundary
+            n_prev = max((f[k].shape[0] for k in f.keys()), default=0)
             for k, v in row.items():
                 v = np.asarray(jax.device_get(v), np.float64)
                 if k not in f:
-                    f.create_dataset(k, shape=(0,), maxshape=(None,),
-                                     dtype=np.float64, chunks=(256,))
+                    d = f.create_dataset(k, shape=(n_prev,), maxshape=(None,),
+                                         dtype=np.float64, chunks=(256,))
+                    if n_prev:
+                        d[:] = np.nan
                 d = f[k]
                 d.resize((d.shape[0] + 1,))
                 d[-1] = float(v)

@@ -248,7 +248,8 @@ def _run(cfg: SimConfig, resume: bool = False,
         # the row stays one jitted program
         _diag_rest = jax.jit(
             lambda state, force, phi: _with_extras(diag_mod.compute_all(
-                state, force, out.fractions, precomputed_phi=phi), state))
+                state, force, out.fractions, precomputed_phi=phi,
+                core=out.core_diag), state))
 
         def compute_diag(state, force):
             # bind the evaluation time FIRST: a time-dependent external
@@ -261,8 +262,8 @@ def _run(cfg: SimConfig, resume: bool = False,
     else:
         compute_diag = jax.jit(
             lambda state, force: _with_extras(diag_mod.compute_all(
-                state, force, out.fractions, f64_pairwise=out.diag_f64),
-                state)
+                state, force, out.fractions, f64_pairwise=out.diag_f64,
+                core=out.core_diag), state)
         )
 
     if kind == "block":

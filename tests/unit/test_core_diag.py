@@ -1,0 +1,122 @@
+"""Cluster-structure diagnostics: CH85 core radius / central density,
+velocity dispersion, virial ratio, half-mass relaxation time.
+
+Validation is against the ANALYTIC Plummer profile (SURVEY.md §4.1 style:
+no reference outputs exist — /root/reference is empty — so the oracle is
+the closed-form model the sampler is independently tested against).
+
+For stars sampled with number density ∝ ρ(r), sums over stars are
+∫·ρ dV integrals, so the estimator expectations are:
+    rho_core = Σρ_j²/Σρ_j     →  ∫ρ³ dV / ∫ρ² dV
+    r_core²  = Σρ_j²r²/Σρ_j²  →  ∫ρ³ r⁴ dr / ∫ρ³ r² dr
+The k=6 kNN estimate adds smoothing (down) and weighting-noise (up ~1/(k−2),
+measured 1.30x at N=8192) biases, so the absolute checks use generous bands
+while the SCALING checks (a → 2a) are tight. r_core measured within 1.2%
+of the integral expectation at N=8192.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.integrate import quad
+
+from oc_nbody_tpu import diagnostics as diag
+from oc_nbody_tpu.forces import make_force_model
+from oc_nbody_tpu.models.plummer import plummer
+from oc_nbody_tpu.state import ParticleState
+
+N = 8192
+
+
+@pytest.fixture(scope="module")
+def plummer_state():
+    return plummer(N, jax.random.PRNGKey(11))
+
+
+def _plummer_expectations(a=1.0, M=1.0):
+    rho0 = 3 * M / (4 * np.pi * a**3)
+    u = lambda x: (1 + x * x) ** -2.5
+    I = lambda p, n: quad(lambda x: u(x) ** p * x**n, 0, np.inf)[0]
+    rho_core = rho0 * I(3, 2) / I(2, 2)
+    r_core = a * np.sqrt(I(3, 4) / I(3, 2))
+    return r_core, rho_core
+
+
+def test_core_radius_density_plummer(plummer_state):
+    r_c, rho_c = diag.core_radius_density(plummer_state)
+    # the default sampler is Hénon-scaled: a = 3π/16 (models/plummer.py:21)
+    r_exp, rho_exp = _plummer_expectations(a=3 * np.pi / 16)
+    assert 0.75 < float(r_c) / r_exp < 1.3
+    assert 0.5 < float(rho_c) / rho_exp < 1.8
+
+
+def test_core_scaling_with_model_radius(plummer_state):
+    """a → 2a: r_core doubles, rho_core drops 8x (pure scaling — the
+    estimator biases cancel in the ratio)."""
+    s = plummer_state
+    s2 = ParticleState(pos=s.pos * 2.0, vel=s.vel / jnp.sqrt(2.0),
+                       mass=s.mass, ids=s.ids, time=s.time)
+    r1, rho1 = diag.core_radius_density(s)
+    r2, rho2 = diag.core_radius_density(s2)
+    assert float(r2 / r1) == pytest.approx(2.0, rel=1e-5)
+    assert float(rho2 / rho1) == pytest.approx(0.125, rel=1e-4)
+
+
+def test_core_translation_invariance(plummer_state):
+    """Galactocentric offsets must not corrupt the (centred, f32) distance
+    sweep — SURVEY.md §7 hard part #1."""
+    s = plummer_state
+    shift = jnp.asarray([8000.0, -3000.0, 150.0])
+    s2 = ParticleState(pos=s.pos + shift, vel=s.vel, mass=s.mass,
+                       ids=s.ids, time=s.time)
+    r1, rho1 = diag.core_radius_density(s)
+    r2, rho2 = diag.core_radius_density(s2)
+    assert float(r1) == pytest.approx(float(r2), rel=1e-3)
+    assert float(rho1) == pytest.approx(float(rho2), rel=1e-3)
+
+
+def test_local_density_subsampling_consistent(plummer_state):
+    """Strided probe/source subsampling (the oversized-N path) stays within
+    estimator scatter of the full computation."""
+    s = plummer_state
+    c = diag.density_center(s)
+    rho_full, ps = diag.local_density(s.pos, s.mass, c)
+    assert ps == 1 and rho_full.shape == (N,)
+    r_c, rho_c = diag.core_radius_density(s)
+    r_cs, rho_cs = diag.core_radius_density(s, max_probes=2048,
+                                            max_sources=2048)
+    assert float(r_cs) == pytest.approx(float(r_c), rel=0.25)
+    assert 0.4 < float(rho_cs) / float(rho_c) < 1.6
+
+
+def test_core_tiny_n_is_nan():
+    s = plummer(5, jax.random.PRNGKey(0))
+    r_c, rho_c = diag.core_radius_density(s)
+    assert np.isnan(float(r_c)) and np.isnan(float(rho_c))
+
+
+def test_sigma_1d_matches_virial(plummer_state):
+    """Plummer equilibrium: σ_1d = sqrt(−W/3M); in Hénon units W = −1/2,
+    so σ_1d = sqrt(1/6)."""
+    sigma = diag.velocity_dispersion_1d(plummer_state)
+    assert float(sigma) == pytest.approx(np.sqrt(1.0 / 6.0), rel=0.03)
+
+
+def test_relaxation_time_formula():
+    t = diag.half_mass_relaxation_time(1000, 1.0, 0.77, 1.0)
+    nb, mbar, rh = 1000.0, 1e-3, 0.77
+    expect = 0.138 * np.sqrt(nb) * rh**1.5 / np.sqrt(mbar) / np.log(0.11 * nb)
+    assert float(t) == pytest.approx(expect, rel=1e-12)
+    assert np.isnan(float(diag.half_mass_relaxation_time(1, 1e-3, 0.77, 1.0)))
+
+
+def test_compute_all_new_columns(plummer_state):
+    force = make_force_model(eps=1.0 / 64, backend="jnp")
+    row = diag.compute_all(plummer_state, force)
+    for k in ("Q_virial", "sigma_1d", "t_rh", "r_core", "rho_core"):
+        assert k in row and np.isfinite(float(row[k])), k
+    # isolated equilibrium: Q ≈ 1/2 (virial), t_rh positive
+    assert float(row["Q_virial"]) == pytest.approx(0.5, rel=0.06)
+    assert float(row["t_rh"]) > 0
+    row_nocore = diag.compute_all(plummer_state, force, core=False)
+    assert "r_core" not in row_nocore and "sigma_1d" in row_nocore
