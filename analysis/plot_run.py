@@ -32,6 +32,11 @@ def main(argv=None):
                     help="also write <out_stem>_orbit.png: the cluster "
                     "density-centre's galactocentric track (R(t), z(t), "
                     "x-y) from the cx/cy/cz diagnostics columns")
+    ap.add_argument("--structure", action="store_true",
+                    help="also write <out_stem>_structure.png: core "
+                    "radius vs half-mass radius, central density, "
+                    "velocity dispersion / virial ratio, and time in "
+                    "units of the (evolving) relaxation time")
     args = ap.parse_args(argv)
 
     d = load_diagnostics(args.run_dir)
@@ -106,6 +111,56 @@ def main(argv=None):
     out = args.out or os.path.join(args.run_dir, "diagnostics.png")
     fig.savefig(out, dpi=130)
     print(f"wrote {out}")
+
+    if args.structure and "sigma_1d" in d:
+        fig3, axes3 = plt.subplots(1, 4, figsize=(16, 3.6),
+                                   constrained_layout=True)
+        ax = axes3[0]
+        if "r_core" in d:
+            ax.plot(t, d["r_core"], lw=1, label="r_core (CH85)")
+        if "r_lagr_50" in d:
+            ax.plot(t, d["r_lagr_50"], lw=1, ls="--", label="r_half")
+        ax.set_yscale("log")
+        ax.set_xlabel("t [code]")
+        ax.set_ylabel("r [code]")
+        ax.set_title("core vs half-mass radius")
+        ax.legend(fontsize=8)
+
+        ax = axes3[1]
+        if "rho_core" in d:
+            ax.plot(t, d["rho_core"], lw=1)
+            ax.set_yscale("log")
+        ax.set_xlabel("t [code]")
+        ax.set_ylabel(r"$\rho_{core}$ [code]")
+        ax.set_title("central density (core collapse up, "
+                     "expansion down)")
+
+        ax = axes3[2]
+        ax.plot(t, d["sigma_1d"], lw=1, label=r"$\sigma_{1D}$")
+        ax.set_xlabel("t [code]")
+        ax.set_ylabel(r"$\sigma_{1D}$ [code]")
+        ax.set_title("velocity dispersion / virial ratio")
+        if "Q_virial" in d:
+            ax2 = ax.twinx()
+            ax2.plot(t, d["Q_virial"], lw=1, color="tab:orange", alpha=0.7)
+            ax2.axhline(0.5, ls=":", c="gray")
+            ax2.set_ylabel("Q = KE/|W|", color="tab:orange")
+
+        ax = axes3[3]
+        if "t_rh" in d:
+            # elapsed time in units of the CURRENT relaxation time — the
+            # dynamical-age clock (core collapse at ~15-20 t_rh for
+            # equal masses, much earlier with a mass spectrum)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                age = np.concatenate(
+                    [[0.0], np.cumsum(np.diff(t) / d["t_rh"][1:])])
+            ax.plot(t, age, lw=1)
+        ax.set_xlabel("t [code]")
+        ax.set_ylabel(r"$\int dt / t_{rh}(t)$")
+        ax.set_title("relaxation age")
+        out3 = os.path.splitext(out)[0] + "_structure.png"
+        fig3.savefig(out3, dpi=130)
+        print(f"wrote {out3}")
 
     if args.orbit and all(k in d for k in ("cx", "cy", "cz")):
         R = np.hypot(d["cx"], d["cy"])

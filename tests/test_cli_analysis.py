@@ -39,8 +39,10 @@ def test_cli_run_and_analysis(tmp_path, capsys):
     try:
         import plot_run
         import inspect_snapshot
-        plot_run.main([run_dir, "--out", str(tmp_path / "plots.png")])
+        plot_run.main([run_dir, "--out", str(tmp_path / "plots.png"),
+                       "--structure"])
         assert os.path.exists(str(tmp_path / "plots.png"))
+        assert os.path.exists(str(tmp_path / "plots_structure.png"))
         snap = os.path.join(run_dir, "snapshot_00000.h5")
         inspect_snapshot.main([snap, "--plot", str(tmp_path / "xy.png")])
         assert os.path.exists(str(tmp_path / "xy.png"))
