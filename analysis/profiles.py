@@ -177,6 +177,57 @@ def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
     return out
 
 
+def king62_sigma(R, k, rc, rt):
+    """King (1962) empirical surface-density profile
+    Σ(R) = k [ (1+(R/rc)²)^{-1/2} − (1+(rt/rc)²)^{-1/2} ]²  for R < rt,
+    0 beyond — the form observers fit to star-cluster photometry."""
+    R = np.asarray(R, float)
+    t = 1.0 / np.sqrt(1.0 + (rt / rc) ** 2)
+    val = 1.0 / np.sqrt(1.0 + (R / rc) ** 2) - t
+    return k * np.where(R < rt, val, 0.0) ** 2
+
+
+def fit_king62(R_mid, Sigma, count, r_eff):
+    """Weighted least-squares King62 fit to a binned Σ(R) profile.
+
+    Residuals are relative (model − Σ)/(Σ/√n) — Poisson-ish weighting,
+    well-defined beyond the fitted truncation where the model is 0.
+    Returns dict(k, rc, rt, c=log10(rt/rc), ok) or None when scipy's
+    optimizer or the data are unusable (< 5 populated bins)."""
+    from scipy.optimize import least_squares
+
+    sel = (count >= 3) & np.isfinite(Sigma) & (Sigma > 0)
+    if sel.sum() < 5:
+        return None
+    R, S, n = R_mid[sel], Sigma[sel], count[sel]
+
+    # initial guess: rc where Σ falls to half its (inner) maximum, rt a
+    # few times the projected half-mass radius
+    s0 = S[np.argmin(R)]
+    below = R[S < 0.5 * s0]
+    rc0 = float(below.min()) if below.size else float(r_eff) / 2
+    rt0 = 8.0 * float(r_eff)
+    t0 = 1.0 / np.sqrt(1.0 + (rt0 / rc0) ** 2)
+    k0 = s0 / (1.0 - t0) ** 2
+
+    def resid(p):
+        k, rc, rt = np.exp(p)
+        return (king62_sigma(R, k, rc, rt) - S) * np.sqrt(n) / S
+
+    try:
+        res = least_squares(resid, np.log([k0, rc0, rt0]),
+                            bounds=(np.log([s0 * 1e-4, R.min() * 1e-2,
+                                            rc0]),
+                                    np.log([s0 * 1e6, R.max(),
+                                            R.max() * 1e3])),
+                            max_nfev=2000)
+    except Exception:
+        return None
+    k, rc, rt = np.exp(res.x)
+    return {"k": float(k), "rc": float(rc), "rt": float(rt),
+            "c": float(np.log10(rt / rc)), "ok": bool(res.success)}
+
+
 def mass_function(mass, sel, bins=20):
     """dN/dlog10(m) histogram over a selection (equal-mass runs return
     a single bin — callers should check the dynamic range first)."""
@@ -244,7 +295,13 @@ def main(argv=None):
     ap.add_argument("--projected", action="store_true",
                     help="also print projected (observational) profiles: "
                     "surface density, sigma_LOS, R_eff")
+    ap.add_argument("--king-fit", action="store_true",
+                    help="fit the King (1962) empirical profile to the "
+                    "projected surface density; prints rc, rt and the "
+                    "concentration c = log10(rt/rc) (implies --projected)")
     args = ap.parse_args(argv)
+    if args.king_fit:
+        args.projected = True
 
     if args.evolution:
         return evolution(args.snapshot, save=args.save)
@@ -285,6 +342,15 @@ def main(argv=None):
                 continue
             print(f"{pp['R_mid'][b]:10.4g} {pp['Sigma'][b]:12.5g} "
                   f"{pp['sigma_los'][b]:10.4g} {pp['count'][b]:6d}")
+        if args.king_fit:
+            kf = fit_king62(pp["R_mid"], pp["Sigma"], pp["count"],
+                            pp["r_eff"])
+            if kf is None:
+                print("king fit: not enough populated bins")
+            else:
+                print(f"king fit: rc = {kf['rc']:.4g}  rt = {kf['rt']:.4g} "
+                      f" c = log10(rt/rc) = {kf['c']:.3f} "
+                      f"{'(converged)' if kf['ok'] else '(NOT converged)'}")
 
     mf_in = mass_function(mass, r < p["r_half"])
     mf_out = mass_function(mass, r >= p["r_half"])
