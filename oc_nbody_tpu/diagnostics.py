@@ -426,7 +426,9 @@ def compute_all(state: ParticleState, force: ForceModel,
     w_b = 0.5 * jnp.sum(wb * precomputed_phi[0].astype(jnp.float64))
     out["Q_virial"] = ke_b / jnp.maximum(jnp.abs(w_b), 1e-300)
     out["sigma_1d"] = velocity_dispersion_1d(state, mask=mask)
-    r_half = lagrangian_radii(state, (0.5,), center=center, mask=mask)[0]
+    fr = tuple(fractions)
+    r_half = (rl[fr.index(0.5)] if 0.5 in fr else
+              lagrangian_radii(state, (0.5,), center=center, mask=mask)[0])
     out["t_rh"] = half_mass_relaxation_time(n_b, m_b, r_half, force.G)
     if core:
         r_c, rho_c = core_radius_density(state, center=center, mask=mask)
