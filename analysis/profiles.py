@@ -177,6 +177,50 @@ def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
     return out
 
 
+def mst_length(points):
+    """Total edge length of the Euclidean minimum spanning tree (Prim's
+    algorithm, dense O(k²) — the sets here are tens of points)."""
+    pts = np.asarray(points, float)
+    k = len(pts)
+    if k < 2:
+        return 0.0
+    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    in_tree = np.zeros(k, bool)
+    in_tree[0] = True
+    best = d2[0].copy()
+    total = 0.0
+    for _ in range(k - 1):
+        best[in_tree] = np.inf
+        j = int(np.argmin(best))
+        total += np.sqrt(best[j])
+        in_tree[j] = True
+        best = np.minimum(best, d2[j])
+    return float(total)
+
+
+def mass_segregation_ratio(pos, mass, n_massive=20, n_sets=50, seed=0):
+    """Allison et al. (2009) Λ_MSR: MST length of ``n_sets`` random
+    same-size samples over the MST length of the ``n_massive`` most
+    massive stars. Λ ≈ 1: no segregation; Λ > 1 (beyond the quoted
+     1σ): the massive stars are more centrally concentrated.
+
+    Returns (lambda_msr, sigma) or None for degenerate inputs (fewer
+    than 2·n_massive stars, or an equal-mass model where "most massive"
+    is meaningless)."""
+    n = len(mass)
+    if n < 2 * n_massive or mass.max() / mass.min() < 1.001:
+        return None
+    idx_massive = np.argsort(mass)[-n_massive:]
+    l_massive = mst_length(pos[idx_massive])
+    if l_massive <= 0:
+        return None
+    rng = np.random.default_rng(seed)
+    lengths = [mst_length(pos[rng.choice(n, n_massive, replace=False)])
+               for _ in range(n_sets)]
+    return (float(np.mean(lengths) / l_massive),
+            float(np.std(lengths) / l_massive))
+
+
 def king62_sigma(R, k, rc, rt):
     """King (1962) empirical surface-density profile
     Σ(R) = k [ (1+(R/rc)²)^{-1/2} − (1+(rt/rc)²)^{-1/2} ]²  for R < rt,
@@ -360,6 +404,14 @@ def main(argv=None):
         print(f"mass function: <m> inside r_half = {mean_in:.4g}, outside "
               f"= {mean_out:.4g} (ratio {mean_in / mean_out:.3f} — >1 "
               f"indicates mass segregation)")
+        msr = mass_segregation_ratio(pos - p["center"], mass)
+        if msr is not None:
+            lam, sig = msr
+            verdict = ("segregated" if lam - 2 * sig > 1
+                       else "inverse-segregated" if lam + 2 * sig < 1
+                       else "consistent with none")
+            print(f"mass segregation: Lambda_MSR(20) = {lam:.3f} "
+                  f"± {sig:.3f} (Allison+ 2009 MST ratio — {verdict})")
 
     if args.save:
         import matplotlib
