@@ -21,7 +21,12 @@ import numpy as np  # noqa: E402
 def load_diagnostics(run_dir):
     path = os.path.join(run_dir, "diagnostics.h5")
     with h5py.File(path, "r") as f:
-        return {k: np.asarray(f[k]) for k in f.keys()}
+        d = {k: np.asarray(f[k]) for k in f.keys()}
+    # legacy tables written before the writer kept columns row-aligned can
+    # have short columns; NaN-pad so every panel can plot against `time`
+    n = max((len(v) for v in d.values()), default=0)
+    return {k: (np.concatenate([v, np.full(n - len(v), np.nan)])
+                if len(v) < n else v) for k, v in d.items()}
 
 
 def main(argv=None):
@@ -150,10 +155,14 @@ def main(argv=None):
         if "t_rh" in d:
             # elapsed time in units of the CURRENT relaxation time — the
             # dynamical-age clock (core collapse at ~15-20 t_rh for
-            # equal masses, much earlier with a mass spectrum)
+            # equal masses, much earlier with a mass spectrum). Intervals
+            # with NaN t_rh (NaN-backfilled pre-feature rows on resumed
+            # runs, or N_bound < 2) contribute zero age instead of
+            # poisoning the cumulative sum.
             with np.errstate(invalid="ignore", divide="ignore"):
-                age = np.concatenate(
-                    [[0.0], np.cumsum(np.diff(t) / d["t_rh"][1:])])
+                inc = np.diff(t) / d["t_rh"][1:]
+            inc = np.where(np.isfinite(inc), inc, 0.0)
+            age = np.concatenate([[0.0], np.cumsum(inc)])
             ax.plot(t, age, lw=1)
         ax.set_xlabel("t [code]")
         ax.set_ylabel(r"$\int dt / t_{rh}(t)$")

@@ -178,24 +178,16 @@ def projected_profiles(pos, vel, mass, bins=30, center=None, axis=2):
 
 
 def mst_length(points):
-    """Total edge length of the Euclidean minimum spanning tree (Prim's
-    algorithm, dense O(k²) — the sets here are tens of points)."""
+    """Total edge length of the Euclidean minimum spanning tree (dense
+    pairwise distances through scipy.sparse.csgraph — the sets here are
+    tens of points)."""
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
     pts = np.asarray(points, float)
-    k = len(pts)
-    if k < 2:
+    if len(pts) < 2:
         return 0.0
-    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-    in_tree = np.zeros(k, bool)
-    in_tree[0] = True
-    best = d2[0].copy()
-    total = 0.0
-    for _ in range(k - 1):
-        best[in_tree] = np.inf
-        j = int(np.argmin(best))
-        total += np.sqrt(best[j])
-        in_tree[j] = True
-        best = np.minimum(best, d2[j])
-    return float(total)
+    d = np.sqrt(np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1))
+    return float(minimum_spanning_tree(d).sum())
 
 
 def mass_segregation_ratio(pos, mass, n_massive=20, n_sets=50, seed=0):
@@ -254,20 +246,28 @@ def fit_king62(R_mid, Sigma, count, r_eff):
     t0 = 1.0 / np.sqrt(1.0 + (rt0 / rc0) ** 2)
     k0 = s0 / (1.0 - t0) ** 2
 
+    # parametrize rt = rc (1 + e^q): rt > rc by construction, so the
+    # reported concentration log10(rt/rc) can never come out negative
+    def unpack(p):
+        k, rc = np.exp(p[:2])
+        rt = rc * (1.0 + np.exp(p[2]))
+        return k, rc, rt
+
     def resid(p):
-        k, rc, rt = np.exp(p)
+        k, rc, rt = unpack(p)
         return (king62_sigma(R, k, rc, rt) - S) * np.sqrt(n) / S
 
+    q0 = np.log(max(rt0 / rc0 - 1.0, 1e-2))
     try:
-        res = least_squares(resid, np.log([k0, rc0, rt0]),
-                            bounds=(np.log([s0 * 1e-4, R.min() * 1e-2,
-                                            rc0]),
-                                    np.log([s0 * 1e6, R.max(),
-                                            R.max() * 1e3])),
+        res = least_squares(resid, [np.log(k0), np.log(rc0), q0],
+                            bounds=([np.log(s0 * 1e-4),
+                                     np.log(R.min() * 1e-2), np.log(1e-2)],
+                                    [np.log(s0 * 1e6), np.log(R.max()),
+                                     np.log(1e4)]),
                             max_nfev=2000)
     except Exception:
         return None
-    k, rc, rt = np.exp(res.x)
+    k, rc, rt = unpack(res.x)
     return {"k": float(k), "rc": float(rc), "rt": float(rt),
             "c": float(np.log10(rt / rc)), "ok": bool(res.success)}
 

@@ -420,12 +420,19 @@ def compute_all(state: ParticleState, force: ForceModel,
     m64 = state.mass.astype(jnp.float64)
     vel64 = state.vel.astype(jnp.float64)
     wb = m64 * mask
-    wsum = jnp.maximum(jnp.sum(wb), 1e-300)
+    wb_sum = jnp.sum(wb)
+    wsum = jnp.maximum(wb_sum, 1e-300)
     vb = jnp.sum(vel64 * wb[:, None], axis=0) / wsum
     ke_b = 0.5 * jnp.sum(wb * jnp.sum((vel64 - vb) ** 2, axis=1))
     w_b = 0.5 * jnp.sum(wb * precomputed_phi[0].astype(jnp.float64))
-    out["Q_virial"] = ke_b / jnp.maximum(jnp.abs(w_b), 1e-300)
-    out["sigma_1d"] = velocity_dispersion_1d(state, mask=mask)
+    # an empty bound selection has no virial state: NaN, not a
+    # plausible-looking 0.0 (same convention as lagrangian_radii)
+    alive = wb_sum > 0
+    out["Q_virial"] = jnp.where(
+        alive, ke_b / jnp.maximum(jnp.abs(w_b), 1e-300), jnp.nan)
+    # sigma_1d = sqrt(2 KE_b / (3 M_b)) — same sums as the Q block
+    out["sigma_1d"] = jnp.where(
+        alive, jnp.sqrt(2.0 * ke_b / (3.0 * wsum)), jnp.nan)
     fr = tuple(fractions)
     r_half = (rl[fr.index(0.5)] if 0.5 in fr else
               lagrangian_radii(state, (0.5,), center=center, mask=mask)[0])

@@ -227,9 +227,11 @@ class SnapshotWriter:
 
     def append_diagnostics(self, row: dict) -> None:
         with h5py.File(self._diag_path, "a") as f:
-            # a column first appearing mid-series (resume across a code
-            # version that added diagnostics) is NaN-backfilled so every
-            # column keeps one row per diagnostics boundary
+            # columns appearing mid-series (resume across a code version
+            # that added diagnostics) are NaN-backfilled, and columns the
+            # current row does NOT carry (a flag turned off on resume) are
+            # NaN-padded — every dataset leaves this call at the same
+            # length, so the whole table stays row-aligned in time
             n_prev = max((f[k].shape[0] for k in f.keys()), default=0)
             for k, v in row.items():
                 v = np.asarray(jax.device_get(v), np.float64)
@@ -239,8 +241,18 @@ class SnapshotWriter:
                     if n_prev:
                         d[:] = np.nan
                 d = f[k]
-                d.resize((d.shape[0] + 1,))
+                n0 = d.shape[0]
+                d.resize((n_prev + 1,))
+                if n0 < n_prev:   # legacy misaligned table: NaN the gap
+                    d[n0:n_prev] = np.nan
                 d[-1] = float(v)
+            for k in f.keys():
+                if k not in row:
+                    d = f[k]
+                    n0 = d.shape[0]
+                    if n0 < n_prev + 1:
+                        d.resize((n_prev + 1,))
+                        d[n0:] = np.nan
 
     def truncate_diagnostics(self, t_resume: float, atol: float = 1e-9) -> None:
         """Drop rows with time >= t_resume (strictly before the resume time).

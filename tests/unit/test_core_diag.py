@@ -110,6 +110,20 @@ def test_relaxation_time_formula():
     assert np.isnan(float(diag.half_mass_relaxation_time(1, 1e-3, 0.77, 1.0)))
 
 
+def test_dissolved_cluster_columns_nan(plummer_state):
+    """Empty bound selection: Q_virial and sigma_1d go NaN (not a
+    plausible-looking 0.0), matching the lagrangian_radii convention."""
+    s = plummer_state
+    s2 = ParticleState(pos=s.pos, vel=s.vel * 1e3, mass=s.mass,
+                       ids=s.ids, time=s.time)  # everything unbound
+    force = make_force_model(eps=1.0 / 64, backend="jnp")
+    row = diag.compute_all(s2, force, core=False)
+    assert int(row["N_bound"]) == 0
+    assert np.isnan(float(row["Q_virial"]))
+    assert np.isnan(float(row["sigma_1d"]))
+    assert np.isnan(float(row["t_rh"]))
+
+
 def test_compute_all_new_columns(plummer_state):
     force = make_force_model(eps=1.0 / 64, backend="jnp")
     row = diag.compute_all(plummer_state, force)
