@@ -168,8 +168,8 @@ class OrbitConfig:
 
 @dataclasses.dataclass
 class IntegratorConfig:
-    kind: str = "kdk"            # kdk | hermite | block
-    dt: float = 1.0 / 1024.0     # kdk fixed step (code units)
+    kind: str = "kdk"            # kdk | yoshida4 | hermite | block
+    dt: float = 1.0 / 1024.0     # kdk/yoshida4 fixed step (code units)
     eps: float = 1.0 / 256.0     # softening length (code units)
     eta: float = 0.02            # hermite/block accuracy parameter
     eta_init: float = 0.01

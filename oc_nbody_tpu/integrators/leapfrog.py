@@ -1,9 +1,13 @@
-"""KDK leapfrog (kick–drift–kick), fixed timestep.
+"""KDK leapfrog (kick–drift–kick), fixed timestep — plus the 4th-order
+Yoshida composition built from it.
 
 Capability parity: SURVEY.md §2.9a / §3.2 — the reference's leapfrog
 stepper (BASELINE.json:5, :7). Symplectic and time-reversible; one force
 evaluation per step (the closing kick's acceleration is cached and reused
-as the next step's opening kick).
+as the next step's opening kick). Yoshida4 (beyond the reference's
+inventory) composes three KDK substeps with Yoshida (1990) coefficients
+for dt⁴ energy scaling at 3 force evals/step — worthwhile whenever the
+error budget would otherwise force dt below ~1/3 of the KDK value.
 
 The whole step is a pure function carry -> carry; `advance` wraps k steps
 in a lax.fori_loop so the hot loop is a single XLA computation
@@ -96,6 +100,46 @@ class LeapfrogKDK:
         return self.init(state)
 
 
+# Yoshida (1990) 4th-order composition coefficients: three leapfrog
+# substeps of lengths (w1, w0, w1)·dt with w1+w0+w1 = 1; the negative
+# middle substep cancels the dt³ error term of the composition.
+_W1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+_W0 = 1.0 - 2.0 * _W1          # = -2^{1/3}/(2-2^{1/3}) < 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Yoshida4(LeapfrogKDK):
+    """4th-order symplectic integrator (Yoshida composition of KDK).
+
+    Same carry/aux/snapshot contract as LeapfrogKDK (the cached closing
+    acceleration doubles as the next step's opening kick across the
+    substep boundary, so the cost is exactly 3 force evals per step).
+    Energy error scales as dt⁴ (tests/physics/test_yoshida.py) — at equal
+    error budgets this beats KDK whenever KDK would need dt smaller than
+    ~1/3 the Yoshida step. Substep evaluation times are computed as
+    state.time + c_i·dt (absolute, not accumulated), so time-dependent
+    externals bind exact times and state.time advances by exactly dt.
+    """
+
+    def step(self, carry: KDKCarry) -> KDKCarry:
+        s, acc = carry.state, carry.acc
+        dtype = s.pos.dtype
+        dt = jnp.asarray(self.dt, dtype)
+        pos, vel = s.pos, s.vel
+        # cumulative end-time fractions of the three substeps
+        cum = (_W1, _W1 + _W0, 1.0)
+        for w, c in zip((_W1, _W0, _W1), cum):
+            h = jnp.asarray(w, dtype) * dt
+            v_half = vel + (0.5 * h) * acc
+            pos = pos + h * v_half
+            acc = self.force.at_time(s.time + c * dt).accel(
+                pos, s.mass).astype(dtype)
+            vel = v_half + (0.5 * h) * acc
+        state_new = s.replace(pos=pos, vel=vel, time=s.time + dt)
+        return KDKCarry(state=state_new, acc=acc,
+                        n_steps=carry.n_steps + 1)
+
+
 # the O(N) halves of a KDK step as one tiny jitted program each
 # (module-level so every MacroKDK step hits the same jit cache entry)
 @jax.jit
@@ -169,3 +213,33 @@ class MacroKDK(LeapfrogKDK):
             carry = self.step(carry)
             done += 1
         return carry
+
+
+@jax.jit
+def _sub_close(state, acc_new, h):
+    """Close a Yoshida substep WITHOUT advancing time (the macro step sets
+    the absolute end time once, like the in-jit Yoshida4)."""
+    h = jnp.asarray(h, state.pos.dtype)
+    return state.replace(vel=state.vel + (0.5 * h) * acc_new)
+
+
+@dataclasses.dataclass(frozen=True)
+class MacroYoshida4(MacroKDK):
+    """Host-stepped Yoshida4 for N past the single-XLA-program window —
+    three batched force evals per step through the MacroKDK dispatch
+    machinery; same carry/aux contract, same trajectory as Yoshida4 up
+    to f32 pair-summation order."""
+
+    def step(self, carry: KDKCarry) -> KDKCarry:
+        s = carry.state
+        acc = carry.acc
+        cum = (_W1, _W1 + _W0, 1.0)
+        state = s
+        for w, c in zip((_W1, _W0, _W1), cum):
+            h = w * self.dt
+            state = _kdk_kick_drift(state, acc, h)
+            acc = self._accel(state.pos, state.mass,
+                              s.time + c * self.dt)
+            state = _sub_close(state, acc, h)
+        state = state.replace(time=s.time + self.dt)
+        return KDKCarry(state=state, acc=acc, n_steps=carry.n_steps + 1)

@@ -329,6 +329,17 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
                             n_batches=ic.macro_batches), "kdk"
         from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
         return LeapfrogKDK(force=force, dt=ic.dt), "kdk"
+    if ic.kind == "yoshida4":
+        # 4th-order Yoshida composition: dt⁴ energy scaling at 3 force
+        # evals/step; same carry/aux contract as kdk but its OWN kind
+        # string (substep structure differs, so cross-kind resume is
+        # refused by the snapshot integrator-mismatch guard)
+        if ic.macro_batches > 0:
+            from oc_nbody_tpu.integrators.leapfrog import MacroYoshida4
+            return MacroYoshida4(force=force, dt=ic.dt,
+                                 n_batches=ic.macro_batches), "yoshida4"
+        from oc_nbody_tpu.integrators.leapfrog import Yoshida4
+        return Yoshida4(force=force, dt=ic.dt), "yoshida4"
     if ic.kind == "hermite":
         if ic.macro_batches > 0:
             # oversized-N path: host-stepped Hermite over the batched

@@ -207,3 +207,53 @@ def test_run_hermite_with_perturber(tmp_path):
     res = run(cfg)
     assert np.isfinite(res.diagnostics["E_tot"]).all()
     assert np.isfinite(res.diagnostics["d_pert"]).all()
+
+
+def test_run_yoshida4_and_resume(tmp_path):
+    """kind='yoshida4' end-to-end: dt^4-class drift at a coarse dt, plus
+    bitwise resume through the standard snapshot contract."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.kind = "yoshida4"
+    cfg.integrator.dt = 1.0 / 64          # coarse: KDK would drift ~1e-5
+    cfg.output.t_end = 1.0
+    cfg.output.diag_every = 0.5
+    cfg.output.snap_every = 0.5
+    res = run(cfg)
+    assert res.n_steps == 64
+    assert abs(res.diagnostics["dE_over_E"][-1]) < 1e-6  # f32 force-noise floor
+
+    # uninterrupted reference to t=2
+    cfg_full = _tiny_cfg(tmp_path, **{})
+    cfg_full.integrator.kind = "yoshida4"
+    cfg_full.integrator.dt = 1.0 / 64
+    cfg_full.output.out_dir = str(tmp_path / "full")
+    cfg_full.output.t_end = 2.0
+    cfg_full.output.diag_every = 0.5
+    cfg_full.output.snap_every = 0.5
+    res_full = run(cfg_full)
+
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.integrator.kind = "yoshida4"
+    cfg2.integrator.dt = 1.0 / 64
+    cfg2.output.t_end = 2.0
+    cfg2.output.diag_every = 0.5
+    cfg2.output.snap_every = 0.5
+    res2 = run(cfg2, resume=True)
+    assert res2.n_steps == 128
+    np.testing.assert_array_equal(np.asarray(res2.state.pos),
+                                  np.asarray(res_full.state.pos))
+    np.testing.assert_array_equal(np.asarray(res2.state.vel),
+                                  np.asarray(res_full.state.vel))
+
+
+def test_yoshida_kdk_resume_mismatch_refused(tmp_path):
+    """A yoshida4 snapshot must not silently resume under kind='kdk'
+    (same aux shape — only the kind string distinguishes them)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.integrator.kind = "yoshida4"
+    run(cfg)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.integrator.kind = "kdk"
+    cfg2.output.t_end = 1.0
+    with pytest.raises(ValueError, match="integrator"):
+        run(cfg2, resume=True)

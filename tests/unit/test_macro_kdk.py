@@ -244,3 +244,28 @@ def test_macro_driver_with_time_dependent_field(interpret, tmp_path):
     assert res.n_steps == 4
     assert np.isfinite(res.diagnostics["E_tot"]).all()
     assert np.isfinite(res.diagnostics["d_pert"]).all()
+
+
+def test_macro_yoshida_matches_in_jit(interpret):
+    """MacroYoshida4's host-stepped trajectory tracks the jitted Yoshida4
+    superstep (same contract as the MacroKDK test above)."""
+    from oc_nbody_tpu.integrators.leapfrog import MacroYoshida4, Yoshida4
+
+    n, dt, steps = 300, 1.0 / 64, 4
+    state = plummer(n, jax.random.PRNGKey(3))
+    force = make_force_model(eps=0.05, backend="pallas")
+
+    ref = Yoshida4(force=force, dt=dt)
+    c_ref = jax.jit(ref.advance, static_argnums=1)(ref.init(state), steps)
+
+    mac = MacroYoshida4(force=force, dt=dt, n_batches=2)
+    c_mac = mac.advance_to_bounded(mac.init(state), steps * dt,
+                                   max_steps=100)
+
+    assert int(c_mac.n_steps) == steps
+    assert float(c_mac.state.time) == pytest.approx(steps * dt)
+    scale = float(jnp.max(jnp.abs(c_ref.state.pos)))
+    assert float(jnp.max(jnp.abs(c_mac.state.pos - c_ref.state.pos))) \
+        < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(c_mac.state.vel - c_ref.state.vel))) \
+        < 1e-5 * float(jnp.max(jnp.abs(c_ref.state.vel)))
