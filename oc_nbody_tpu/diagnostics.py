@@ -142,7 +142,7 @@ def lagrangian_radii(state: ParticleState, fractions=(0.1, 0.25, 0.5, 0.75, 0.9)
 
 def local_density(pos, mass, center, k: int = 6,
                   max_probes: int = 65536, max_sources: int = 65536,
-                  chunk: int = 256):
+                  chunk: int = 256, r_min: float = 0.0):
     """Casertano & Hut (1985) kth-nearest-neighbour local density estimates.
 
     For each probe star j: find its k nearest neighbours (self excluded),
@@ -161,6 +161,14 @@ def local_density(pos, mass, center, k: int = 6,
     at galactocentric offsets the raw f32 coordinates would eat the
     mantissa (SURVEY.md §7 hard part #1, same reason the kernels centre).
 
+    ``r_min`` floors the kth-neighbour radius: densities on scales below
+    the force softening are unresolved by construction (softened forces),
+    and without the floor a single hard binary (post-core-collapse) makes
+    rho_j of its members explode by orders of magnitude — measured 87.8 →
+    3.1e6 across the core bounce in the cc_collapse demo. compute_all
+    passes r_min = 2·eps, capping the reported density at the
+    resolution-limited value.
+
     Returns (rho, probe_stride): rho is (ceil(N/probe_stride),) float64,
     aligned with pos[::probe_stride].
     """
@@ -174,6 +182,10 @@ def local_density(pos, mass, center, k: int = 6,
     nsrc = src.shape[0]
     if nsrc <= k:
         return jnp.full((npro,), jnp.nan, jnp.float64), ps
+    # r_min may be a traced scalar (compute_all passes 2·eps, a pytree
+    # leaf of the jitted-in ForceModel) — keep all ops jnp-level
+    rmin2 = jnp.maximum(jnp.asarray(r_min, jnp.float32) ** 2,
+                        jnp.float32(1e-30))
     chunk = min(chunk, npro)
     npad = -(-npro // chunk) * chunk
     # padded probes sit at a huge coordinate: their neighbour volumes are
@@ -186,7 +198,7 @@ def local_density(pos, mass, center, k: int = 6,
         # exclude self-pairs (and exactly-coincident stars — measure zero)
         d2 = jnp.where(d2 <= 0.0, jnp.float32(jnp.inf), d2)
         neg, idx = jax.lax.top_k(-d2, k)       # ascending d2, self excluded
-        rk2 = jnp.maximum(-neg[:, -1], 1e-30).astype(jnp.float64)
+        rk2 = jnp.maximum(-neg[:, -1], rmin2).astype(jnp.float64)
         mnb = jnp.sum(msrc[idx[:, : k - 1]], axis=1).astype(jnp.float64)
         vol = (4.0 * jnp.pi / 3.0) * rk2 ** 1.5
         return mnb / vol
@@ -197,7 +209,7 @@ def local_density(pos, mass, center, k: int = 6,
 
 def core_radius_density(state: ParticleState, center=None, k: int = 6,
                         mask=None, max_probes: int = 65536,
-                        max_sources: int = 65536):
+                        max_sources: int = 65536, r_min: float = 0.0):
     """Core radius and central density from CH85 local-density weighting.
 
     r_core = sqrt(sum rho_j^2 |r_j - c|^2 / sum rho_j^2)  (the rho^2-weighted
@@ -216,7 +228,8 @@ def core_radius_density(state: ParticleState, center=None, k: int = 6,
     if center is None:
         center = density_center(state)
     rho, ps = local_density(state.pos, state.mass, center, k=k,
-                            max_probes=max_probes, max_sources=max_sources)
+                            max_probes=max_probes, max_sources=max_sources,
+                            r_min=r_min)
     r2 = jnp.sum((state.pos[::ps].astype(jnp.float64) - center) ** 2, axis=1)
     if mask is not None:
         rho = rho * mask[::ps]
@@ -438,7 +451,10 @@ def compute_all(state: ParticleState, force: ForceModel,
               lagrangian_radii(state, (0.5,), center=center, mask=mask)[0])
     out["t_rh"] = half_mass_relaxation_time(n_b, m_b, r_half, force.G)
     if core:
-        r_c, rho_c = core_radius_density(state, center=center, mask=mask)
+        # resolution floor 2·eps: sub-softening densities are unresolved
+        # (local_density docstring — the hard-binary 1e6x artifact)
+        r_c, rho_c = core_radius_density(state, center=center, mask=mask,
+                                         r_min=2.0 * force.eps)
         out["r_core"] = r_c
         out["rho_core"] = rho_c
     return out

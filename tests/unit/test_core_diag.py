@@ -110,6 +110,38 @@ def test_relaxation_time_formula():
     assert np.isnan(float(diag.half_mass_relaxation_time(1, 1e-3, 0.77, 1.0)))
 
 
+def test_rmin_floor_caps_binary_artifact(plummer_state):
+    """A single hard binary must not blow up rho_core by orders of
+    magnitude (measured 87.8 → 3.1e6 across the core bounce in the
+    cc_collapse demo without the floor): with r_min = 2 eps the reported
+    density is capped at the resolution-limited value."""
+    s = plummer_state
+    eps = 1.0 / 256
+    # plant a compact multiple (8 stars inside eps/4 — a post-collapse
+    # core subsystem: each member's 6th neighbour is another member, so
+    # without the floor their rho_j ~ m/(eps/4)^3 dominates the rho^2-
+    # weighted sums)
+    clump = 0.25 * eps * jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    pos = s.pos.at[:8].set(clump)
+    s2 = ParticleState(pos=pos, vel=s.vel, mass=s.mass, ids=s.ids,
+                       time=s.time)
+    r_raw, rho_raw = diag.core_radius_density(s2)
+    r_fl, rho_fl = diag.core_radius_density(s2, r_min=2 * eps)
+    r_ref, rho_ref = diag.core_radius_density(plummer_state,
+                                              r_min=2 * eps)
+    # every floored rho_j is bounded by the analytic resolution cap
+    # (k-1) m_bar / V(2 eps), hence so is the rho-weighted rho_core —
+    # while the unfloored estimate blows past it by orders of magnitude
+    cap = 5 * (1.0 / N) / (4 * np.pi / 3 * (2 * eps) ** 3)
+    assert float(rho_raw) > 10 * cap                  # the artifact
+    assert float(rho_fl) <= 1.05 * cap                # capped
+    assert float(rho_raw) > 50 * float(rho_fl)
+    # the floor leaves a normal (clump-free) cluster untouched
+    r0, rho0 = diag.core_radius_density(plummer_state)
+    assert float(rho_ref) == pytest.approx(float(rho0), rel=1e-6)
+    assert float(r_ref) == pytest.approx(float(r0), rel=1e-6)
+
+
 def test_dissolved_cluster_columns_nan(plummer_state):
     """Empty bound selection: Q_virial and sigma_1d go NaN (not a
     plausible-looking 0.0), matching the lagrangian_radii convention."""
