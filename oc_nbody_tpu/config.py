@@ -27,10 +27,14 @@ class UnitsConfig:
 
 @dataclasses.dataclass
 class ICConfig:
-    kind: str = "plummer"        # plummer | king | file
+    kind: str = "plummer"        # plummer | king | dehnen | eff | file
     n: int = 1024
-    a: Optional[float] = None    # plummer scale radius (code units)
+    a: Optional[float] = None    # plummer/eff scale radius (code units)
     w0: float = 6.0              # king concentration parameter
+    gamma: float = 1.0           # dehnen inner slope [0,3) / eff envelope
+    # slope (>2); sampled via Eddington inversion (models/eddington.py)
+    r_cut: Optional[float] = None  # dehnen/eff truncation radius
+    # (pre-Hénon-rescale profile units; default: dehnen 99.8% mass, eff 30a)
     total_mass: float = 1.0      # code units
     imf: str = "equal"           # equal | kroupa | salpeter
     m_min_msun: float = 0.08

@@ -1,0 +1,216 @@
+r"""Generic spherical equilibrium sampler via Eddington inversion.
+
+Extends the IC family (SURVEY.md §2.5/§2.6 pattern — host-side
+numpy/scipy at IC time, like models/king.py) from the two closed-form
+models to ANY isotropic spherical density profile: given rho(r), recover
+the unique ergodic distribution function
+
+    f(E) = (1/(sqrt(8) pi^2)) [ \int_0^E (d^2rho/dPsi^2) dPsi/sqrt(E-Psi)
+                                + (drho/dPsi)|_{Psi=0} / sqrt(E) ]
+
+(Eddington 1916; Binney & Tremaine eq. 4.46) on a tabulated grid and
+rejection-sample speeds from p(v) ∝ v² f(Psi(r) − v²/2). Ships two
+classic profile families the closed-form samplers don't cover:
+
+* Dehnen (1993) gamma-models: rho ∝ r^{-gamma} (1+r)^{gamma-4}
+  (gamma=1 is Hernquist, gamma=2 Jaffe — standard bulge/nucleus models).
+* EFF (Elson, Fall & Freeman 1987): rho ∝ (1 + r²/a²)^{-(gamma+1)/2} —
+  the young-massive-cluster profile (untruncated King envelope); its
+  mass diverges for gamma ≤ 2 in 3-D form used here, so a truncation
+  radius is required and applied smoothly by cutting the grid.
+
+The singularity in the Abel integral is removed by the substitution
+Psi = E − u² (the integrand becomes finite at u=0); the profile is
+truncated at ``r_max`` and the potential measured relative to the cut
+(the sampled system is isolated, in equilibrium with its own truncated
+mass — the same convention as any finite-mass realization).
+
+Everything returns a Hénon-rescaled (KE=1/4, PE=−1/2) ParticleState,
+matching plummer()/king().
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from oc_nbody_tpu.state import ParticleState, make_state
+from oc_nbody_tpu.models.king import (_isotropic_np, _potential_energy_np)
+
+
+def _profile_tables(rho_fn, r_max, n_grid=4096, r_min_frac=1e-6):
+    """Tabulate rho, M(<r), Psi = -Phi (zero at infinity of the truncated
+    mass), with a SMOOTH outer taper rho *= (1-(r/r_max)²)².
+
+    A sharp spatial cut is not an equilibrium (rho(Psi) jumps to zero at
+    the edge, so the Abel inversion grows a spurious boundary term —
+    measured: f(E) at low E came out ~1e9x the analytic Plummer DF, and
+    the sampled model contracted ~10% within 6 time units). The taper
+    takes rho to zero with zero slope at r_max, making the truncated
+    model a true equilibrium of the (slightly) tapered profile; choose
+    r_max to enclose ~all the mass you care about.
+    """
+    r = np.geomspace(r_max * r_min_frac, r_max, n_grid)
+    rho = np.asarray(rho_fn(r), float)  # rho_fn must be vectorizable
+    if rho.shape != r.shape:
+        raise ValueError("rho_fn must map an (n,) radius array to (n,)")
+    if np.any(rho < 0) or not np.all(np.isfinite(rho)):
+        raise ValueError("rho(r) must be finite and non-negative on the grid")
+    rho = rho * (1.0 - (r / r_max) ** 2) ** 2
+    # cumulative mass (trapezoid on 4 pi rho r^2)
+    integ_m = 4.0 * np.pi * rho * r * r
+    M = np.concatenate([[0.0], np.cumsum(
+        0.5 * (integ_m[1:] + integ_m[:-1]) * np.diff(r))])
+    # Psi(r) = G [ M(<r)/r + 4 pi \int_r^{rmax} rho r' dr' ]  (G=1 here),
+    # measured relative to the truncation radius: Psi(r_max) = GM/r_max
+    # is ABSORBED by using the isolated form (zero at infinity) so bound
+    # means E = Psi - v^2/2 > Psi(r_max)... simpler: use zero-at-infinity
+    # of the TRUNCATED mass: Psi = M(<r)/r + 4 pi \int_r^rmax rho r' dr'.
+    integ_p = 4.0 * np.pi * rho * r
+    outer = np.concatenate([np.cumsum(
+        (0.5 * (integ_p[1:] + integ_p[:-1]) * np.diff(r))[::-1])[::-1], [0.0]])
+    psi = M / r + outer
+    return {"r": r, "rho": rho, "M": M, "psi": psi}
+
+
+def _eddington_f(tab, n_e=512, n_u=512):
+    """Tabulate f(E) on an energy grid via the u-substitution form.
+
+    The integral runs over the tabulated range [psi_edge, E] (the taper
+    takes rho AND drho/dPsi to ~0 at the edge, so the boundary term
+    vanishes; it is kept for exactness). f(E) is defined for
+    E >= psi_edge — stars with lower E would live beyond the truncation.
+    Verified against the analytic Plummer DF: max |f/f_an - 1| < 1%
+    over the energy range holding 99.9% of the mass (test_eddington).
+    Returns (E_grid, f_grid); f clipped at 0 (spline noise)."""
+    from scipy.interpolate import CubicSpline
+
+    psi, rho = tab["psi"][::-1], tab["rho"][::-1]   # ascending psi
+    # thin the knots to a minimum Delta-psi: the geomspace-in-r grid
+    # clusters psi knots to ~1e-12 spacing near the centre (psi flattens
+    # as r -> 0), and CubicSpline's second derivative amplifies f64
+    # rounding across near-duplicate knots by ~1/Dpsi² (measured: a 4e6x
+    # f spike at the top energy knot)
+    dpsi_min = (psi[-1] - psi[0]) * 1e-6
+    keep = np.zeros(psi.shape, bool)
+    last = -np.inf
+    for i_k in range(len(psi)):
+        if psi[i_k] - last >= dpsi_min:
+            keep[i_k] = True
+            last = psi[i_k]
+    # (the top knot may sit < dpsi_min below psi_max; the spline smoothly
+    # extends over that remainder)
+    spl = CubicSpline(psi[keep], rho[keep])
+    d2 = spl.derivative(2)
+    d1_lo = float(spl.derivative(1)(psi[keep][0]))  # ~0 after the taper
+    psi_lo = float(psi[keep][0])
+    psi_hi = float(psi.max())
+
+    # E = psi_lo + Ehat, Ehat log-spaced over the bound range
+    Ehat = np.geomspace((psi_hi - psi_lo) * 1e-6,
+                        (psi_hi - psi_lo) * (1 - 1e-10), n_e)
+    E = psi_lo + Ehat
+    # substitution Psi = E - u²: u from 0 to sqrt(E - psi_lo)
+    u = np.linspace(0.0, 1.0, n_u)[None, :]
+    uu = np.sqrt(Ehat[:, None]) * u                 # (nE, nu)
+    arg = E[:, None] - uu * uu                      # in [psi_lo, E]
+    inner = 2.0 * np.trapezoid(d2(arg), uu, axis=1)
+    f = (inner + d1_lo / np.sqrt(Ehat)) / (np.sqrt(8.0) * np.pi**2)
+    return E, np.maximum(f, 0.0)
+
+
+def _sample_speeds_from_f(rng, psi_i, E_grid, f_grid):
+    """Rejection-sample v from p(v) ∝ v² f(psi − v²/2), per star.
+
+    The speed cap is the LOCAL escape-to-r_max speed sqrt(2(psi −
+    psi_edge)) — E below psi_edge (= E_grid[0] side, f interpolates to 0
+    there) would put the star beyond the truncation radius."""
+    n = psi_i.shape[0]
+    f_at = lambda e: np.interp(e, E_grid, f_grid, left=0.0, right=f_grid[-1])
+    psi_edge = E_grid[0]
+    vesc = np.sqrt(np.maximum(2.0 * (psi_i - psi_edge), 1e-300))
+    grid = np.linspace(0.0, 1.0, 64)[None, :] * vesc[:, None]
+    fg = grid**2 * f_at(psi_i[:, None] - 0.5 * grid**2)
+    fmax = 1.1 * np.maximum(fg.max(axis=1), 1e-300)
+    v = np.zeros(n)
+    todo = fg.max(axis=1) > 0      # edge stars (p(v) ≡ 0) stay at v = 0
+    for _ in range(2000):
+        if not todo.any():
+            break
+        idx = np.nonzero(todo)[0]
+        vc = rng.uniform(0.0, vesc[idx])
+        uc = rng.uniform(0.0, fmax[idx])
+        ok = uc < vc**2 * f_at(psi_i[idx] - 0.5 * vc**2)
+        v[idx[ok]] = vc[ok]
+        todo[idx[ok]] = False
+    if todo.any():
+        raise RuntimeError("Eddington speed sampling failed to converge")
+    return v
+
+
+def sample_profile(rho_fn, n, seed=0, r_max=50.0, total_mass=1.0,
+                   G=1.0, r_scale=1.0, masses=None,
+                   dtype=jnp.float64, n_grid=4096) -> ParticleState:
+    """Sample an N-body realization of an arbitrary spherical density.
+
+    ``rho_fn``: vectorizable rho(r) (any normalization — mass is
+    renormalized). Truncated at ``r_max`` (choose it to enclose ~all the
+    mass you mean to model). Returns a Hénon-rescaled ParticleState.
+    """
+    rng = np.random.default_rng(seed)
+    tab = _profile_tables(rho_fn, r_max, n_grid=n_grid)
+    E_grid, f_grid = _eddington_f(tab)
+
+    u = rng.uniform(0.0, 1.0, n) * tab["M"][-1]
+    r_i = np.interp(u, tab["M"], tab["r"])
+    psi_i = np.interp(r_i, tab["r"], tab["psi"])
+    pos = r_i[:, None] * _isotropic_np(rng, n)
+    v_i = _sample_speeds_from_f(rng, psi_i, E_grid, f_grid)
+    vel = v_i[:, None] * _isotropic_np(rng, n)
+
+    if masses is None:
+        m = np.full(n, 1.0 / n)
+    else:
+        m = np.asarray(masses, np.float64)
+        m = m / m.sum()
+
+    pos -= (pos * m[:, None]).sum(0) / m.sum()
+    vel -= (vel * m[:, None]).sum(0) / m.sum()
+
+    # Hénon rescale (G=1): KE=1/4, PE=-1/2 — same convention as king()
+    ke = 0.5 * (m * (vel**2).sum(1)).sum()
+    pe = _potential_energy_np(pos, m)
+    pos *= pe / (-0.5)
+    vel *= np.sqrt(0.25 / ke)
+
+    v_unit = np.sqrt(G * total_mass / r_scale)
+    return make_state(pos * r_scale, vel * v_unit, m * total_mass,
+                      state_dtype=dtype)
+
+
+def dehnen(n, gamma=1.0, seed=0, r_max=None, **kw) -> ParticleState:
+    """Dehnen (1993) gamma-model: rho ∝ r^{-gamma}(1+r)^{gamma-4}
+    (scale radius 1 pre-rescale). gamma=1 → Hernquist, 2 → Jaffe.
+    Default truncation encloses 99.8% of the total mass
+    (M(<r)/M = (r/(1+r))^{3-gamma})."""
+    if not 0.0 <= gamma < 3.0:
+        raise ValueError(f"dehnen gamma must be in [0, 3), got {gamma}")
+    if r_max is None:
+        q = 0.998 ** (1.0 / (3.0 - gamma))
+        r_max = q / (1.0 - q)
+    rho = lambda r: np.asarray(r, float) ** (-gamma) \
+        * (1.0 + np.asarray(r, float)) ** (gamma - 4.0)
+    return sample_profile(rho, n, seed=seed, r_max=r_max, **kw)
+
+
+def eff(n, gamma=4.0, a=1.0, seed=0, r_max=None, **kw) -> ParticleState:
+    """EFF (1987) profile rho ∝ (1 + r²/a²)^{-(gamma+1)/2} — young
+    massive clusters. Outer slope gamma+1 > 3 is required for the
+    truncated realization to look like the model (mass logarithmically
+    divergent at gamma+1 = 3); truncated at ``r_max`` (default 30 a)."""
+    if gamma <= 2.0:
+        raise ValueError(f"eff needs gamma > 2 (outer slope > 3), got {gamma}")
+    if r_max is None:
+        r_max = 30.0 * a
+    rho = lambda r: (1.0 + (np.asarray(r, float) / a) ** 2) \
+        ** (-(gamma + 1.0) / 2.0)
+    return sample_profile(rho, n, seed=seed, r_max=r_max, **kw)

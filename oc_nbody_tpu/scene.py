@@ -193,6 +193,15 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
         from oc_nbody_tpu.models.king import king
         state = king(ic.n, ic.w0, seed=ic.seed, total_mass=ic.total_mass,
                      G=us.G, masses=masses)
+    elif ic.kind == "dehnen":
+        from oc_nbody_tpu.models.eddington import dehnen
+        state = dehnen(ic.n, gamma=ic.gamma, seed=ic.seed, r_max=ic.r_cut,
+                       total_mass=ic.total_mass, G=us.G, masses=masses)
+    elif ic.kind == "eff":
+        from oc_nbody_tpu.models.eddington import eff
+        state = eff(ic.n, gamma=ic.gamma, a=(ic.a or 1.0), seed=ic.seed,
+                    r_max=ic.r_cut, total_mass=ic.total_mass, G=us.G,
+                    masses=masses)
     elif ic.kind == "file":
         from oc_nbody_tpu.io.snapshot import read_snapshot
         state = read_snapshot(ic.file).state
