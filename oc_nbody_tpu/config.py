@@ -46,6 +46,10 @@ class ICConfig:
     # energy and L², so the model stays in equilibrium; 1.0 = maximal
     # rotation for the chosen profile.
     rotation: float = 0.0
+    # primordial mass segregation (models/segregation.py): rank-correlate
+    # IMF masses with binding energy, 0 = none, 1 = perfect ordering.
+    # Requires a mass spectrum.
+    segregation: float = 0.0
     # uniform velocity multiplier applied after IC generation (before
     # rotation/binaries). ≈ sqrt(1 + M_gas/M_cluster) re-virializes a
     # cluster embedded in a [potential.gas] background; < 1 makes a

@@ -213,6 +213,12 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
             raise ValueError(f"ic.vel_scale must be > 0, got {ic.vel_scale}")
         state = state.replace(vel=state.vel * ic.vel_scale)
 
+    if ic.segregation != 0.0:
+        # before rotation/binaries: segregation permutes the IMF masses
+        # over the sampled phase-space points (models/segregation.py)
+        from oc_nbody_tpu.models.segregation import segregate
+        state = segregate(state, ic.seed + 0x5345, ic.segregation, G=us.G)
+
     if ic.rotation != 0.0:
         # before add_binaries: rotation acts on the systems' centre-of-mass
         # velocities, not on the binaries' internal orbits
