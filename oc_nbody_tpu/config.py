@@ -35,6 +35,8 @@ class ICConfig:
     # slope (>2); sampled via Eddington inversion (models/eddington.py)
     r_cut: Optional[float] = None  # dehnen/eff truncation radius
     # (pre-Hénon-rescale profile units; default: dehnen 99.8% mass, eff 30a)
+    r_aniso: Optional[float] = None  # dehnen/eff Osipkov-Merritt anisotropy
+    # radius (profile units): beta(r) = r²/(r²+r_a²); None = isotropic
     total_mass: float = 1.0      # code units
     imf: str = "equal"           # equal | kroupa | salpeter
     m_min_msun: float = 0.08

@@ -147,25 +147,87 @@ def _sample_speeds_from_f(rng, psi_i, E_grid, f_grid):
     return v
 
 
+def _sample_vr_vt_om(rng, r_i, psi_i, r_a, E_grid, f_grid):
+    """Osipkov–Merritt velocities: p(v_r, v_t) ∝ v_t f(Q),
+    Q = psi − v_r²/2 − (1 + r²/r_a²) v_t²/2 (f here is f(Q) from the
+    inversion of the augmented density rho_Q = (1 + r²/r_a²) rho).
+    2-D rejection per star; returns (v_r signed, v_t >= 0)."""
+    n = r_i.shape[0]
+    f_at = lambda q: np.interp(q, E_grid, f_grid, left=0.0, right=f_grid[-1])
+    psi_edge = E_grid[0]
+    at = 1.0 + (r_i / r_a) ** 2
+    two_dE = np.maximum(2.0 * (psi_i - psi_edge), 1e-300)
+    vr_max = np.sqrt(two_dE)
+    vt_max = np.sqrt(two_dE / at)
+    # envelope: max over a coarse (v_r, v_t) grid of v_t f(Q)
+    g = np.linspace(0.0, 1.0, 16)
+    vrg = vr_max[:, None, None] * g[None, :, None]
+    vtg = vt_max[:, None, None] * g[None, None, :]
+    qg = psi_i[:, None, None] - 0.5 * vrg**2 - 0.5 * at[:, None, None] * vtg**2
+    pg = vtg * f_at(qg)
+    pmax = 1.2 * np.maximum(pg.reshape(n, -1).max(axis=1), 1e-300)
+    vr = np.zeros(n)
+    vt = np.zeros(n)
+    todo = pg.reshape(n, -1).max(axis=1) > 0
+    for _ in range(4000):
+        if not todo.any():
+            break
+        idx = np.nonzero(todo)[0]
+        vrc = rng.uniform(0.0, vr_max[idx])
+        vtc = rng.uniform(0.0, vt_max[idx])
+        q = psi_i[idx] - 0.5 * vrc**2 - 0.5 * at[idx] * vtc**2
+        ok = rng.uniform(0.0, pmax[idx]) < vtc * f_at(q)
+        vr[idx[ok]] = vrc[ok]
+        vt[idx[ok]] = vtc[ok]
+        todo[idx[ok]] = False
+    if todo.any():
+        raise RuntimeError("OM velocity sampling failed to converge")
+    return vr * rng.choice([-1.0, 1.0], n), vt
+
+
 def sample_profile(rho_fn, n, seed=0, r_max=50.0, total_mass=1.0,
                    G=1.0, r_scale=1.0, masses=None,
-                   dtype=jnp.float64, n_grid=4096) -> ParticleState:
+                   dtype=jnp.float64, n_grid=4096,
+                   r_aniso=None) -> ParticleState:
     """Sample an N-body realization of an arbitrary spherical density.
 
     ``rho_fn``: vectorizable rho(r) (any normalization — mass is
     renormalized). Truncated at ``r_max`` (choose it to enclose ~all the
-    mass you mean to model). Returns a Hénon-rescaled ParticleState.
+    mass you mean to model). ``r_aniso``: Osipkov–Merritt anisotropy
+    radius (profile units, like r_max): isotropic inside, radially
+    anisotropic outside with beta(r) = r²/(r² + r_a²) exactly — the
+    inversion runs on the augmented density (1 + r²/r_a²) rho (Merritt
+    1985). None = isotropic (ergodic f(E)). The Hénon rescale scales
+    r_aniso along with every other length, so the beta(r/r_half) shape
+    is preserved in the returned state. Returns a Hénon-rescaled
+    ParticleState.
     """
     rng = np.random.default_rng(seed)
     tab = _profile_tables(rho_fn, r_max, n_grid=n_grid)
-    E_grid, f_grid = _eddington_f(tab)
+    if r_aniso is not None:
+        if r_aniso <= 0:
+            raise ValueError(f"r_aniso must be > 0, got {r_aniso}")
+        tab_q = dict(tab)
+        tab_q["rho"] = tab["rho"] * (1.0 + (tab["r"] / r_aniso) ** 2)
+        E_grid, f_grid = _eddington_f(tab_q)
+    else:
+        E_grid, f_grid = _eddington_f(tab)
 
     u = rng.uniform(0.0, 1.0, n) * tab["M"][-1]
     r_i = np.interp(u, tab["M"], tab["r"])
     psi_i = np.interp(r_i, tab["r"], tab["psi"])
-    pos = r_i[:, None] * _isotropic_np(rng, n)
-    v_i = _sample_speeds_from_f(rng, psi_i, E_grid, f_grid)
-    vel = v_i[:, None] * _isotropic_np(rng, n)
+    rhat = _isotropic_np(rng, n)
+    pos = r_i[:, None] * rhat
+    if r_aniso is not None:
+        vr, vt = _sample_vr_vt_om(rng, r_i, psi_i, r_aniso, E_grid, f_grid)
+        # tangential unit vector: random direction orthogonal to rhat
+        aux = _isotropic_np(rng, n)
+        that = aux - (aux * rhat).sum(1)[:, None] * rhat
+        that /= np.maximum(np.linalg.norm(that, axis=1), 1e-300)[:, None]
+        vel = vr[:, None] * rhat + vt[:, None] * that
+    else:
+        v_i = _sample_speeds_from_f(rng, psi_i, E_grid, f_grid)
+        vel = v_i[:, None] * _isotropic_np(rng, n)
 
     if masses is None:
         m = np.full(n, 1.0 / n)

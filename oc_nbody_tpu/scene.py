@@ -196,12 +196,13 @@ def build_ic(cfg: SimConfig, us: UnitSystem) -> ParticleState:
     elif ic.kind == "dehnen":
         from oc_nbody_tpu.models.eddington import dehnen
         state = dehnen(ic.n, gamma=ic.gamma, seed=ic.seed, r_max=ic.r_cut,
-                       total_mass=ic.total_mass, G=us.G, masses=masses)
+                       total_mass=ic.total_mass, G=us.G, masses=masses,
+                       r_aniso=ic.r_aniso)
     elif ic.kind == "eff":
         from oc_nbody_tpu.models.eddington import eff
         state = eff(ic.n, gamma=ic.gamma, a=(ic.a or 1.0), seed=ic.seed,
                     r_max=ic.r_cut, total_mass=ic.total_mass, G=us.G,
-                    masses=masses)
+                    masses=masses, r_aniso=ic.r_aniso)
     elif ic.kind == "file":
         from oc_nbody_tpu.io.snapshot import read_snapshot
         state = read_snapshot(ic.file).state

@@ -117,6 +117,42 @@ def test_df_matches_analytic_plummer():
     assert float(np.abs(f[sel] / f_an[sel] - 1).max()) < 0.10
 
 
+def test_osipkov_merritt_beta_profile():
+    """r_aniso: the sampled anisotropy tracks the OM analytic
+    beta(r) = r²/(r² + r_a²) (r_a Hénon-rescaled along with r; measured
+    at n=16384: |beta - analytic| <= 0.05 on all mass-bearing bins)."""
+    from oc_nbody_tpu.models.eddington import _profile_tables
+    rho = lambda r: (1.0 + np.asarray(r, float) ** 2) ** -2.5
+    r_a = 1.5
+    st = sample_profile(rho, 8192, seed=7, r_max=40.0, r_aniso=r_a)
+    pos = np.asarray(st.pos)
+    vel = np.asarray(st.vel)
+    r = np.linalg.norm(pos, axis=1)
+    rhat = pos / r[:, None]
+    vr = (vel * rhat).sum(1)
+    vt2 = (vel**2).sum(1) - vr**2
+    tab = _profile_tables(rho, 40.0)
+    r_half_prof = np.interp(0.5 * tab["M"][-1], tab["M"], tab["r"])
+    ra_eff = np.median(r) / r_half_prof * r_a
+    edges = np.geomspace(np.quantile(r, 0.1), np.quantile(r, 0.95), 5)
+    idx = np.digitize(r, edges) - 1
+    for b in range(4):
+        s = idx == b
+        assert s.sum() > 300
+        beta = 1.0 - vt2[s].mean() / (2 * (vr[s] ** 2).mean())
+        rm = np.sqrt(edges[b] * edges[b + 1])
+        beta_an = rm**2 / (rm**2 + ra_eff**2)
+        assert beta == pytest.approx(beta_an, abs=0.09), (rm, beta, beta_an)
+    # isotropic default: global beta ~ 0
+    st0 = sample_profile(rho, 4096, seed=7, r_max=40.0)
+    pos0, vel0 = np.asarray(st0.pos), np.asarray(st0.vel)
+    r0v = np.linalg.norm(pos0, axis=1)
+    vr0 = (vel0 * pos0 / r0v[:, None]).sum(1)
+    vt20 = (vel0**2).sum(1) - vr0**2
+    beta0 = 1.0 - vt20.mean() / (2 * (vr0**2).mean())
+    assert abs(beta0) < 0.05
+
+
 def test_parameter_validation():
     with pytest.raises(ValueError, match="gamma"):
         dehnen(128, gamma=3.0)
@@ -124,3 +160,6 @@ def test_parameter_validation():
         eff(128, gamma=2.0)
     with pytest.raises(ValueError, match="rho_fn"):
         sample_profile(lambda r: 1.0, 128, r_max=10.0)
+    with pytest.raises(ValueError, match="r_aniso"):
+        sample_profile(lambda r: np.ones_like(np.asarray(r, float)),
+                       128, r_max=10.0, r_aniso=-1.0)
