@@ -7,9 +7,11 @@ Measures, slope-timed in one jit each:
   * compute_all WITHOUT the CH85 core sweep (core=False),
   * compute_all WITH it (core=True, the default) — the structure columns'
     marginal price is the delta. The CH85 sweep is a second bounded
-    O(min(N, 65536) * min(N, 16384)) distance pass (diagnostics.py
-    _core_radius_density caps probes/sources), so its cost saturates
-    above 65k while the potential pass keeps growing as N².
+    O(min(N, 65536)²) distance pass (diagnostics.py local_density caps
+    probes AND sources at 65536), so its cost saturates above 65k while
+    the potential pass keeps growing as N². Measured on the chip: the
+    original lax.top_k form cost a flat 5.45 s per row; the threshold-pass
+    kth-NN replacement is ~43-47 ms (126x).
 
 Writes bench/diag_cost.json. Usage: python bench/diag_cost.py [--ns ...]
 """

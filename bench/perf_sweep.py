@@ -35,8 +35,16 @@ def timeit(fn, *args, repeats=10):
     def chain(pos, k):
         def body(_, p):
             out = fn(p, *args[1:])
-            a = jax.tree_util.tree_leaves(out)[0]
-            return p + jnp.asarray(1e-300, p.dtype) * a.astype(p.dtype)
+            leaves = jax.tree_util.tree_leaves(out)
+            if len(leaves) == 1 and leaves[0].shape == p.shape:
+                a = leaves[0].astype(p.dtype)
+            else:
+                # multi-output fn (e.g. a diagnostics dict): depend on EVERY
+                # leaf, or XLA dead-code-eliminates the untouched outputs and
+                # the chain times only the first column (measured: compute_all
+                # "cost" came out ~0/negative with the first-leaf feedback)
+                a = sum(jnp.sum(l).astype(p.dtype) for l in leaves)
+            return p + jnp.asarray(1e-300, p.dtype) * a
         return jax.lax.fori_loop(0, k, body, pos)
 
     chain(args[0], 1).block_until_ready()

@@ -193,15 +193,34 @@ def local_density(pos, mass, center, k: int = 6,
     probes = jnp.concatenate(
         [probes, jnp.full((npad - npro, 3), 1e30, jnp.float32)], axis=0)
 
+    if k < 2:
+        raise ValueError("CH85 local density needs k >= 2")
+
     def body(pchunk):
         d2 = jnp.sum((pchunk[:, None, :] - src[None, :, :]) ** 2, axis=-1)
         # exclude self-pairs (and exactly-coincident stars — measure zero)
         d2 = jnp.where(d2 <= 0.0, jnp.float32(jnp.inf), d2)
-        neg, idx = jax.lax.top_k(-d2, k)       # ascending d2, self excluded
-        rk2 = jnp.maximum(-neg[:, -1], rmin2).astype(jnp.float64)
-        mnb = jnp.sum(msrc[idx[:, : k - 1]], axis=1).astype(jnp.float64)
+        # kth-nearest distance via k threshold passes: each pass takes the
+        # min of the distances strictly above the previous rank's value.
+        # O(k·nsrc) compare/select on the VPU, replacing lax.top_k over the
+        # full source axis (a sort network — measured 5.45 s per
+        # diagnostics row at the 65536² sweep cap vs ~0.1 s for this form).
+        # Tie semantics: exact-duplicate f32 distances collapse to one
+        # rank and ALL tied masses count — measure-zero for sampled ICs,
+        # and coincident stars are already excluded above.
+        thr = jnp.min(d2, axis=1)                      # rank-1 distance²
+        thr_prev = thr
+        for _ in range(k - 1):
+            thr_prev = thr
+            thr = jnp.min(jnp.where(d2 <= thr[:, None], jnp.float32(jnp.inf),
+                                    d2), axis=1)       # next rank
+        # CH85 unbiased form: mass of the k-1 nearest (everything at or
+        # inside the rank-(k-1) distance), volume from the kth distance
+        mnb = jnp.sum(jnp.where(d2 <= thr_prev[:, None], msrc[None, :], 0.0),
+                      axis=1)
+        rk2 = jnp.maximum(thr, rmin2).astype(jnp.float64)
         vol = (4.0 * jnp.pi / 3.0) * rk2 ** 1.5
-        return mnb / vol
+        return mnb.astype(jnp.float64) / vol
 
     rho = jax.lax.map(body, probes.reshape(-1, chunk, 3)).reshape(-1)
     return rho[:npro], ps

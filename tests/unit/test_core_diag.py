@@ -89,6 +89,29 @@ def test_local_density_subsampling_consistent(plummer_state):
     assert 0.4 < float(rho_cs) / float(rho_c) < 1.6
 
 
+def test_local_density_matches_exact_knn():
+    """The threshold-pass kth-NN scheme (which replaced lax.top_k over the
+    full source axis — 40x cheaper at the 65536² sweep cap) must agree
+    with an exact numpy nearest-neighbour oracle, including the chunk
+    padding path (n=257 pads to 512)."""
+    rng = np.random.default_rng(3)
+    n, k = 257, 6
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, size=n), jnp.float32)
+    rho, ps = diag.local_density(pos, mass, jnp.zeros(3), k=k)
+    assert ps == 1 and rho.shape == (n,)
+
+    p32 = np.asarray(pos, np.float32)
+    d2 = np.sum((p32[:, None, :] - p32[None, :, :]) ** 2, axis=-1,
+                dtype=np.float32)
+    d2[d2 <= 0.0] = np.inf
+    order = np.argsort(d2, axis=1)
+    rk = np.take_along_axis(d2, order[:, k - 1:k], axis=1)[:, 0]
+    mnb = np.asarray(mass, np.float64)[order[:, : k - 1]].sum(axis=1)
+    expect = mnb / (4 * np.pi / 3 * np.float64(rk) ** 1.5)
+    np.testing.assert_allclose(np.asarray(rho), expect, rtol=1e-6)
+
+
 def test_core_tiny_n_is_nan():
     s = plummer(5, jax.random.PRNGKey(0))
     r_c, rho_c = diag.core_radius_density(s)
