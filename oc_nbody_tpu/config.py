@@ -198,6 +198,23 @@ class IntegratorConfig:
 
 
 @dataclasses.dataclass
+class EscapeConfig:
+    """Escape pruning (oc_nbody_tpu/escape.py): stars beyond
+    ``r_cut`` tidal radii of the density centre stop being pairwise force
+    SOURCES (they stay fully integrated targets). Pairwise cost drops from
+    O(N²) to O(N·bucket); the dropped tail–tail energy is ledgered in the
+    ``E_prune_cum`` diagnostics column. Re-partitioned at every
+    diagnostics boundary. Requires an external potential (the cut is in
+    tidal radii), the f32 tier, a single-device run, and no
+    macro_batches."""
+
+    prune: bool = False
+    r_cut: float = 2.0           # cut radius in units of r_tidal
+    min_bucket: int = 4096       # smallest source bucket (pow-2 sizing —
+    # bounds recompiles to O(log N) programs per run)
+
+
+@dataclasses.dataclass
 class OutputConfig:
     out_dir: str = "out/run"
     t_end: float = 10.0          # code units
@@ -230,6 +247,7 @@ class SimConfig:
     potential: PotentialConfig = dataclasses.field(default_factory=PotentialConfig)
     orbit: OrbitConfig = dataclasses.field(default_factory=OrbitConfig)
     sev: SEVConfig = dataclasses.field(default_factory=SEVConfig)
+    escape: EscapeConfig = dataclasses.field(default_factory=EscapeConfig)
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)
     output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

@@ -59,6 +59,11 @@ def energies(state: ParticleState, force: ForceModel,
     else:
         _, phi_pair, phi_ext = force.accel_potential(state.pos, state.mass)
     ke = kinetic_energy(state)
+    # Under escape pruning the per-star phi is MIXED (cluster rows: all
+    # sources; tail rows: cluster sources only) and the uniform 1/2 weight
+    # sums it exactly to the reduced Hamiltonian's pair term PE_CC + PE_CT
+    # (tail–tail dropped): sum_C m·phi_full = 2·PE_CC + PE_CT and
+    # sum_T m·phi_cl = PE_CT (forces.ForceModel pruned dispatch).
     pe_pair = 0.5 * jnp.sum(m * phi_pair.astype(jnp.float64))
     e_ext = jnp.sum(m * phi_ext.astype(jnp.float64))
     vel = state.vel.astype(jnp.float64)

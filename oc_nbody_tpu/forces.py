@@ -11,6 +11,7 @@ single jvp — exact, no finite differencing.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from typing import Optional
 
@@ -71,6 +72,44 @@ class ForceModel:
     # eps > 0 guaranteed (known at construction): lets the Pallas kernels
     # drop the u > 0 self-pair guard (~15% fewer VPU ops)
     softened: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # ---- escape pruning (the NBODY-family "remove escapers" analog) -----
+    # When set, pairwise SOURCES are the gathered subset pos[src_idx] with
+    # masses mass[src_idx] * src_wgt — cluster members first, zero-weight
+    # padding up to a power-of-two bucket so shapes stay static (recompiles
+    # are bounded to O(log N) bucket sizes, not one per boundary). Targets
+    # stay ALL N stars: tail stars keep integrating in the external field
+    # plus the exact force from every cluster star; only tail–tail (and
+    # tail→cluster) interactions are dropped — the reduced Hamiltonian the
+    # driver's E_prune_cum ledger accounts for. All three are pytree
+    # leaves: the driver threads them as jit ARGUMENTS (new index values
+    # reuse the compiled program; only a bucket-size change recompiles).
+    src_idx: Optional[jax.Array] = None   # (B,) int32 gather indices
+    src_wgt: Optional[jax.Array] = None   # (B,) 1.0 = real, 0.0 = padding
+    src_mask: Optional[jax.Array] = None  # (N,) 1.0 = cluster member (row
+    # is also a source: its softened phi self-term needs cancelling, and
+    # its pair-PE weight is 1/2 instead of 1 — diagnostics.energies)
+
+    @property
+    def pruned(self) -> bool:
+        return self.src_idx is not None
+
+    def with_sources(self, src_idx, src_wgt, src_mask) -> "ForceModel":
+        """Return a copy using the pruned source set (escape pruning)."""
+        if self.precision != "f32":
+            raise ValueError(
+                "escape pruning supports the f32 tier only (got "
+                f"precision={self.precision!r}); the rows-vs-sources "
+                "extended kernels exist but are not wired here")
+        return dataclasses.replace(self, src_idx=src_idx, src_wgt=src_wgt,
+                                   src_mask=src_mask)
+
+    def _gathered_sources(self, pos, mass, vel=None):
+        """(src_pos, src_mass, src_vel) for the pruned source bucket."""
+        idx = self.src_idx
+        sp = pos[idx]
+        sm = mass[idx] * self.src_wgt.astype(mass.dtype)
+        sv = vel[idx] if vel is not None else None
+        return sp, sm, sv
 
     def _resolve(self) -> str:
         b = self.backend
@@ -89,8 +128,105 @@ class ForceModel:
         return self if ext is self.external else dataclasses.replace(
             self, external=ext)
 
+    # ---- pruned (rows-vs-sources) dispatch ------------------------------
+    # Escape pruning drops ONLY tail–tail interactions (escape.py): two
+    # sweeps per force evaluation —
+    #   sweep 1: ALL rows × cluster bucket   (tail rows' final force)
+    #   sweep 2: bucket rows × ALL sources   (cluster rows' final force —
+    #            their dynamics keep the FULL problem's physics)
+    # — combined by scattering sweep-2 results over sweep 1 at src_idx
+    # (padding rows duplicate the first cluster index, so their scattered
+    # values are identical duplicate writes). Both ends of every retained
+    # pair feel it → the reduced system is a genuine Hamiltonian; a
+    # one-sided variant (tail feels cluster, not vice versa) was measured
+    # to pump O(1)·E_int per crossing through the missing reaction.
+    def _pruned_prep(self, pos, mass, vel=None):
+        """Centred-f32 operands for both sweeps (centring on the cluster-
+        bucket mean: galactocentric offsets eat the f32 mantissa,
+        SURVEY.md §7 hard part #1). Returns (rows_c, bucket_c,
+        bucket_mass_c, all_mass_c[, vrows_c, vbucket_c])."""
+        sp, sm, sv = self._gathered_sources(pos, mass, vel=vel)
+        center = jnp.mean(sp, axis=0)
+        rows_c = (pos - center).astype(jnp.float32)
+        bucket_c = (sp - center).astype(jnp.float32)
+        bmass_c = sm.astype(jnp.float32)
+        amass_c = mass.astype(jnp.float32)
+        if vel is None:
+            return rows_c, bucket_c, bmass_c, amass_c, None, None
+        vcenter = jnp.mean(sv, axis=0)
+        vrows_c = (vel - vcenter).astype(jnp.float32)
+        vbucket_c = (sv - vcenter).astype(jnp.float32)
+        return rows_c, bucket_c, bmass_c, amass_c, vrows_c, vbucket_c
+
+    def _pair_accel_pruned(self, pos, mass):
+        rows_c, bucket_c, bmass_c, amass_c, _, _ = self._pruned_prep(
+            pos, mass)
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            rows_fn = functools.partial(pallas_gravity.accel_rows,
+                                        guarded=not self.softened)
+        else:
+            rows_fn = gravity.accel_rows
+        a_tail = rows_fn(rows_c, bucket_c, bmass_c, eps32, G32, self.chunk)
+        a_cl = rows_fn(bucket_c, rows_c, amass_c, eps32, G32, self.chunk)
+        return a_tail.at[self.src_idx].set(a_cl).astype(pos.dtype)
+
+    def _pair_accel_potential_pruned(self, pos, mass):
+        rows_c, bucket_c, bmass_c, amass_c, _, _ = self._pruned_prep(
+            pos, mass)
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+            rows_fn = functools.partial(pallas_gravity.accel_potential_rows,
+                                        guarded=not self.softened)
+        else:
+            rows_fn = gravity.accel_potential_rows
+        a_tail, p_tail = rows_fn(rows_c, bucket_c, bmass_c, eps32, G32,
+                                 self.chunk)
+        a_cl, p_cl = rows_fn(bucket_c, rows_c, amass_c, eps32, G32,
+                             self.chunk)
+        # cluster rows ARE in sweep 2's source set: their phi picked up
+        # the softened self term -G m/eps — cancel it (self_phi is 0 when
+        # eps == 0, where the guarded kernel drops the self pair instead);
+        # tail rows are not sources anywhere, so sweep 1's phi is clean.
+        # With the uniform 1/2 weight in diagnostics.energies this mixed
+        # phi sums exactly to H_pairs = PE_CC + PE_CT:
+        #   sum_C m·phi_full = 2·PE_CC + PE_CT ; sum_T m·phi_cl = PE_CT.
+        p_cl = p_cl + gravity.self_phi(amass_c[self.src_idx], eps32, G32)
+        acc = a_tail.at[self.src_idx].set(a_cl)
+        phi = p_tail.at[self.src_idx].set(p_cl)
+        return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+    def _pair_accel_jerk_pruned(self, pos, vel, mass):
+        (rows_c, bucket_c, bmass_c, amass_c, vrows_c,
+         vbucket_c) = self._pruned_prep(pos, mass, vel=vel)
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        if self._resolve() == "pallas":
+            from oc_nbody_tpu.ops import pallas_gravity
+
+            def rows_fn(r, vr, s, vs, m):
+                return pallas_gravity.accel_jerk_rows(
+                    r, vr, s, vs, m, eps32, G32,
+                    guarded=not self.softened)
+        else:
+            def rows_fn(r, vr, s, vs, m):
+                return gravity.accel_jerk_rows(r, vr, s, vs, m, eps32, G32,
+                                               self.chunk)
+        a_tail, j_tail = rows_fn(rows_c, vrows_c, bucket_c, vbucket_c,
+                                 bmass_c)
+        a_cl, j_cl = rows_fn(bucket_c, vbucket_c, rows_c, vrows_c, amass_c)
+        acc = a_tail.at[self.src_idx].set(a_cl)
+        jerk = j_tail.at[self.src_idx].set(j_cl)
+        return acc.astype(pos.dtype), jerk.astype(pos.dtype)
+
     # ---- pairwise dispatch --------------------------------------------
     def _pair_accel(self, pos, mass):
+        if self.pruned:
+            return self._pair_accel_pruned(pos, mass)
         if self.precision != "f32":
             if self._resolve() == "pallas":
                 # in-register EFTs: 1.85x the f32 kernel for the extended
@@ -115,6 +251,8 @@ class ForceModel:
         return gravity.accel(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_potential(self, pos, mass):
+        if self.pruned:
+            return self._pair_accel_potential_pruned(pos, mass)
         if self.precision != "f32":
             if self.precision == "df32" and self._resolve() == "pallas":
                 # same honest routing as jerk: emulated f64 beats the
@@ -145,6 +283,8 @@ class ForceModel:
         return gravity.accel_potential(pos, mass, self.eps, self.G, chunk=self.chunk)
 
     def _pair_accel_jerk(self, pos, vel, mass):
+        if self.pruned:
+            return self._pair_accel_jerk_pruned(pos, vel, mass)
         if self.precision != "f32":
             if self._resolve() == "pallas":
                 if self.precision == "extended":
@@ -193,6 +333,11 @@ class ForceModel:
                 "batched oversized evals support the f32/extended Pallas "
                 f"tiers only (got precision={self.precision!r}, "
                 f"backend={self._resolve()!r})")
+        if self.pruned:
+            raise ValueError(
+                "escape pruning is not wired through the batched "
+                "(macro_batches) dispatch path — disable escape.prune or "
+                "macro_batches")
 
     def accel_batched(self, pos, mass, n_batches: int = 8):
         """Total acceleration via n_batches separate dispatches."""
@@ -274,7 +419,8 @@ class ForceModel:
             jerk = jerk + da_ext
         return acc, jerk
 
-    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel, src_mass):
+    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel,
+                           src_mass, rows_mask=None):
         """(accel, jerk) on a row subset against the full source set — the
         block-timestep active-set evaluation (SURVEY.md §3.4). Sources and
         rows are centred on the source mean before the f32 cast; the
@@ -284,7 +430,30 @@ class ForceModel:
         every OTHER non-f32 combination (df32 on any backend, extended on
         jnp) evaluates the rows in emulated/native f64 — exact, and the
         honest winner on both backends for small row sets (ADVICE round-2:
-        these used to fall through to f32 silently)."""
+        these used to fall through to f32 silently).
+
+        Escape pruning: ``rows_mask`` (1 = cluster member) selects per row
+        between two evaluations — cluster rows × ALL sources (full
+        physics) and tail rows × the cluster bucket (tail–tail dropped) —
+        the same Hamiltonian contract as the shared pruned evals. The
+        block stepper passes the gathered membership of its active rows."""
+        if self.pruned:
+            if rows_mask is None:
+                raise ValueError(
+                    "pruned accel_jerk_on_rows needs rows_mask (the rows' "
+                    "cluster membership)")
+            sp, sm, sv = self._gathered_sources(src_pos,
+                                                jnp.asarray(src_mass),
+                                                vel=src_vel)
+            base = dataclasses.replace(self, src_idx=None, src_wgt=None,
+                                       src_mask=None)
+            a_cl, j_cl = base.accel_jerk_on_rows(pos_rows, vel_rows,
+                                                 src_pos, src_vel, src_mass)
+            a_tail, j_tail = base.accel_jerk_on_rows(pos_rows, vel_rows,
+                                                     sp, sv, sm)
+            mb = rows_mask.astype(bool)[:, None]
+            return (jnp.where(mb, a_cl, a_tail),
+                    jnp.where(mb, j_cl, j_tail))
         if self.precision == "extended" and self._resolve() == "pallas":
             # extended-tier active-row evaluation (block timesteps);
             # accel_jerk_rows_x centres and hi/lo-splits internally

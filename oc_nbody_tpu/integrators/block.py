@@ -263,8 +263,13 @@ class BlockHermite:
         """(a1, j1) for active rows (zeros elsewhere), fixed shapes.
         ``force`` is the (possibly time-bound) force model for this step."""
         sizes = self._bucket_sizes(n)
+        # escape pruning: the per-row membership rides along so the
+        # rows-vs-sources eval keeps the reduced-Hamiltonian contract
+        # (cluster rows × all sources, tail rows × cluster bucket)
+        pmask = force.src_mask if getattr(force, "pruned", False) else None
         if len(sizes) == 1:
-            a1, j1 = force.accel_jerk_on_rows(xp, vp, xp, vp, mass)
+            a1, j1 = force.accel_jerk_on_rows(xp, vp, xp, vp, mass,
+                                              rows_mask=pmask)
             return a1, j1
 
         n_active = jnp.sum(active)
@@ -281,7 +286,8 @@ class BlockHermite:
                 _, idx = jax.lax.top_k(active.astype(jnp.int32), b)
                 valid = jnp.arange(b) < jnp.sum(active)
                 a_r, j_r = force.accel_jerk_on_rows(
-                    xp[idx], vp[idx], xp, vp, mass)
+                    xp[idx], vp[idx], xp, vp, mass,
+                    rows_mask=None if pmask is None else pmask[idx])
                 # scatter via an overflow row so fill slots never clobber
                 idx_s = jnp.where(valid, idx, n)
                 a_full = jnp.zeros((n + 1, 3), xp.dtype).at[idx_s].set(a_r)[:n]

@@ -678,11 +678,18 @@ class ShardedForce:
         return acc, jerk
 
 
-    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel, src_mass):
+    def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel,
+                           src_mass, rows_mask=None):
         """Block-timestep active-row evaluation on the mesh: the (small) row
         set is replicated, sources stay row-sharded, and each chip's partial
         (accel, jerk) is psum-reduced over ICI — the BASELINE.json:11
-        allreduce applied to the active subset (SURVEY.md §2 EP analog)."""
+        allreduce applied to the active subset (SURVEY.md §2 EP analog).
+
+        ``rows_mask`` is the escape-pruning membership hook (accepted for
+        call-site symmetry with ForceModel; pruning is rejected on a mesh
+        at run() validation, so it is always None here)."""
+        if rows_mask is not None:
+            raise ValueError("escape pruning is not supported on a mesh")
         if self.precision == "extended":
             return self._accel_jerk_on_rows_extended(
                 pos_rows, vel_rows, src_pos, src_vel, src_mass)

@@ -96,23 +96,75 @@ def _diag_extra_fn(cfg: SimConfig, scene):
     return add
 
 
-def _reinit_carry(stepper, old_carry, new_state):
-    """Rebuild the integrator carry after an out-of-band state change
-    (stellar-evolution mass update): the stored accelerations / jerks /
-    rung assignments are stale once masses changed, so re-derive them via
-    stepper.init (one force evaluation — deaths are rare events) while
-    preserving the run counters."""
-    c = stepper.init(new_state)
-    keep = {f.name: getattr(old_carry, f.name)
-            for f in dataclasses.fields(c)
-            if f.name in ("n_steps", "n_active_sum")}
-    return dataclasses.replace(c, **keep) if keep else c
-
-
 def _run(cfg: SimConfig, resume: bool = False,
          progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
     stepper, kind = make_stepper(cfg, scene.force)
+    host_stepping = bool(getattr(stepper, "host_stepping", False))
+
+    # ---- escape pruning (oc_nbody_tpu/escape.py) ------------------------
+    # Tail stars beyond escape.r_cut tidal radii stop being pairwise
+    # SOURCES; the partition is a history-free function of the current
+    # state (resume-deterministic) and the source arrays are jit ARGUMENTS
+    # (only a bucket-size change recompiles).
+    pruning = bool(cfg.escape.prune)
+    _prune = {"src": None, "e_cum": 0.0, "mask": None,
+              "n_cluster": scene.state.pos.shape[0]}
+    if pruning:
+        from oc_nbody_tpu import escape as escape_mod
+        from oc_nbody_tpu.forces import ForceModel as _FM
+        if not isinstance(scene.force, _FM):
+            raise ValueError("escape.prune requires a single-device run "
+                             "(mesh.n_devices = 1)")
+        if scene.force.external is None:
+            raise ValueError("escape.prune needs an external potential "
+                             "(the cut is in tidal radii)")
+        if scene.force.precision != "f32":
+            raise ValueError("escape.prune supports the f32 tier only "
+                             f"(got {scene.force.precision!r})")
+        if host_stepping:
+            raise ValueError("escape.prune is not wired through the "
+                             "macro_batches dispatch path")
+        if cfg.output.diag_f64:
+            raise ValueError("escape.prune is inconsistent with "
+                             "output.diag_f64 (the f64 diagnostics "
+                             "potential sums over ALL pairs)")
+
+    def _force_with(src):
+        return scene.force if src is None else scene.force.with_sources(*src)
+
+    def cur_force():
+        return _force_with(_prune["src"])
+
+    def _repartition(state) -> bool:
+        """Recompute the partition from the CURRENT state; returns True
+        when the source set (membership or bucket) changed."""
+        center, r_t = escape_mod.partition_inputs(state, scene.force)
+        r_cut = float(jax.device_get(r_t)) * cfg.escape.r_cut
+        mask_np = None
+        new = None
+        n_c = state.pos.shape[0]
+        if np.isfinite(r_cut):
+            mask_np = np.asarray(jax.device_get(
+                escape_mod.cluster_mask(state, center, r_cut)))
+            built = escape_mod.build_sources(mask_np, cfg.escape.min_bucket)
+            if built is None:
+                mask_np = None            # bucket reached N: pruning off
+            else:
+                idx, wgt, n_c = built
+                new = (jax.device_put(idx), jax.device_put(wgt),
+                       jax.device_put(mask_np.astype(np.float64)))
+        old_mask = _prune["mask"]
+        changed = not (
+            (old_mask is None and mask_np is None)
+            or (old_mask is not None and mask_np is not None
+                and old_mask.shape == mask_np.shape
+                and _prune["src"][0].shape == new[0].shape
+                and np.array_equal(old_mask, mask_np)))
+        _prune["mask"] = mask_np
+        _prune["src"] = new
+        _prune["n_cluster"] = int(n_c)
+        return changed
     # physical-time fields (Myr) override the code-unit ones. The converted
     # values live on a local copy: mutating cfg.output in place made a
     # second run(cfg) — or reading cfg.output.t_end afterwards — silently
@@ -161,11 +213,57 @@ def _run(cfg: SimConfig, resume: bool = False,
             # drop stale rows written after this checkpoint (crash leftovers)
             # BEFORE the e0 baseline is read back below
             writer.truncate_diagnostics(t0)
+
+    # jitted init that honours the pruned source set (same program per
+    # bucket size); also reused by the SEV carry rebuild below
+    def _init_fn(state, src):
+        st = stepper if src is None else dataclasses.replace(
+            stepper, force=_force_with(src))
+        return st.init(state)
+
+    _init_jit = jax.jit(_init_fn)
+
+    def _reinit(old_carry, new_state, keep_steps=False):
+        """Rebuild the carry after an out-of-band change: stale acc/jerk
+        are re-derived under the CURRENT pruned force while the run
+        counters survive. ``keep_steps=True`` (re-partitions) additionally
+        preserves the timestep state (block dt_i rungs / hermite shared
+        dt): dropping tail–tail forces barely perturbs valid step sizes,
+        and re-deriving them from the conservative eta_init startup rule
+        at every boundary was measured to triple the block drift. SEV mass
+        changes keep the reset — there the old rungs really are stale.
+
+        Macro (host-stepped) steppers init eagerly: their force eval IS
+        the dispatch-splitting host loop, which must not be traced (the
+        same rationale as the advance path; pruning is rejected for them,
+        so src is always None there)."""
+        c = (stepper.init(new_state) if host_stepping
+             else _init_jit(new_state, _prune["src"]))
+        names = ("n_steps", "n_active_sum") + (
+            ("dt_i", "dt") if keep_steps else ())
+        keep = {f.name: getattr(old_carry, f.name)
+                for f in dataclasses.fields(c) if f.name in names}
+        return dataclasses.replace(c, **keep) if keep else c
+
     if carry is None:
         # fresh run: a previous run's diagnostics/snapshots in this dir
         # would otherwise be appended-to / shadow a later --resume
         writer.reset_outputs()
-        carry = stepper.init(scene.state)
+        if pruning:
+            # partition BEFORE init so the cached acc is consistent; the
+            # e0 baseline below absorbs the t=0 reduced-Hamiltonian offset
+            # (no ledger entry at t0)
+            _repartition(scene.state)
+        carry = _init_jit(scene.state, _prune["src"]) if pruning \
+            else stepper.init(scene.state)
+    elif pruning:
+        # resume: recompute the partition the uninterrupted run was using
+        # (history-free, so it matches bitwise); the restored aux is
+        # already consistent with it — no reinit, and the jump at this
+        # boundary is already inside the restored E_prune_cum ledger
+        _repartition(carry.state)
+        if "e_prune_cum" in restored_attrs:
+            _prune["e_cum"] = float(restored_attrs["e_prune_cum"])
 
     # stellar evolution (models/stellar_evolution.py): tables are built
     # from the FRESH IC state (scene.state, deterministic from the config)
@@ -190,7 +288,7 @@ def _run(cfg: SimConfig, resume: bool = False,
         if int(sev.count_pending(carry.state)):
             # stars already past t_death at t0 (epoch0_myr) — fold them
             # into the IC before the drift baseline e0 is measured
-            carry = _reinit_carry(stepper, carry, sev.update(carry.state))
+            carry = _reinit(carry, sev.update(carry.state))
 
     # donate the carry: the old state buffers are dead after each superstep,
     # halving HBM pressure for large N (SURVEY.md §5 "donated-buffer
@@ -199,15 +297,23 @@ def _run(cfg: SimConfig, resume: bool = False,
     # Dispatches are step-bounded: very long single XLA programs can trip
     # runtime watchdogs (observed as TPU worker crashes on ~70k-step block
     # dispatches); the host loops until each output time is reached.
-    host_stepping = bool(getattr(stepper, "host_stepping", False))
     if host_stepping:
         # MacroKDK: advance_to_bounded IS the dispatch-splitting host
         # loop — wrapping it in jit would rebuild the one monolithic
-        # program it exists to avoid
-        advance_bounded = stepper.advance_to_bounded
+        # program it exists to avoid (escape.prune is rejected above)
+        def advance_bounded(carry, t_target, src, max_steps):
+            return stepper.advance_to_bounded(carry, t_target, max_steps)
     else:
-        advance_bounded = jax.jit(stepper.advance_to_bounded,
-                                  donate_argnums=0, static_argnums=2)
+        # the pruned source set rides as a jit ARGUMENT: new index values
+        # at each re-partition reuse the compiled program; only a bucket-
+        # size change (a different src shape) traces a new one
+        def _adv_fn(carry, t_target, src, max_steps):
+            st = stepper if src is None else dataclasses.replace(
+                stepper, force=_force_with(src))
+            return st.advance_to_bounded(carry, t_target, max_steps)
+
+        advance_bounded = jax.jit(_adv_fn, donate_argnums=0,
+                                  static_argnums=3)
     max_steps = max(1, int(out.max_steps_per_dispatch))
     # adaptive dispatch sizing: aim for ~20 s per dispatch (long single
     # dispatches trip the runtime watchdog, tiny ones pay dispatch
@@ -225,7 +331,8 @@ def _run(cfg: SimConfig, resume: bool = False,
         while True:
             n0 = int(carry.n_steps)
             tic = _time.perf_counter()
-            carry = advance_bounded(carry, t_target, _state["size"])
+            carry = advance_bounded(carry, t_target, _prune["src"],
+                                    _state["size"])
             done = stepper.reached(carry, t_target)
             dn = int(carry.n_steps) - n0
             if dn > 0:
@@ -306,7 +413,22 @@ def _run(cfg: SimConfig, resume: bool = False,
 
     # initial diagnostics row; on resume, keep the ORIGINAL t=0 energy as the
     # drift baseline (read back from the run's diagnostics table)
-    row0 = jax.device_get(compute_diag(carry.state, scene.force))
+    _energy_only = jax.jit(
+        lambda state, force: diag_mod.energies(state, force)["E_tot"])
+
+    def _apply_partition(carry):
+        """Boundary re-partition: when the source set changed, ledger the
+        reduced-Hamiltonian jump (same state, old vs new sources) into
+        E_prune_cum and rebuild the stale carry acc under the new set."""
+        force_old = cur_force()
+        if not _repartition(carry.state):
+            return carry
+        e_pre = float(jax.device_get(_energy_only(carry.state, force_old)))
+        e_post = float(jax.device_get(_energy_only(carry.state, cur_force())))
+        _prune["e_cum"] += e_post - e_pre
+        return _reinit(carry, carry.state, keep_steps=True)
+
+    row0 = jax.device_get(compute_diag(carry.state, cur_force()))
     e0 = float(row0["E_tot"])
     # |E_int(0)| — the cluster-internal energy scale. dE/E normalised by the
     # galaxy-dominated E_tot flatters orbit runs by orders of magnitude
@@ -327,6 +449,9 @@ def _run(cfg: SimConfig, resume: bool = False,
             # diagnostics row (may miss a jump applied exactly at the
             # checkpoint time — the snapshot attr is authoritative)
             _sev["e_cum"] = float(prev["E_sev_cum"][-1])
+        if (pruning and "e_prune_cum" not in restored_attrs
+                and "E_prune_cum" in prev and len(prev["E_prune_cum"])):
+            _prune["e_cum"] = float(prev["E_prune_cum"][-1])
 
     def drift_cols(row):
         e = float(row["E_tot"])
@@ -348,15 +473,25 @@ def _run(cfg: SimConfig, resume: bool = False,
             row["N_rem"] = float(sev.n_dead(carry.state))
             row["dM_sev"] = sev.mass_lost(carry.state)
             row["E_sev_cum"] = _sev["e_cum"]
-            # the honest conservation check under mass loss: E_tot jumps
-            # by the accounted E_sev_cum at each death, so E − E_sev_cum
-            # should drift only by integrator error
-            row["dE_cons_over_E_int"] = ((e - e0 - _sev["e_cum"]) / e_int0
+        if pruning:
+            row["E_prune_cum"] = _prune["e_cum"]
+            row["N_cluster"] = float(_prune["n_cluster"])
+        if sev is not None or pruning:
+            # the honest conservation check under out-of-band energy
+            # changes (SEV mass loss, re-partition jumps): E_tot minus the
+            # ledgers should drift only by integrator error
+            ledgers = _sev["e_cum"] + _prune["e_cum"]
+            row["dE_cons_over_E_int"] = ((e - e0 - ledgers) / e_int0
                                          if e_int0 else 0.0)
         return row
 
     def _snap_attrs():
-        return {"e_sev_cum": _sev["e_cum"]} if sev is not None else None
+        attrs = {}
+        if sev is not None:
+            attrs["e_sev_cum"] = _sev["e_cum"]
+        if pruning:
+            attrs["e_prune_cum"] = _prune["e_cum"]
+        return attrs or None
 
     row0 = drift_cols(row0)
     row0["wall_s"] = 0.0
@@ -379,11 +514,21 @@ def _run(cfg: SimConfig, resume: bool = False,
             # the jump into E_sev_cum after the post-update row below
             with watch.phase("stellar_evolution"):
                 e_pre = float(jax.device_get(
-                    compute_diag(carry.state, scene.force)["E_tot"]))
-                carry = _reinit_carry(stepper, carry,
-                                      sev.update(carry.state))
+                    compute_diag(carry.state, cur_force())["E_tot"]))
+                carry = _reinit(carry, sev.update(carry.state))
+                if pruning:
+                    # account the SEV jump NOW (still under the old
+                    # partition): the row-based accounting below would
+                    # otherwise also absorb this boundary's re-partition
+                    # jump, which _apply_partition ledgers separately
+                    _sev["e_cum"] += float(jax.device_get(_energy_only(
+                        carry.state, cur_force()))) - e_pre
+                    e_pre = None
+        if pruning:
+            with watch.phase("escape_prune"):
+                carry = _apply_partition(carry)
         with watch.phase("diagnostics"):
-            row = jax.device_get(compute_diag(carry.state, scene.force))
+            row = jax.device_get(compute_diag(carry.state, cur_force()))
         if e_pre is not None:
             _sev["e_cum"] += float(row["E_tot"]) - e_pre
         row = drift_cols(row)

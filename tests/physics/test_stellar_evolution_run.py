@@ -92,7 +92,7 @@ def test_resume_is_bit_exact_across_deaths(full_run, tmp_path):
 ])
 def test_budget_and_resume_other_integrators(tmp_path, integ):
     """The SEV update rebuilds the integrator carry out-of-band
-    (run._reinit_carry): acc/jerk/rung assignments are stale once masses
+    (the driver's _reinit): acc/jerk/rung assignments are stale once masses
     change, so hermite/block must re-init and still (a) close the energy
     budget and (b) resume bit-exactly across death events."""
     def cfg(name, t_end):
