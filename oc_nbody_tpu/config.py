@@ -198,6 +198,21 @@ class IntegratorConfig:
 
 
 @dataclasses.dataclass
+class FrictionConfig:
+    """Chandrasekhar dynamical friction on the cluster orbit
+    (models/friction.py): a rigid CoM drag from the host potential's own
+    density (autodiff Laplacian), applied uniformly to every star. Needs
+    an external potential; supported for kdk/yoshida4/hermite in-jit
+    steppers on a single device. E_tot decays physically while this is
+    on — dE/E stops being a conservation check (the driver emits the
+    instantaneous |a_df| column)."""
+
+    kind: str = "none"           # none | chandrasekhar
+    ln_lambda: float = 0.0       # Coulomb logarithm, REQUIRED > 0 when on
+    sigma_kms: float = 0.0       # field dispersion; 0 → vcirc(r)/sqrt(2)
+
+
+@dataclasses.dataclass
 class EscapeConfig:
     """Escape pruning (oc_nbody_tpu/escape.py): stars beyond
     ``r_cut`` tidal radii of the density centre stop being pairwise force
@@ -247,6 +262,7 @@ class SimConfig:
     potential: PotentialConfig = dataclasses.field(default_factory=PotentialConfig)
     orbit: OrbitConfig = dataclasses.field(default_factory=OrbitConfig)
     sev: SEVConfig = dataclasses.field(default_factory=SEVConfig)
+    friction: FrictionConfig = dataclasses.field(default_factory=FrictionConfig)
     escape: EscapeConfig = dataclasses.field(default_factory=EscapeConfig)
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)
     output: OutputConfig = dataclasses.field(default_factory=OutputConfig)

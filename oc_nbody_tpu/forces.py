@@ -83,6 +83,13 @@ class ForceModel:
     # driver's E_prune_cum ledger accounts for. All three are pytree
     # leaves: the driver threads them as jit ARGUMENTS (new index values
     # reuse the compiled program; only a bucket-size change recompiles).
+    # Chandrasekhar dynamical friction (models/friction.py): a rigid CoM
+    # drag added to every star's acceleration — uniform, so the internal
+    # dynamics are untouched and only the orbit decays. Velocity-dependent:
+    # accel() then REQUIRES vel (steppers pass their kick-point velocity);
+    # dissipative by construction, so E_tot decays physically (documented —
+    # dE/E is not a conservation check while friction is on).
+    friction: Optional[object] = None
     src_idx: Optional[jax.Array] = None   # (B,) int32 gather indices
     src_wgt: Optional[jax.Array] = None   # (B,) 1.0 = real, 0.0 = padding
     src_mask: Optional[jax.Array] = None  # (N,) 1.0 = cluster member (row
@@ -311,11 +318,19 @@ class ForceModel:
         return gravity.accel_jerk(pos, vel, mass, self.eps, self.G, chunk=self.chunk)
 
     # ---- public API ----------------------------------------------------
-    def accel(self, pos, mass):
-        """Total acceleration: pairwise + external. (N, 3) in pos.dtype."""
+    def accel(self, pos, mass, vel=None):
+        """Total acceleration: pairwise + external (+ dynamical friction
+        when configured — then ``vel`` is required). (N, 3) in pos.dtype."""
         acc = self._pair_accel(pos, mass)
         if self.external is not None:
             acc = acc + self.external.accel(pos)
+        if self.friction is not None:
+            if vel is None:
+                raise ValueError(
+                    "this ForceModel carries dynamical friction: "
+                    "accel() needs the velocities (vel=...)")
+            acc = acc + self.friction.accel_df(pos, vel, mass).astype(
+                acc.dtype)
         return acc
 
     # ---- oversized-eval API (host-level, NOT jittable) -----------------
@@ -337,6 +352,11 @@ class ForceModel:
             raise ValueError(
                 "escape pruning is not wired through the batched "
                 "(macro_batches) dispatch path — disable escape.prune or "
+                "macro_batches")
+        if self.friction is not None:
+            raise ValueError(
+                "dynamical friction is not wired through the batched "
+                "(macro_batches) dispatch path — disable [friction] or "
                 "macro_batches")
 
     def accel_batched(self, pos, mass, n_batches: int = 8):
@@ -411,12 +431,20 @@ class ForceModel:
 
     def accel_jerk(self, pos, vel, mass):
         """(accel, jerk) including the external field's exact force
-        derivative (v·∇)a_ext (+ ∂a_ext/∂t when a time is bound)."""
+        derivative (v·∇)a_ext (+ ∂a_ext/∂t when a time is bound).
+
+        Dynamical friction contributes its acceleration with a ZERO jerk
+        term: the drag varies on the orbital-decay timescale (≫ any
+        Hermite dt), so its time derivative is negligible against the
+        pairwise/external jerks — documented approximation."""
         acc, jerk = self._pair_accel_jerk(pos, vel, mass)
         if self.external is not None:
             a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
+        if self.friction is not None:
+            acc = acc + self.friction.accel_df(pos, vel, mass).astype(
+                acc.dtype)
         return acc, jerk
 
     def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel,
@@ -508,7 +536,8 @@ class ForceModel:
 
 def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
                      backend: str = "auto", chunk: int = 1024,
-                     precision: str = "f32") -> ForceModel:
+                     precision: str = "f32",
+                     friction=None) -> ForceModel:
     if precision not in ("f32", "extended", "df32"):
         raise ValueError(f"unknown force precision {precision!r}")
     return ForceModel(
@@ -519,4 +548,5 @@ def make_force_model(eps, G=1.0, external: Optional[Potential] = None,
         chunk=chunk,
         softened=bool(float(eps) > 0),
         precision=precision,
+        friction=friction,
     )

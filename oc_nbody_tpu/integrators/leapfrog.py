@@ -47,7 +47,7 @@ class LeapfrogKDK:
 
     def init(self, state: ParticleState) -> KDKCarry:
         acc = self.force.at_time(state.time).accel(
-            state.pos, state.mass).astype(state.pos.dtype)
+            state.pos, state.mass, vel=state.vel).astype(state.pos.dtype)
         return KDKCarry(state=state, acc=acc,
                         n_steps=jnp.asarray(0, jnp.int64))
 
@@ -57,9 +57,12 @@ class LeapfrogKDK:
         v_half = s.vel + (0.5 * dt) * acc
         pos_new = s.pos + dt * v_half
         # the closing force eval is at the step's END time (time-dependent
-        # externals bind it; static externals: at_time is a no-op)
+        # externals bind it; static externals: at_time is a no-op). The
+        # velocity rides along for velocity-dependent terms (dynamical
+        # friction): v_half is the midpoint value — the standard kick-point
+        # evaluation for a weak dissipative force.
         acc_new = self.force.at_time(s.time + dt).accel(
-            pos_new, s.mass).astype(s.pos.dtype)
+            pos_new, s.mass, vel=v_half).astype(s.pos.dtype)
         vel_new = v_half + (0.5 * dt) * acc_new
         state_new = s.replace(pos=pos_new, vel=vel_new, time=s.time + dt)
         return KDKCarry(state=state_new, acc=acc_new, n_steps=carry.n_steps + 1)
@@ -133,7 +136,7 @@ class Yoshida4(LeapfrogKDK):
             v_half = vel + (0.5 * h) * acc
             pos = pos + h * v_half
             acc = self.force.at_time(s.time + c * dt).accel(
-                pos, s.mass).astype(dtype)
+                pos, s.mass, vel=v_half).astype(dtype)
             vel = v_half + (0.5 * h) * acc
         state_new = s.replace(pos=pos, vel=vel, time=s.time + dt)
         return KDKCarry(state=state_new, acc=acc,

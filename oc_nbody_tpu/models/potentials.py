@@ -97,6 +97,19 @@ class Potential:
         lam_max = jnp.linalg.eigvalsh(self.tidal_tensor(xyz))[-1]
         return lam_max + omega2
 
+    def laplacian(self, xyz):
+        """∇²Φ at a single point (exact autodiff Hessian trace). By the
+        Poisson equation this is 4πG·ρ — the generic way to read the
+        source density off ANY potential (composites included) without a
+        per-component formula."""
+        return jnp.trace(-self.tidal_tensor(xyz))
+
+    def density(self, xyz, G):
+        """Source mass density ρ = ∇²Φ/(4πG) at a single point. Negative
+        values are possible for non-physical composites (e.g. a rigid bar
+        substituted into a smooth disk) — callers clamp if needed."""
+        return self.laplacian(xyz) / (4.0 * jnp.pi * G)
+
     # ---- time binding (time-dependent fields) --------------------------
     def at(self, t):
         """Bind an evaluation time. Time-independent potentials return

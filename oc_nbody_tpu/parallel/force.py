@@ -465,7 +465,11 @@ class ShardedForce:
         return acc, jerk
 
     # ---- public API (mirrors ForceModel) ------------------------------
-    def accel(self, pos, mass):
+    def accel(self, pos, mass, vel=None):
+        # ``vel`` is accepted for call-site symmetry with ForceModel (the
+        # KDK/Yoshida steppers pass their kick-point velocity for
+        # velocity-dependent terms); dynamical friction is not supported
+        # on a mesh, so it is unused here.
         if self.precision == "extended":
             return self._accel_extended(pos, mass)
         k = self._rows_kernel()

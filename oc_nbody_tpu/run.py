@@ -147,9 +147,14 @@ def _run(cfg: SimConfig, resume: bool = False,
         if np.isfinite(r_cut):
             mask_np = np.asarray(jax.device_get(
                 escape_mod.cluster_mask(state, center, r_cut)))
+            # report the real membership even while the bucket is
+            # unbuildable (n_c > N/4, pruning not yet worth it) — the
+            # N_cluster column is how a user watches the partition approach
+            # activation
+            n_c = int(mask_np.sum())
             built = escape_mod.build_sources(mask_np, cfg.escape.min_bucket)
             if built is None:
-                mask_np = None            # bucket reached N: pruning off
+                mask_np = None            # bucket would reach N/2: off
             else:
                 idx, wgt, n_c = built
                 new = (jax.device_put(idx), jax.device_put(wgt),
@@ -416,6 +421,16 @@ def _run(cfg: SimConfig, resume: bool = False,
     _energy_only = jax.jit(
         lambda state, force: diag_mod.energies(state, force)["E_tot"])
 
+    # dynamical friction: emit the instantaneous drag magnitude — with
+    # friction on, E_tot decays PHYSICALLY (dE/E is not a conservation
+    # check; models/friction.py energy note)
+    _friction = getattr(scene.force, "friction", None)
+    if _friction is not None:
+        import jax.numpy as _jnp
+
+        _adf_jit = jax.jit(lambda state: _jnp.linalg.norm(
+            _friction.accel_df(state.pos, state.vel, state.mass)))
+
     def _apply_partition(carry):
         """Boundary re-partition: when the source set changed, ledger the
         reduced-Hamiltonian jump (same state, old vs new sources) into
@@ -476,6 +491,8 @@ def _run(cfg: SimConfig, resume: bool = False,
         if pruning:
             row["E_prune_cum"] = _prune["e_cum"]
             row["N_cluster"] = float(_prune["n_cluster"])
+        if _friction is not None:
+            row["a_df"] = float(jax.device_get(_adf_jit(carry.state)))
         if sev is not None or pruning:
             # the honest conservation check under out-of-band energy
             # changes (SEV mass loss, re-partition jumps): E_tot minus the
