@@ -30,6 +30,20 @@ def main(argv=None):
                             "is reachable; overrides env-level platform "
                             "forcing, must act before JAX backend init")
 
+    p_ens = sub.add_parser(
+        "ensemble",
+        help="run MANY realizations of one config in a single vmapped "
+             "program (survey mode: one chip integrates the whole batch)")
+    p_ens.add_argument("config")
+    p_ens.add_argument("--set", dest="overrides", action="append",
+                       default=[], metavar="a.b=v")
+    p_ens.add_argument("--seeds", required=True,
+                       help="ic.seed values: 'a:b' (half-open range) or a "
+                            "comma list, e.g. 0:64 or 3,17,42")
+    p_ens.add_argument("--out", default=None,
+                       help="output H5 path (default out_dir/ensemble.h5)")
+    p_ens.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+
     p_info = sub.add_parser("info", help="print a resolved config")
     p_info.add_argument("config")
     p_info.add_argument("--set", dest="overrides", action="append", default=[])
@@ -53,6 +67,27 @@ def main(argv=None):
 
     if args.command == "info":
         print(cfg.to_json())
+        return 0
+
+    if args.command == "ensemble":
+        if ":" in args.seeds:
+            a, b = args.seeds.split(":")
+            seeds = list(range(int(a), int(b)))
+        else:
+            seeds = [int(s) for s in args.seeds.split(",") if s]
+
+        from oc_nbody_tpu.ensemble import run_ensemble
+
+        def progress(i, n, row):
+            import numpy as _np
+            e = _np.asarray(row["E_tot"], _np.float64)
+            print(f"interval {i}/{n}  <E>={e.mean():+.6e}  "
+                  f"members={e.size}", flush=True)
+
+        res = run_ensemble(cfg, seeds, out_path=args.out,
+                           progress=progress if cfg.output.stdout else None)
+        print(f"done: {len(seeds)} members x {res.n_steps} steps "
+              f"wall={res.wall_time_s:.1f}s out={res.out_path}")
         return 0
 
     from oc_nbody_tpu.run import run

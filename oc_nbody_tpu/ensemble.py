@@ -1,0 +1,205 @@
+"""Ensemble (survey) mode: many cluster realizations on one chip via vmap.
+
+The TPU-native capability a CPU reference-class code does not have: small-N
+cluster runs underutilize the chip (an N=1024 force eval is ~30 µs of
+arithmetic behind ~300 µs of dispatch), but survey science — dissolution
+times, mass-loss scatter, relaxation statistics vs seed/mass/orbit — needs
+MANY realizations. ``run_ensemble`` stacks E realizations (same config,
+different ``ic.seed``) into one batched pytree and drives the SAME stepper
+code under ``jax.vmap``: one XLA program integrates the whole ensemble, so
+the per-dispatch overhead amortizes across members and the chip stays
+busy. Measured: 64 × N=1024 KDK ensembles step at ~19x the serial
+single-run rate (bench/ensemble_throughput.py).
+
+Design constraints (v1, enforced):
+
+* fixed-step integrators only (kdk / yoshida4) — every member takes the
+  same steps, so one fori_loop drives all of them;
+* the jnp blocked force kernel (``backend="jnp"``) — it vmaps cleanly;
+  Pallas kernels are written for single-realization shapes (their win is
+  at large N, which is not the ensemble regime);
+* shared force model (eps, G, external potential, orbit) across members —
+  the ensemble varies the IC seed; and no SEV / escape pruning / friction
+  / mesh (each carries per-realization host state).
+
+Members are never compared against each other inside the program — the
+batch axis is embarrassingly parallel — so per-member results are
+IDENTICAL to running each seed alone (pinned in
+tests/unit/test_ensemble.py), and dissolved members just keep integrating
+(no cross-member control flow).
+
+Output: one ``ensemble.h5`` with each diagnostics column as a (T, E)
+dataset plus the final stacked state — the per-member time series a
+survey analysis actually wants, in one file.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oc_nbody_tpu import diagnostics as diag_mod
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.forces import make_force_model
+from oc_nbody_tpu.scene import (build_external_potential, build_ic,
+                                build_units, place_on_orbit)
+from oc_nbody_tpu.state import ParticleState
+
+
+@dataclasses.dataclass
+class EnsembleResult:
+    states: ParticleState        # stacked leaves: (E, N, ...) / time (E,)
+    diagnostics: dict            # column -> (T, E) np.ndarray
+    seeds: list
+    out_path: str
+    wall_time_s: float
+    n_steps: int                 # per member
+
+
+def _validate(cfg: SimConfig):
+    if cfg.integrator.kind not in ("kdk", "yoshida4"):
+        raise ValueError("ensemble mode supports fixed-step integrators "
+                         f"(kdk | yoshida4), got {cfg.integrator.kind!r}")
+    if cfg.integrator.macro_batches > 0:
+        raise ValueError("ensemble mode has no macro_batches form")
+    if cfg.mesh.n_devices != 1:
+        raise ValueError("ensemble mode is single-device (the batch axis "
+                         "is the parallelism)")
+    for name, on in (("sev", cfg.sev.kind not in (None, "none")),
+                     ("escape.prune", cfg.escape.prune),
+                     ("friction", cfg.friction.kind not in (None, "none"))):
+        if on:
+            raise ValueError(f"ensemble mode does not support [{name}] "
+                             "(per-realization host state)")
+
+
+def _stack(states):
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *states)
+
+
+def member(states: ParticleState, i: int) -> ParticleState:
+    """Extract one member's state from a stacked ensemble pytree."""
+    return jax.tree_util.tree_map(lambda a: a[i], states)
+
+
+def run_ensemble(cfg: SimConfig, seeds, out_path=None,
+                 progress=None) -> EnsembleResult:
+    """Integrate one realization of ``cfg`` per seed, all in one program.
+
+    ``seeds`` is an iterable of ic.seed values (one member each). Writes
+    ``out_path`` (default: <out_dir>/ensemble.h5) and returns the stacked
+    final state plus the (T, E) diagnostics series.
+    """
+    _validate(cfg)
+    seeds = [int(s) for s in seeds]
+    if len(seeds) == 0:
+        raise ValueError("need at least one seed")
+
+    us = build_units(cfg)
+    external = build_external_potential(cfg, us)
+    states = []
+    for s in seeds:
+        c = dataclasses.replace(cfg, ic=dataclasses.replace(cfg.ic, seed=s))
+        st = build_ic(c, us)
+        states.append(place_on_orbit(st, external, c, us))
+    stacked = _stack(states)
+
+    force = make_force_model(
+        eps=cfg.integrator.eps, G=us.G, external=external,
+        backend="jnp", chunk=max(256, cfg.ic.n),
+        precision=cfg.integrator.precision)
+
+    if cfg.integrator.kind == "kdk":
+        from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
+        stepper = LeapfrogKDK(force=force, dt=cfg.integrator.dt)
+    else:
+        from oc_nbody_tpu.integrators.leapfrog import Yoshida4
+        stepper = Yoshida4(force=force, dt=cfg.integrator.dt)
+
+    out = cfg.output
+    if out.t_end_myr is not None:
+        out = dataclasses.replace(out, t_end=out.t_end_myr / us.time_myr)
+    if out.diag_every_myr is not None:
+        out = dataclasses.replace(
+            out, diag_every=out.diag_every_myr / us.time_myr)
+    # fixed dt: a whole diagnostics interval is one static step count, so
+    # the vmapped advance is ONE compiled program reused every interval
+    k = max(1, int(round(out.diag_every / cfg.integrator.dt)))
+    n_diag = max(1, math.ceil(
+        (out.t_end - float(stacked.time[0])) / out.diag_every - 1e-9))
+
+    vinit = jax.jit(jax.vmap(stepper.init))
+    vadv = jax.jit(jax.vmap(lambda c: stepper.advance(c, k)),
+                   donate_argnums=0)
+    vdiag = jax.jit(jax.vmap(lambda s: diag_mod.compute_all(
+        s, force, out.fractions, core=out.core_diag)))
+
+    wall0 = _time.perf_counter()
+    carry = vinit(stacked)
+    series: dict[str, list] = {}
+
+    def emit(row):
+        for key, v in row.items():
+            series.setdefault(key, []).append(np.asarray(v))
+
+    emit(jax.device_get(vdiag(carry.state)))
+    for i in range(1, n_diag + 1):
+        carry = vadv(carry)
+        row = jax.device_get(vdiag(carry.state))
+        if not np.all(np.isfinite(row["E_tot"])):
+            bad = [seeds[j] for j in np.nonzero(
+                ~np.isfinite(np.asarray(row["E_tot"])))[0]]
+            raise FloatingPointError(
+                f"non-finite total energy in members (seeds {bad}) at "
+                f"interval {i}")
+        emit(row)
+        if progress is not None:
+            progress(i, n_diag, row)
+
+    wall = _time.perf_counter() - wall0
+    table = {key: np.stack(v) for key, v in series.items()}   # (T, E)
+
+    if out_path is None:
+        import os
+
+        os.makedirs(out.out_dir, exist_ok=True)
+        out_path = os.path.join(out.out_dir, "ensemble.h5")
+    _write(out_path, cfg, seeds, table, carry.state)
+    return EnsembleResult(states=carry.state, diagnostics=table,
+                          seeds=seeds, out_path=out_path,
+                          wall_time_s=wall,
+                          n_steps=int(carry.n_steps[0]))
+
+
+def _write(path, cfg, seeds, table, states):
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["schema"] = "ensemble-v1"
+        f.attrs["config_json"] = cfg.to_json()
+        f.attrs["seeds"] = np.asarray(seeds, np.int64)
+        g = f.create_group("diagnostics")        # each column (T, E)
+        for key, v in table.items():
+            g.create_dataset(key, data=v)
+        s = f.create_group("final_state")        # stacked (E, N, ...)
+        s.create_dataset("pos", data=np.asarray(states.pos))
+        s.create_dataset("vel", data=np.asarray(states.vel))
+        s.create_dataset("mass", data=np.asarray(states.mass))
+        s.create_dataset("ids", data=np.asarray(states.ids))
+        s.create_dataset("time", data=np.asarray(states.time))
+
+
+def read_ensemble(path):
+    """(config_json, seeds, diagnostics dict of (T, E), final-state dict)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        cfg_json = f.attrs["config_json"]
+        seeds = list(np.asarray(f.attrs["seeds"]))
+        table = {k: np.asarray(v) for k, v in f["diagnostics"].items()}
+        fin = {k: np.asarray(v) for k, v in f["final_state"].items()}
+    return cfg_json, seeds, table, fin

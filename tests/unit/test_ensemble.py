@@ -1,0 +1,107 @@
+"""Ensemble (survey) mode: vmapped multi-realization runs
+(oc_nbody_tpu/ensemble.py). The batch axis is embarrassingly parallel, so
+each member must reproduce the single-run trajectory for its seed."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from oc_nbody_tpu.config import SimConfig
+from oc_nbody_tpu.ensemble import member, read_ensemble, run_ensemble
+from oc_nbody_tpu.run import run
+
+BASE = {
+    "units": {"kind": "henon", "mass_msun": 1000.0, "length_pc": 2.0},
+    "ic": {"kind": "plummer", "n": 64, "seed": 0},
+    "potential": {"kind": "milky_way"},
+    "orbit": {"kind": "circular", "R0_pc": 4000.0},
+    "integrator": {"kind": "kdk", "dt": 1.0 / 64, "eps": 1.0 / 32},
+    "output": {"t_end": 2.0, "diag_every": 0.5, "stdout": False},
+}
+
+
+def _cfg(out_dir, **over):
+    d = {k: dict(v) for k, v in BASE.items()}
+    for path, v in over.items():
+        sec, key = path.split(".")
+        d[sec][key] = v
+    d["output"]["out_dir"] = str(out_dir)
+    cfg = SimConfig.from_dict(d)
+    cfg.backend = "jnp"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ensemble_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ens")
+    cfg = _cfg(tmp / "ens")
+    res = run_ensemble(cfg, [3, 7, 11])
+    return tmp, cfg, res
+
+
+def test_members_match_single_runs(ensemble_run, tmp_path):
+    """Each vmapped member's trajectory and diagnostics row equals the
+    standalone run of that seed (the batch axis must not couple members
+    or change per-member numerics beyond reduction-order ulps)."""
+    _, cfg, res = ensemble_run
+    assert res.states.pos.shape == (3, 64, 3)
+    for i, seed in enumerate([3, 7, 11]):
+        c1 = _cfg(tmp_path / f"single{seed}")
+        c1.ic.seed = seed
+        r1 = run(c1)
+        m = member(res.states, i)
+        np.testing.assert_allclose(np.asarray(m.pos),
+                                   np.asarray(r1.state.pos),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(m.vel),
+                                   np.asarray(r1.state.vel),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(res.diagnostics["E_tot"][:, i],
+                                   r1.diagnostics["E_tot"], rtol=1e-12)
+        np.testing.assert_allclose(res.diagnostics["M_bound"][:, i],
+                                   r1.diagnostics["M_bound"], rtol=1e-12)
+
+
+def test_ensemble_h5_roundtrip(ensemble_run):
+    _, cfg, res = ensemble_run
+    cfg_json, seeds, table, fin = read_ensemble(res.out_path)
+    assert seeds == [3, 7, 11]
+    assert table["E_tot"].shape == res.diagnostics["E_tot"].shape
+    np.testing.assert_array_equal(fin["pos"], np.asarray(res.states.pos))
+    assert "r_core" in table          # structure columns ride along
+
+
+def test_ensemble_scatter_is_real(ensemble_run):
+    """Different seeds genuinely differ (the stack is not one realization
+    broadcast E times)."""
+    _, _, res = ensemble_run
+    r50 = res.diagnostics["r_lagr_50"][-1]
+    assert np.unique(r50).size == r50.size
+
+
+def test_ensemble_validation(tmp_path):
+    cfg = _cfg(tmp_path / "v", **{"integrator.kind": "hermite"})
+    with pytest.raises(ValueError, match="fixed-step"):
+        run_ensemble(cfg, [0])
+    cfg2 = _cfg(tmp_path / "v2")
+    cfg2 = dataclasses.replace(
+        cfg2, sev=dataclasses.replace(cfg2.sev, kind="simple"))
+    with pytest.raises(ValueError, match="sev"):
+        run_ensemble(cfg2, [0])
+    with pytest.raises(ValueError, match="seed"):
+        run_ensemble(_cfg(tmp_path / "v3"), [])
+
+
+def test_ensemble_cli(tmp_path, capsys):
+    from oc_nbody_tpu.__main__ import main
+    out = tmp_path / "cli"
+    rc = main(["ensemble", "configs/c1_plummer_1k.toml",
+               "--set", "ic.n=32", "--set", "output.t_end=0.5",
+               "--set", "output.diag_every=0.25",
+               "--set", f"output.out_dir={out}",
+               "--set", "output.stdout=false",
+               "--seeds", "0:4"])
+    assert rc == 0
+    _, seeds, table, _ = read_ensemble(str(out / "ensemble.h5"))
+    assert seeds == [0, 1, 2, 3]
+    assert table["E_tot"].shape[1] == 4
