@@ -168,12 +168,15 @@ def king(
 
 
 def _potential_energy_np(pos, m, chunk: int = 1024):
-    """Exact (unsoftened) pairwise PE, chunked f64 numpy."""
-    n = pos.shape[0]
-    pe = 0.0
-    for i0 in range(0, n, chunk):
-        p = pos[i0:i0 + chunk]
-        d = np.linalg.norm(p[:, None, :] - pos[None, :, :], axis=-1)
-        iu = 1.0 / np.where(d > 0, d, np.inf)
-        pe -= 0.5 * (m[i0:i0 + chunk, None] * m[None, :] * iu).sum()
-    return pe
+    """Exact (unsoftened, f64) pairwise PE via the framework's own blocked
+    kernel. This used to be a chunked numpy broadcast — measured 75 s at
+    N=16,384 and ~20 min at 65,536 (the broadcast temporaries strangle
+    numpy), which silently dominated KING/EDDINGTON IC construction; the
+    XLA path is the same O(N²) at device speed (~60 ms on the chip at
+    65k, seconds on CPU)."""
+    from oc_nbody_tpu.ops import gravity
+
+    _, phi = gravity.accel_potential(
+        jnp.asarray(pos, jnp.float64), jnp.asarray(m, jnp.float64),
+        0.0, 1.0, compute_dtype=jnp.float64, chunk=min(chunk, 512))
+    return 0.5 * float(jnp.sum(jnp.asarray(m, jnp.float64) * phi))
