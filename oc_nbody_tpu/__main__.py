@@ -42,6 +42,10 @@ def main(argv=None):
                             "comma list, e.g. 0:64 or 3,17,42")
     p_ens.add_argument("--out", default=None,
                        help="output H5 path (default out_dir/ensemble.h5)")
+    p_ens.add_argument("--sweep", default=None, metavar="a.b=v1,v2,...",
+                       help="add a state-side parameter axis (ic.* or "
+                            "orbit.*): runs the cartesian product "
+                            "seeds x values, e.g. orbit.R0_pc=3000,4500,6000")
     p_ens.add_argument("--platform", default=None, choices=("cpu", "tpu"))
 
     p_info = sub.add_parser("info", help="print a resolved config")
@@ -76,6 +80,11 @@ def main(argv=None):
         else:
             seeds = [int(s) for s in args.seeds.split(",") if s]
 
+        sweep = None
+        if args.sweep:
+            key, vals = args.sweep.split("=", 1)
+            sweep = {key: [float(v) for v in vals.split(",") if v]}
+
         from oc_nbody_tpu.ensemble import run_ensemble
 
         def progress(i, n, row):
@@ -84,7 +93,7 @@ def main(argv=None):
             print(f"interval {i}/{n}  <E>={e.mean():+.6e}  "
                   f"members={e.size}", flush=True)
 
-        res = run_ensemble(cfg, seeds, out_path=args.out,
+        res = run_ensemble(cfg, seeds, out_path=args.out, sweep=sweep,
                            progress=progress if cfg.output.stdout else None)
         print(f"done: {len(seeds)} members x {res.n_steps} steps "
               f"wall={res.wall_time_s:.1f}s out={res.out_path}")

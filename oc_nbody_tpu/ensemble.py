@@ -86,27 +86,51 @@ def member(states: ParticleState, i: int) -> ParticleState:
     return jax.tree_util.tree_map(lambda a: a[i], states)
 
 
-def run_ensemble(cfg: SimConfig, seeds, out_path=None,
+def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
                  progress=None) -> EnsembleResult:
-    """Integrate one realization of ``cfg`` per seed, all in one program.
+    """Integrate one realization of ``cfg`` per member, all in one program.
 
-    ``seeds`` is an iterable of ic.seed values (one member each). Writes
-    ``out_path`` (default: <out_dir>/ensemble.h5) and returns the stacked
-    final state plus the (T, E) diagnostics series.
+    ``seeds`` is an iterable of ic.seed values. ``sweep`` optionally adds
+    a parameter axis: ``{"orbit.R0_pc": [3000, 4000, 6000]}`` runs the
+    CARTESIAN PRODUCT seeds × values (a survey grid). Sweep keys must be
+    STATE-side (``ic.*`` except ``ic.n``, or ``orbit.*``) — they shape the
+    initial conditions only, so every member shares one force model /
+    external potential and the whole grid stays a single vmapped program.
+    Writes ``out_path`` (default: <out_dir>/ensemble.h5) and returns the
+    stacked final state plus the (T, E) diagnostics series.
     """
     _validate(cfg)
     seeds = [int(s) for s in seeds]
     if len(seeds) == 0:
         raise ValueError("need at least one seed")
+    if sweep:
+        if len(sweep) != 1:
+            raise ValueError("sweep supports one parameter axis")
+        (skey, svals), = sweep.items()
+        sec = skey.split(".")[0]
+        if sec not in ("ic", "orbit") or skey == "ic.n":
+            raise ValueError(
+                f"sweep key {skey!r} must be state-side (ic.* except ic.n, "
+                "or orbit.*): force-side parameters would break the shared "
+                "force model / single-program design")
+        members = [(s, v) for v in svals for s in seeds]
+    else:
+        skey, members = None, [(s, None) for s in seeds]
+
+    from oc_nbody_tpu.config import apply_overrides
 
     us = build_units(cfg)
     external = build_external_potential(cfg, us)
     states = []
-    for s in seeds:
+    for s, v in members:
         c = dataclasses.replace(cfg, ic=dataclasses.replace(cfg.ic, seed=s))
+        if v is not None:
+            c = apply_overrides(c, [f"{skey}={v}"])
         st = build_ic(c, us)
         states.append(place_on_orbit(st, external, c, us))
     stacked = _stack(states)
+    seeds = [s for s, _ in members]                 # per-member metadata
+    sweep_vals = [v for _, v in members] if sweep else None
 
     force = make_force_model(
         eps=cfg.integrator.eps, G=us.G, external=external,
@@ -168,20 +192,24 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None,
 
         os.makedirs(out.out_dir, exist_ok=True)
         out_path = os.path.join(out.out_dir, "ensemble.h5")
-    _write(out_path, cfg, seeds, table, carry.state)
+    _write(out_path, cfg, seeds, table, carry.state,
+           sweep_key=skey, sweep_vals=sweep_vals)
     return EnsembleResult(states=carry.state, diagnostics=table,
                           seeds=seeds, out_path=out_path,
                           wall_time_s=wall,
                           n_steps=int(carry.n_steps[0]))
 
 
-def _write(path, cfg, seeds, table, states):
+def _write(path, cfg, seeds, table, states, sweep_key=None, sweep_vals=None):
     import h5py
 
     with h5py.File(path, "w") as f:
         f.attrs["schema"] = "ensemble-v1"
         f.attrs["config_json"] = cfg.to_json()
         f.attrs["seeds"] = np.asarray(seeds, np.int64)
+        if sweep_key is not None:
+            f.attrs["sweep_key"] = sweep_key
+            f.attrs["sweep_values"] = np.asarray(sweep_vals, np.float64)
         g = f.create_group("diagnostics")        # each column (T, E)
         for key, v in table.items():
             g.create_dataset(key, data=v)
@@ -194,7 +222,9 @@ def _write(path, cfg, seeds, table, states):
 
 
 def read_ensemble(path):
-    """(config_json, seeds, diagnostics dict of (T, E), final-state dict)."""
+    """(config_json, seeds, diagnostics dict of (T, E), final-state dict).
+    With a sweep axis the per-member value rides in the final-state dict
+    under ``"sweep_values"`` (key in the file's ``sweep_key`` attr)."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -202,4 +232,7 @@ def read_ensemble(path):
         seeds = list(np.asarray(f.attrs["seeds"]))
         table = {k: np.asarray(v) for k, v in f["diagnostics"].items()}
         fin = {k: np.asarray(v) for k, v in f["final_state"].items()}
+        if "sweep_key" in f.attrs:
+            fin["sweep_key"] = str(f.attrs["sweep_key"])
+            fin["sweep_values"] = np.asarray(f.attrs["sweep_values"])
     return cfg_json, seeds, table, fin

@@ -92,6 +92,24 @@ def test_ensemble_validation(tmp_path):
         run_ensemble(_cfg(tmp_path / "v3"), [])
 
 
+def test_ensemble_sweep_axis(tmp_path):
+    """The sweep axis runs seeds x values; the swept parameter genuinely
+    shapes each member (orbit radius shows up in the density centre)."""
+    cfg = _cfg(tmp_path / "sweep")
+    res = run_ensemble(cfg, [3, 7], sweep={"orbit.R0_pc": [3000.0, 6000.0]})
+    assert res.states.pos.shape[0] == 4           # 2 seeds x 2 values
+    assert res.seeds == [3, 7, 3, 7]
+    R = np.sqrt(res.diagnostics["cx"][0] ** 2
+                + res.diagnostics["cy"][0] ** 2)  # code units (L = 2 pc)
+    np.testing.assert_allclose(R, [1500, 1500, 3000, 3000], rtol=1e-2)
+    _, _, _, fin = read_ensemble(res.out_path)
+    assert fin["sweep_key"] == "orbit.R0_pc"
+    np.testing.assert_allclose(fin["sweep_values"],
+                               [3000, 3000, 6000, 6000])
+    with pytest.raises(ValueError, match="state-side"):
+        run_ensemble(cfg, [0], sweep={"integrator.eps": [0.1]})
+
+
 def test_ensemble_cli(tmp_path, capsys):
     from oc_nbody_tpu.__main__ import main
     out = tmp_path / "cli"
