@@ -110,6 +110,23 @@ def test_ensemble_sweep_axis(tmp_path):
         run_ensemble(cfg, [0], sweep={"integrator.eps": [0.1]})
 
 
+def test_ensemble_stats_script(ensemble_run):
+    import importlib.util
+    import os
+
+    _, _, res = ensemble_run
+    spec = importlib.util.spec_from_file_location(
+        "ensemble_stats", os.path.join(os.path.dirname(__file__),
+                                       "..", "..", "analysis",
+                                       "ensemble_stats.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.summarize(res.out_path)
+    assert [r["seed"] for r in rows] == [3, 7, 11]
+    assert all(np.isfinite(r["M_bound_final"]) for r in rows)
+    assert mod.main([res.out_path, "--json"]) == 0
+
+
 def test_ensemble_cli(tmp_path, capsys):
     from oc_nbody_tpu.__main__ import main
     out = tmp_path / "cli"
