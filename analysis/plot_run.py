@@ -60,10 +60,11 @@ def main(argv=None):
         # conserved quantity (constant only after any growth ramp)
         ax.plot(t, d["dEJ_over_EJ"], lw=1, ls=":", label="dE_J / |E_J(0)|")
     if "dE_cons_over_E_int" in d:
-        # stellar evolution configured: E_tot steps at every death, so the
-        # conservation check is the ledger-corrected residual
+        # stellar evolution / escape pruning configured: E_tot steps at
+        # every out-of-band event, so the conservation check is the
+        # ledger-corrected residual (E_sev_cum + E_prune_cum subtracted)
         ax.plot(t, d["dE_cons_over_E_int"], lw=1, ls="-.",
-                label="(dE − E_sev) / |E_int(0)|")
+                label="(dE − ledgers) / |E_int(0)|")
     if ("dE_over_E_int" in d or "dEJ_over_EJ" in d
             or "dE_cons_over_E_int" in d):
         ax.legend(fontsize=8)
@@ -90,6 +91,13 @@ def main(argv=None):
         # distinct from tidal stripping (bound-fraction) losses
         ax.plot(t, d["M_tot"] / d["M_tot"][0], lw=1, ls="--",
                 color="tab:purple", label="M_tot (stellar evolution)")
+        ax.legend(fontsize=8)
+    if "N_cluster" in d:
+        # escape pruning: the source-partition fraction (stars still
+        # treated as pairwise sources) tracks — and lags — the bound mass
+        n0 = np.nanmax(d["N_cluster"])
+        ax.plot(t, d["N_cluster"] / max(n0, 1), lw=1, ls=":",
+                color="tab:brown", label="N_cluster/N (prune partition)")
         ax.legend(fontsize=8)
     ax.set_xlabel("t [code]")
     ax.set_ylabel("M / M(0)")
