@@ -8,8 +8,9 @@ MANY realizations. ``run_ensemble`` stacks E realizations (same config,
 different ``ic.seed``) into one batched pytree and drives the SAME stepper
 code under ``jax.vmap``: one XLA program integrates the whole ensemble, so
 the per-dispatch overhead amortizes across members and the chip stays
-busy. Measured: 64 × N=1024 KDK ensembles step at ~19x the serial
-single-run rate (bench/ensemble_throughput.py).
+busy. Measured on the chip (bench/ensemble_throughput.json): N=1024 KDK
+members step at 8.0x the serial single-run rate for E=16, 12.8x for E=64,
+14.6x for E=256.
 
 Design constraints (v1, enforced):
 
