@@ -188,11 +188,14 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
     wall = _time.perf_counter() - wall0
     table = {key: np.stack(v) for key, v in series.items()}   # (T, E)
 
-    if out_path is None:
-        import os
+    import os
 
-        os.makedirs(out.out_dir, exist_ok=True)
+    if out_path is None:
         out_path = os.path.join(out.out_dir, "ensemble.h5")
+    # create the parent for explicit out_path too — an ensemble is minutes
+    # of compute; dying at write time over a missing directory loses it all
+    # (measured: a 48-member survey completed, then errno-2'd here)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     _write(out_path, cfg, seeds, table, carry.state,
            sweep_key=skey, sweep_vals=sweep_vals)
     return EnsembleResult(states=carry.state, diagnostics=table,

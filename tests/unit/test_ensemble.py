@@ -92,6 +92,16 @@ def test_ensemble_validation(tmp_path):
         run_ensemble(_cfg(tmp_path / "v3"), [])
 
 
+def test_ensemble_explicit_out_path_creates_parent(tmp_path):
+    # regression: an explicit out_path into a directory that does not exist
+    # yet must not lose the completed survey at write time (a 48-member TPU
+    # run finished its compute, then errno-2'd creating the H5)
+    cfg = _cfg(tmp_path / "ignored_out_dir", **{"output.t_end": 0.5})
+    out = tmp_path / "does" / "not" / "exist" / "ens.h5"
+    res = run_ensemble(cfg, [1, 2], out_path=str(out))
+    assert out.exists() and res.out_path == str(out)
+
+
 def test_ensemble_sweep_axis(tmp_path):
     """The sweep axis runs seeds x values; the swept parameter genuinely
     shapes each member (orbit radius shows up in the density centre)."""
