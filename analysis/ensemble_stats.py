@@ -45,11 +45,58 @@ def summarize(path):
     return rows
 
 
+def plot(path, out):
+    """Survey figure: bound-mass evolution per sweep group (mean line +
+    min/max band across seeds) and the final-value summary."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _, seeds, table, fin = read_ensemble(path)
+    t = table["time"][:, 0]
+    mb = table["M_bound"] / np.maximum(table["M_bound"][0], 1e-300)
+    if "sweep_values" in fin:
+        key = fin["sweep_key"]
+        vals = np.asarray(fin["sweep_values"], float)
+        groups = [(f"{key}={v:g}", mb[:, vals == v]) for v in
+                  sorted(set(vals.tolist()))]
+    else:
+        groups = [(f"{mb.shape[1]} seeds", mb)]
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 3.8), constrained_layout=True)
+    for label, g in groups:
+        (line,) = axes[0].plot(t, g.mean(axis=1), label=label)
+        axes[0].fill_between(t, g.min(axis=1), g.max(axis=1),
+                             color=line.get_color(), alpha=0.2, lw=0)
+    axes[0].set_xlabel("t [code units]")
+    axes[0].set_ylabel("M_bound / M_bound(0)")
+    axes[0].set_title(f"bound mass, {mb.shape[1]} members")
+    axes[0].legend(fontsize=8)
+
+    finals = [g[-1] for _, g in groups]
+    axes[1].errorbar(range(len(groups)), [f.mean() for f in finals],
+                     yerr=[f.std() for f in finals], fmt="o", capsize=4)
+    for i, f in enumerate(finals):  # per-seed scatter behind the mean
+        axes[1].plot(np.full(f.size, i), f, ".", color="0.6", ms=4, zorder=0)
+    axes[1].set_xticks(range(len(groups)),
+                       [lbl for lbl, _ in groups], fontsize=8)
+    axes[1].set_ylabel("final M_bound fraction")
+    axes[1].set_title("final, mean ± σ over seeds")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--save", default=None, metavar="FIG.png",
+                    help="write the survey figure (bound-mass evolution "
+                         "per sweep group + final-value summary)")
     args = ap.parse_args(argv)
+    if args.save:
+        plot(args.path, args.save)
     rows = summarize(args.path)
     if args.json:
         print(json.dumps(rows, indent=1))

@@ -135,6 +135,9 @@ def test_ensemble_stats_script(ensemble_run):
     assert [r["seed"] for r in rows] == [3, 7, 11]
     assert all(np.isfinite(r["M_bound_final"]) for r in rows)
     assert mod.main([res.out_path, "--json"]) == 0
+    fig = os.path.join(os.path.dirname(res.out_path), "survey.png")
+    assert mod.main([res.out_path, "--json", "--save", fig]) == 0
+    assert os.path.exists(fig)
 
 
 def test_ensemble_cli(tmp_path, capsys):
