@@ -95,7 +95,7 @@ def main(argv=None):
 
         res = run_ensemble(cfg, seeds, out_path=args.out, sweep=sweep,
                            progress=progress if cfg.output.stdout else None)
-        print(f"done: {len(seeds)} members x {res.n_steps} steps "
+        print(f"done: {len(res.seeds)} members x {res.n_steps} steps "
               f"wall={res.wall_time_s:.1f}s out={res.out_path}")
         return 0
 

@@ -152,10 +152,19 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
         out = dataclasses.replace(
             out, diag_every=out.diag_every_myr / us.time_myr)
     # fixed dt: a whole diagnostics interval is one static step count, so
-    # the vmapped advance is ONE compiled program reused every interval
+    # the vmapped advance is ONE compiled program reused every interval.
+    # When diag_every is not an integer multiple of dt the REALIZED cadence
+    # is k*dt — n_diag must be derived from it, or the run silently ends
+    # early (e.g. diag_every=0.025, dt=0.01 -> k=2 -> 20% short); warn so
+    # members stay comparable with equivalent single runs (ADVICE round-3).
     k = max(1, int(round(out.diag_every / cfg.integrator.dt)))
+    realized = k * cfg.integrator.dt
+    if abs(realized - out.diag_every) > 1e-9 * max(realized, out.diag_every):
+        print(f"ensemble: diag_every={out.diag_every:g} is not a multiple "
+              f"of dt={cfg.integrator.dt:g}; using the realized cadence "
+              f"{realized:g} ({k} steps/interval)", flush=True)
     n_diag = max(1, math.ceil(
-        (out.t_end - float(stacked.time[0])) / out.diag_every - 1e-9))
+        (out.t_end - float(stacked.time[0])) / realized - 1e-9))
 
     vinit = jax.jit(jax.vmap(stepper.init))
     vadv = jax.jit(jax.vmap(lambda c: stepper.advance(c, k)),

@@ -78,8 +78,8 @@ class ForceModel:
     # padding up to a power-of-two bucket so shapes stay static (recompiles
     # are bounded to O(log N) bucket sizes, not one per boundary). Targets
     # stay ALL N stars: tail stars keep integrating in the external field
-    # plus the exact force from every cluster star; only tail–tail (and
-    # tail→cluster) interactions are dropped — the reduced Hamiltonian the
+    # plus the exact force from every cluster star; only tail–tail
+    # interactions are dropped — the reduced Hamiltonian the
     # driver's E_prune_cum ledger accounts for. All three are pytree
     # leaves: the driver threads them as jit ARGUMENTS (new index values
     # reuse the compiled program; only a bucket-size change recompiles).
@@ -460,11 +460,21 @@ class ForceModel:
         honest winner on both backends for small row sets (ADVICE round-2:
         these used to fall through to f32 silently).
 
-        Escape pruning: ``rows_mask`` (1 = cluster member) selects per row
+        Escape pruning: ``rows_mask`` (1 = cluster member, 0 = tail;
+        values strictly between mark don't-care fill rows) selects per row
         between two evaluations — cluster rows × ALL sources (full
         physics) and tail rows × the cluster bucket (tail–tail dropped) —
         the same Hamiltonian contract as the shared pruned evals. The
-        block stepper passes the gathered membership of its active rows."""
+        block stepper passes the gathered membership of its active rows.
+
+        Cost (ADVICE round-3: the first version always evaluated BOTH
+        sweeps, rows×(N+B), strictly slower than unpruned): a lax.switch
+        on the rows' actual membership pays only what this step needs —
+        all-cluster steps (the deep rungs) cost rows×N exactly like the
+        unpruned path, all-tail steps (the shallow rungs tail stars ride)
+        cost rows×B — THE pruning win on the block path, since at late
+        times most of N is tail on shallow rungs — and only mixed steps
+        (block-grid sync boundaries) pay both."""
         if self.pruned:
             if rows_mask is None:
                 raise ValueError(
@@ -475,13 +485,28 @@ class ForceModel:
                                                 vel=src_vel)
             base = dataclasses.replace(self, src_idx=None, src_wgt=None,
                                        src_mask=None)
-            a_cl, j_cl = base.accel_jerk_on_rows(pos_rows, vel_rows,
-                                                 src_pos, src_vel, src_mass)
-            a_tail, j_tail = base.accel_jerk_on_rows(pos_rows, vel_rows,
-                                                     sp, sv, sm)
-            mb = rows_mask.astype(bool)[:, None]
-            return (jnp.where(mb, a_cl, a_tail),
-                    jnp.where(mb, j_cl, j_tail))
+
+            def eval_cluster(_):
+                return base.accel_jerk_on_rows(pos_rows, vel_rows,
+                                               src_pos, src_vel, src_mass)
+
+            def eval_tail(_):
+                return base.accel_jerk_on_rows(pos_rows, vel_rows,
+                                               sp, sv, sm)
+
+            def eval_mixed(_):
+                a_cl, j_cl = eval_cluster(None)
+                a_tail, j_tail = eval_tail(None)
+                mb = (rows_mask >= 0.5)[:, None]
+                return (jnp.where(mb, a_cl, a_tail),
+                        jnp.where(mb, j_cl, j_tail))
+
+            any_tail = jnp.any(rows_mask == 0.0)
+            any_cl = jnp.any(rows_mask == 1.0)
+            which = jnp.where(any_tail & any_cl, 2,
+                              jnp.where(any_tail, 1, 0)).astype(jnp.int32)
+            return jax.lax.switch(
+                which, [eval_cluster, eval_tail, eval_mixed], 0)
         if self.precision == "extended" and self._resolve() == "pallas":
             # extended-tier active-row evaluation (block timesteps);
             # accel_jerk_rows_x centres and hi/lo-splits internally

@@ -285,9 +285,13 @@ class BlockHermite:
                 # (scoped-VMEM overflow at N≳32k) or a bool sort.
                 _, idx = jax.lax.top_k(active.astype(jnp.int32), b)
                 valid = jnp.arange(b) < jnp.sum(active)
+                # fill rows (inactive, results discarded) carry a 0.5
+                # "don't-care" membership so they can't force the pruned
+                # eval's mixed (both-sweeps) branch (forces.py cost note)
+                rmask = None if pmask is None else jnp.where(
+                    valid, pmask[idx], 0.5)
                 a_r, j_r = force.accel_jerk_on_rows(
-                    xp[idx], vp[idx], xp, vp, mass,
-                    rows_mask=None if pmask is None else pmask[idx])
+                    xp[idx], vp[idx], xp, vp, mass, rows_mask=rmask)
                 # scatter via an overflow row so fill slots never clobber
                 idx_s = jnp.where(valid, idx, n)
                 a_full = jnp.zeros((n + 1, 3), xp.dtype).at[idx_s].set(a_r)[:n]

@@ -109,7 +109,7 @@ def _run(cfg: SimConfig, resume: bool = False,
     # (only a bucket-size change recompiles).
     pruning = bool(cfg.escape.prune)
     _prune = {"src": None, "e_cum": 0.0, "mask": None,
-              "n_cluster": scene.state.pos.shape[0]}
+              "n_cluster": scene.state.pos.shape[0], "warned_inf": False}
     if pruning:
         from oc_nbody_tpu import escape as escape_mod
         from oc_nbody_tpu.forces import ForceModel as _FM
@@ -144,6 +144,18 @@ def _run(cfg: SimConfig, resume: bool = False,
         mask_np = None
         new = None
         n_c = state.pos.shape[0]
+        if not np.isfinite(r_cut) and not _prune["warned_inf"]:
+            # tensor-method tidal radius needs a positive tidal coefficient
+            # (Omega^2 - d^2Phi/dR^2 > 0): inside a rising rotation curve or
+            # during a deep perturber/bar passage it goes non-positive ->
+            # r_t = inf and pruning silently never activates. Say so ONCE
+            # (VERDICT round-3 W6: nothing told the user why their [escape]
+            # config did nothing).
+            _prune["warned_inf"] = True
+            print("escape.prune: tidal radius is infinite at this boundary "
+                  "(non-stripping potential here: tidal coefficient "
+                  "Omega^2 - d^2Phi/dR^2 <= 0) - pruning stays inactive "
+                  "until a finite tidal radius exists", flush=True)
         if np.isfinite(r_cut):
             mask_np = np.asarray(jax.device_get(
                 escape_mod.cluster_mask(state, center, r_cut)))
