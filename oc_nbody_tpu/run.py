@@ -119,9 +119,9 @@ def _run(cfg: SimConfig, resume: bool = False,
         if scene.force.external is None:
             raise ValueError("escape.prune needs an external potential "
                              "(the cut is in tidal radii)")
-        if scene.force.precision != "f32":
-            raise ValueError("escape.prune supports the f32 tier only "
-                             f"(got {scene.force.precision!r})")
+        if scene.force.precision not in ("f32", "extended"):
+            raise ValueError("escape.prune supports the f32 and extended "
+                             f"tiers only (got {scene.force.precision!r})")
         if host_stepping:
             raise ValueError("escape.prune is not wired through the "
                              "macro_batches dispatch path")

