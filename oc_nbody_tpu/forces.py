@@ -433,22 +433,140 @@ class ForceModel:
                 "batched oversized evals support the f32/extended Pallas "
                 f"tiers only (got precision={self.precision!r}, "
                 f"backend={self._resolve()!r})")
-        if self.pruned:
-            raise ValueError(
-                "escape pruning is not wired through the batched "
-                "(macro_batches) dispatch path — disable escape.prune or "
-                "macro_batches")
         if self.friction is not None:
             raise ValueError(
                 "dynamical friction is not wired through the batched "
                 "(macro_batches) dispatch path — disable [friction] or "
                 "macro_batches")
 
+    # ---- pruned oversized evals (VERDICT round-3 Missing #1: escape
+    # pruning composed with the macro/batched scale machinery) ----------
+    def _pruned_batched_eval(self, pos, mass, n_batches, vel=None,
+                             want: str = "accel"):
+        """The pruned two-sweep evaluation split into ~2·n_batches bounded
+        dispatches (the macro path's watchdog contract):
+
+          sweep 1 — row chunks × cluster bucket   ((N/nb)·B pairs each)
+          sweep 2 — bucket rows × source chunks   (B·(N/nb) pairs each,
+                    partials summed in f64 host-side: B is small)
+
+        Rows/sources are padded to a whole number of chunks so every
+        dispatch shares ONE compiled shape (zero-mass padding contributes
+        nothing; padded rows are trimmed after the concat). Returns the
+        pair-only outputs (no external field), full-N, in pos.dtype."""
+        from oc_nbody_tpu.ops import pallas_gravity as pg
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        g = dict(guarded=not self.softened)
+        n = int(pos.shape[0])
+        nb = max(1, int(n_batches))
+        cs = -(-n // nb)
+        total = nb * cs
+
+        def padto(a):
+            if a.shape[0] == total:
+                return a
+            w = ((0, total - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, w)
+
+        if self.precision == "extended":
+            (rhi, rlo, bhi, blo, gm_b, gm_all,
+             v) = self._pruned_prep_x(pos, mass, vel=vel)
+            rhi, rlo, gm_all = padto(rhi), padto(rlo), padto(gm_all)
+            if v is not None:
+                (vrhi, vrlo), (vbhi, vblo) = v
+                vrhi, vrlo = padto(vrhi), padto(vrlo)
+            if want == "accel":
+                def f1(s):
+                    return (pg.accel_rows_x_hilo(rhi[s], rlo[s], bhi, blo,
+                                                 gm_b, eps32, **g),)
+
+                def f2(s):
+                    return (pg.accel_rows_x_hilo(bhi, blo, rhi[s], rlo[s],
+                                                 gm_all[s], eps32, **g),)
+            elif want == "phi":
+                def f1(s):
+                    return pg.accel_potential_rows_x_hilo(
+                        rhi[s], rlo[s], bhi, blo, gm_b, eps32, **g)
+
+                def f2(s):
+                    return pg.accel_potential_rows_x_hilo(
+                        bhi, blo, rhi[s], rlo[s], gm_all[s], eps32, **g)
+            else:
+                def f1(s):
+                    return pg.accel_jerk_rows_x_hilo(
+                        rhi[s], rlo[s], vrhi[s], vrlo[s],
+                        bhi, blo, vbhi, vblo, gm_b, eps32, **g)
+
+                def f2(s):
+                    return pg.accel_jerk_rows_x_hilo(
+                        bhi, blo, vbhi, vblo,
+                        rhi[s], rlo[s], vrhi[s], vrlo[s],
+                        gm_all[s], eps32, **g)
+            # gm = G·m, so self_phi with G = 1 gives exactly +G m/eps
+            self_phi_args = (gm_all[: n][self.src_idx], eps32, 1.0)
+        else:
+            (rows_c, bucket_c, bmass_c, amass_c, vrows_c,
+             vbucket_c) = self._pruned_prep(pos, mass, vel=vel)
+            rows_c, amass_c = padto(rows_c), padto(amass_c)
+            if vrows_c is not None:
+                vrows_c = padto(vrows_c)
+            if want == "accel":
+                def f1(s):
+                    return (pg.accel_rows(rows_c[s], bucket_c, bmass_c,
+                                          eps32, G32, **g),)
+
+                def f2(s):
+                    return (pg.accel_rows(bucket_c, rows_c[s], amass_c[s],
+                                          eps32, G32, **g),)
+            elif want == "phi":
+                def f1(s):
+                    return pg.accel_potential_rows(
+                        rows_c[s], bucket_c, bmass_c, eps32, G32, **g)
+
+                def f2(s):
+                    return pg.accel_potential_rows(
+                        bucket_c, rows_c[s], amass_c[s], eps32, G32, **g)
+            else:
+                def f1(s):
+                    return pg.accel_jerk_rows(
+                        rows_c[s], vrows_c[s], bucket_c, vbucket_c,
+                        bmass_c, eps32, G32, **g)
+
+                def f2(s):
+                    return pg.accel_jerk_rows(
+                        bucket_c, vbucket_c, rows_c[s], vrows_c[s],
+                        amass_c[s], eps32, G32, **g)
+            self_phi_args = (amass_c[: n][self.src_idx], eps32, G32)
+
+        cuts = [slice(i * cs, (i + 1) * cs) for i in range(nb)]
+        # sweep 1: independent row chunks, concatenated then trimmed
+        parts = [f1(s) for s in cuts]
+        tails = [jnp.concatenate([p[k] for p in parts])[:n]
+                 for k in range(len(parts[0]))]
+        # sweep 2: source-chunk partials, f64 accumulation (B rows only;
+        # each chunk carries at most one self term per row, so phi's
+        # softened self term appears exactly once in the total)
+        acc2 = None
+        for s in cuts:
+            t = f2(s)
+            acc2 = ([x.astype(jnp.float64) for x in t] if acc2 is None
+                    else [a + x.astype(jnp.float64)
+                          for a, x in zip(acc2, t)])
+        if want == "phi":
+            acc2[1] = acc2[1] + gravity.self_phi(*self_phi_args)
+        out = [tail.at[self.src_idx].set(cl.astype(tail.dtype))
+               .astype(pos.dtype) for tail, cl in zip(tails, acc2)]
+        return tuple(out)
+
     def accel_batched(self, pos, mass, n_batches: int = 8):
         """Total acceleration via n_batches separate dispatches."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
-        if self.precision == "extended":
+        if self.pruned:
+            (acc,) = self._pruned_batched_eval(pos, mass, n_batches,
+                                               want="accel")
+        elif self.precision == "extended":
             acc = pallas_gravity.accel_sym_x_chunked_batched(
                 pos, mass, self.eps, self.G, guarded=not self.softened,
                 n_batches=n_batches)
@@ -464,7 +582,10 @@ class ForceModel:
         """(accel, phi_pair, phi_ext) via n_batches separate dispatches."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
-        if self.precision == "extended":
+        if self.pruned:
+            acc, phi_pair = self._pruned_batched_eval(pos, mass, n_batches,
+                                                      want="phi")
+        elif self.precision == "extended":
             acc, phi_pair = \
                 pallas_gravity.accel_potential_sym_x_chunked_batched(
                     pos, mass, self.eps, self.G, guarded=not self.softened,
@@ -490,7 +611,10 @@ class ForceModel:
         Hermite's force evaluation), incl. the external (v·∇)a_ext term."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
-        if self.precision == "extended":
+        if self.pruned:
+            acc, jerk = self._pruned_batched_eval(pos, mass, n_batches,
+                                                  vel=vel, want="jerk")
+        elif self.precision == "extended":
             acc, jerk = pallas_gravity.accel_jerk_sym_x_chunked_batched(
                 pos, vel, mass, self.eps, self.G,
                 guarded=not self.softened, n_batches=n_batches)

@@ -122,9 +122,6 @@ def _run(cfg: SimConfig, resume: bool = False,
         if scene.force.precision not in ("f32", "extended"):
             raise ValueError("escape.prune supports the f32 and extended "
                              f"tiers only (got {scene.force.precision!r})")
-        if host_stepping:
-            raise ValueError("escape.prune is not wired through the "
-                             "macro_batches dispatch path")
         if cfg.output.diag_f64:
             raise ValueError("escape.prune is inconsistent with "
                              "output.diag_f64 (the f64 diagnostics "
@@ -240,6 +237,13 @@ def _run(cfg: SimConfig, resume: bool = False,
 
     _init_jit = jax.jit(_init_fn)
 
+    def _macro_stepper(src):
+        """The host-stepped stepper bound to the current pruned source set
+        (plain dataclass replace — no tracing; macro force evals ARE the
+        dispatch-splitting host loops)."""
+        return stepper if src is None else dataclasses.replace(
+            stepper, force=_force_with(src))
+
     def _reinit(old_carry, new_state, keep_steps=False):
         """Rebuild the carry after an out-of-band change: stale acc/jerk
         are re-derived under the CURRENT pruned force while the run
@@ -252,9 +256,10 @@ def _run(cfg: SimConfig, resume: bool = False,
 
         Macro (host-stepped) steppers init eagerly: their force eval IS
         the dispatch-splitting host loop, which must not be traced (the
-        same rationale as the advance path; pruning is rejected for them,
-        so src is always None there)."""
-        c = (stepper.init(new_state) if host_stepping
+        same rationale as the advance path); the pruned source set is
+        threaded by swapping the stepper's force — a cheap dataclass
+        replace outside any jit."""
+        c = (_macro_stepper(_prune["src"]).init(new_state) if host_stepping
              else _init_jit(new_state, _prune["src"]))
         names = ("n_steps", "n_active_sum") + (
             ("dt_i", "dt") if keep_steps else ())
@@ -271,8 +276,11 @@ def _run(cfg: SimConfig, resume: bool = False,
             # e0 baseline below absorbs the t=0 reduced-Hamiltonian offset
             # (no ledger entry at t0)
             _repartition(scene.state)
-        carry = _init_jit(scene.state, _prune["src"]) if pruning \
-            else stepper.init(scene.state)
+        if host_stepping:
+            carry = _macro_stepper(_prune["src"]).init(scene.state)
+        else:
+            carry = _init_jit(scene.state, _prune["src"]) if pruning \
+                else stepper.init(scene.state)
     elif pruning:
         # resume: recompute the partition the uninterrupted run was using
         # (history-free, so it matches bitwise); the restored aux is
@@ -317,9 +325,11 @@ def _run(cfg: SimConfig, resume: bool = False,
     if host_stepping:
         # MacroKDK: advance_to_bounded IS the dispatch-splitting host
         # loop — wrapping it in jit would rebuild the one monolithic
-        # program it exists to avoid (escape.prune is rejected above)
+        # program it exists to avoid; the pruned source set rides on the
+        # stepper's force (round-4: escape.prune composes with macro)
         def advance_bounded(carry, t_target, src, max_steps):
-            return stepper.advance_to_bounded(carry, t_target, max_steps)
+            return _macro_stepper(src).advance_to_bounded(
+                carry, t_target, max_steps)
     else:
         # the pruned source set rides as a jit ARGUMENT: new index values
         # at each re-partition reuse the compiled program; only a bucket-
@@ -430,8 +440,22 @@ def _run(cfg: SimConfig, resume: bool = False,
 
     # initial diagnostics row; on resume, keep the ORIGINAL t=0 energy as the
     # drift baseline (read back from the run's diagnostics table)
-    _energy_only = jax.jit(
-        lambda state, force: diag_mod.energies(state, force)["E_tot"])
+    if host_stepping:
+        # the re-partition / SEV ledger bookkeeping needs E_tot at macro N:
+        # the O(N²) potential must come from the batched dispatches, not
+        # one monolithic in-jit eval (the same contract as compute_diag)
+        _energy_rest = jax.jit(
+            lambda state, force, phi: diag_mod.energies(
+                state, force, precomputed_phi=phi)["E_tot"])
+
+        def _energy_only(state, force):
+            force_t = force.at_time(state.time)
+            _, phi_pair, phi_ext = force_t.accel_potential_batched(
+                state.pos, state.mass, n_batches=stepper.n_batches)
+            return _energy_rest(state, force, (phi_pair, phi_ext))
+    else:
+        _energy_only = jax.jit(
+            lambda state, force: diag_mod.energies(state, force)["E_tot"])
 
     # dynamical friction: emit the instantaneous drag magnitude — with
     # friction on, E_tot decays PHYSICALLY (dE/E is not a conservation
