@@ -204,6 +204,34 @@ class ShardedForce:
     # _split_global). The df32 tier stays single-chip (make_sharded_force
     # rejects it with the routing rationale).
     precision: str = dataclasses.field(default="f32", metadata=dict(static=True))
+    # ---- escape pruning on the mesh (round-4: the bucket gather composes
+    # with row sharding). Same contract as ForceModel: sources become the
+    # gathered cluster bucket, only tail–tail interactions are dropped.
+    # The SHARDED cost story is better than the collectives suggest:
+    # sweep 1 (local rows × replicated bucket) needs NO collective at all
+    # — the full-source allgather/ring disappears — and sweep 2 (bucket ×
+    # local source shard) reduces one (B, ·) psum. Per-chip pairwise work
+    # drops from N²/D to 2·B·N/D. All three are pytree leaves (jit
+    # arguments; only a bucket-size change recompiles).
+    src_idx: Optional[jax.Array] = None
+    src_wgt: Optional[jax.Array] = None
+    src_mask: Optional[jax.Array] = None
+
+    @property
+    def pruned(self) -> bool:
+        return self.src_idx is not None
+
+    def with_sources(self, src_idx, src_wgt, src_mask) -> "ShardedForce":
+        """Return a copy using the pruned source set (escape pruning).
+        f32 tier only on the mesh for now: the hi/lo pruned planes would
+        need the bucket split under the same global frame as the shards —
+        wire it when a mesh dissolution run needs the extended tier."""
+        if self.precision != "f32":
+            raise ValueError(
+                "escape pruning on a mesh supports the f32 tier only "
+                f"(got precision={self.precision!r})")
+        return dataclasses.replace(self, src_idx=src_idx, src_wgt=src_wgt,
+                                   src_mask=src_mask)
 
     def at_time(self, t):
         """Bind the external field's evaluation time (same contract as
@@ -464,12 +492,107 @@ class ShardedForce:
             jerk = jerk + da_ext
         return acc, jerk
 
+    # ---- pruned (rows-vs-sources) sharded evaluation -------------------
+    def _pruned_eval(self, pos, mass, vel=None, want: str = "accel"):
+        """The pruned two-sweep evaluation on the mesh (same Hamiltonian
+        contract as ForceModel's pruned dispatch — only tail–tail dropped):
+
+          sweep 1 — LOCAL rows × replicated bucket (no collective)
+          sweep 2 — bucket × the local source shard, one psum over ICI
+
+        then the replicated sweep-2 results scatter into each shard's own
+        rows (src_idx ∈ [off, off+S) with positive weight; others route to
+        a discarded overflow slot). Per chip: (N/D)·B + B·(N/D) pairs and
+        ONE (B, ·)-sized collective — the full-source allgather/ring is
+        gone entirely, which is the sharded pruning win."""
+        k = self._rows_kernel()
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        G32 = jnp.asarray(self.G, jnp.float32)
+        n = pos.shape[0]
+        sp = pos[self.src_idx]
+        sm = (mass[self.src_idx]
+              * self.src_wgt.astype(mass.dtype)).astype(jnp.float32)
+        center = jnp.mean(sp.astype(jnp.float64), axis=0)
+        rows_c = (pos.astype(jnp.float64) - center).astype(jnp.float32)
+        bucket_c = (sp.astype(jnp.float64) - center).astype(jnp.float32)
+        amass_c = jnp.asarray(mass, jnp.float32)
+        args = [rows_c]
+        if vel is not None:
+            vcenter = jnp.mean(vel[self.src_idx].astype(jnp.float64),
+                               axis=0)
+            vrows_c = (vel.astype(jnp.float64) - vcenter).astype(jnp.float32)
+            vbucket_c = (vel[self.src_idx].astype(jnp.float64)
+                         - vcenter).astype(jnp.float32)
+            args.append(vrows_c)
+        args.append(amass_c)
+        padded = self._pad(args, n)
+        ax = self.axis
+        idx32 = self.src_idx.astype(jnp.int32)
+        live = self.src_wgt > 0
+
+        def shard_fn(*local):
+            if vel is None:
+                rows_l, amass_l = local
+            else:
+                rows_l, vrows_l, amass_l = local
+            S = rows_l.shape[0]
+            off = lax.axis_index(ax) * S
+            if want == "accel":
+                t1 = (k.accel_rows(rows_l, bucket_c, sm, eps32, G32,
+                                   self.chunk),)
+                t2 = (k.accel_rows(bucket_c, rows_l, amass_l, eps32, G32,
+                                   self.chunk),)
+            elif want == "phi":
+                t1 = k.accel_potential_rows(rows_l, bucket_c, sm, eps32,
+                                            G32, self.chunk)
+                t2 = k.accel_potential_rows(bucket_c, rows_l, amass_l,
+                                            eps32, G32, self.chunk)
+            else:
+                t1 = k.accel_jerk_rows(rows_l, vrows_l, bucket_c,
+                                       vbucket_c, sm, eps32, G32,
+                                       self.chunk)
+                t2 = k.accel_jerk_rows(bucket_c, vbucket_c, rows_l,
+                                       vrows_l, amass_l, eps32, G32,
+                                       self.chunk)
+            cl = tuple(lax.psum(p, ax) for p in t2)
+            in_shard = (idx32 >= off) & (idx32 < off + S) & live
+            idx_l = jnp.where(in_shard, idx32 - off, S)   # S = overflow
+            outs = []
+            for tail, c in zip(t1, cl):
+                pad = jnp.zeros((S + 1,) + tail.shape[1:], tail.dtype)
+                pad = pad.at[:S].set(tail)
+                outs.append(pad.at[idx_l].set(c)[:S])
+            return tuple(outs)
+
+        n_out = {"accel": 1, "phi": 2, "jerk": 2}[want]
+        out = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(ax),) * len(padded),
+            out_specs=(P(ax),) * n_out if n_out > 1 else P(ax),
+            check_vma=False,
+        )(*padded)
+        out = out if isinstance(out, tuple) else (out,)
+        out = [o[:n].astype(pos.dtype) for o in out]
+        if want == "phi":
+            # sweep-2 rows are sources of their own shard's source set:
+            # cancel the softened self term (live bucket entries only —
+            # padding duplicates a real index with weight 0)
+            corr = gravity.self_phi(amass_c[self.src_idx], eps32, G32)
+            out[1] = out[1].at[self.src_idx].add(
+                jnp.where(live, corr, 0.0).astype(out[1].dtype))
+        return tuple(out)
+
     # ---- public API (mirrors ForceModel) ------------------------------
     def accel(self, pos, mass, vel=None):
         # ``vel`` is accepted for call-site symmetry with ForceModel (the
         # KDK/Yoshida steppers pass their kick-point velocity for
         # velocity-dependent terms); dynamical friction is not supported
         # on a mesh, so it is unused here.
+        if self.pruned:
+            (acc,) = self._pruned_eval(pos, mass, want="accel")
+            if self.external is not None:
+                acc = acc + self.external.accel(pos)
+            return acc
         if self.precision == "extended":
             return self._accel_extended(pos, mass)
         k = self._rows_kernel()
@@ -538,6 +661,14 @@ class ShardedForce:
         return acc
 
     def accel_potential(self, pos, mass):
+        if self.pruned:
+            acc, phi = self._pruned_eval(pos, mass, want="phi")
+            if self.external is not None:
+                acc = acc + self.external.accel(pos)
+                phi_ext = self.external.phi(pos)
+            else:
+                phi_ext = jnp.zeros_like(phi)
+            return acc, phi, phi_ext
         if self.precision == "extended":
             return self._accel_potential_extended(pos, mass)
         k = self._rows_kernel()
@@ -614,6 +745,13 @@ class ShardedForce:
         return acc, phi, phi_ext
 
     def accel_jerk(self, pos, vel, mass):
+        if self.pruned:
+            acc, jerk = self._pruned_eval(pos, mass, vel=vel, want="jerk")
+            if self.external is not None:
+                a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
+                acc = acc + a_ext
+                jerk = jerk + da_ext
+            return acc, jerk
         if self.precision == "extended":
             return self._accel_jerk_extended(pos, vel, mass)
         k = self._rows_kernel()

@@ -114,8 +114,19 @@ def _run(cfg: SimConfig, resume: bool = False,
         from oc_nbody_tpu import escape as escape_mod
         from oc_nbody_tpu.forces import ForceModel as _FM
         if not isinstance(scene.force, _FM):
-            raise ValueError("escape.prune requires a single-device run "
-                             "(mesh.n_devices = 1)")
+            # sharded force (round-4: pruning composes with the mesh —
+            # ShardedForce.with_sources): f32 tier, shared-dt integrators
+            # (the block integrator's active-row eval is not pruned-wired
+            # on a mesh)
+            if scene.force.precision != "f32":
+                raise ValueError(
+                    "escape.prune on a mesh supports the f32 tier only "
+                    f"(got {scene.force.precision!r})")
+            if kind == "block":
+                raise ValueError(
+                    "escape.prune is not wired through the block "
+                    "integrator's active-row evaluation on a mesh — use "
+                    "kdk/yoshida4/hermite, or mesh.n_devices = 1")
         if scene.force.external is None:
             raise ValueError("escape.prune needs an external potential "
                              "(the cut is in tidal radii)")
