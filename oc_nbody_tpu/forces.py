@@ -41,6 +41,14 @@ def _ext_accel_jerk_jit(ext, pos, vel):
     return ext.accel_jerk_ext(pos, vel)
 
 
+@jax.jit
+def _friction_df_jit(friction, pos, vel, mass):
+    # the O(1)-per-eval rigid CoM drag as one small jitted program for the
+    # host-level batched paths (friction is a pytree argument, so the
+    # MacroKDK host loop hits one cache entry)
+    return friction.accel_df(pos, vel, mass)
+
+
 def _default_backend() -> str:
     # Mosaic kernels lower only on TPU; any other accelerator (GPU, future
     # backends) must take the XLA-fused jnp path.
@@ -433,11 +441,6 @@ class ForceModel:
                 "batched oversized evals support the f32/extended Pallas "
                 f"tiers only (got precision={self.precision!r}, "
                 f"backend={self._resolve()!r})")
-        if self.friction is not None:
-            raise ValueError(
-                "dynamical friction is not wired through the batched "
-                "(macro_batches) dispatch path — disable [friction] or "
-                "macro_batches")
 
     # ---- pruned oversized evals (VERDICT round-3 Missing #1: escape
     # pruning composed with the macro/batched scale machinery) ----------
@@ -559,8 +562,11 @@ class ForceModel:
                .astype(pos.dtype) for tail, cl in zip(tails, acc2)]
         return tuple(out)
 
-    def accel_batched(self, pos, mass, n_batches: int = 8):
-        """Total acceleration via n_batches separate dispatches."""
+    def accel_batched(self, pos, mass, n_batches: int = 8, vel=None):
+        """Total acceleration via n_batches separate dispatches. With
+        dynamical friction configured ``vel`` is required (the macro
+        steppers pass their kick-point velocities, same contract as
+        accel())."""
         self._require_batched()
         from oc_nbody_tpu.ops import pallas_gravity
         if self.pruned:
@@ -576,6 +582,13 @@ class ForceModel:
                 n_batches=n_batches)
         if self.external is not None:
             acc = acc + _ext_accel_jit(self.external, pos)
+        if self.friction is not None:
+            if vel is None:
+                raise ValueError(
+                    "this ForceModel carries dynamical friction: "
+                    "accel_batched() needs the velocities (vel=...)")
+            acc = acc + _friction_df_jit(self.friction, pos, vel,
+                                         mass).astype(acc.dtype)
         return acc
 
     def accel_potential_batched(self, pos, mass, n_batches: int = 8):
@@ -626,6 +639,11 @@ class ForceModel:
             a_ext, da_ext = _ext_accel_jerk_jit(self.external, pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
+        if self.friction is not None:
+            # zero jerk term — the same documented approximation as
+            # accel_jerk (drag varies on the orbital-decay timescale)
+            acc = acc + _friction_df_jit(self.friction, pos, vel,
+                                         mass).astype(acc.dtype)
         return acc, jerk
 
     def accel_potential(self, pos, mass):
@@ -663,6 +681,25 @@ class ForceModel:
         rows are centred on the source mean before the f32 cast; the
         external field acts on the raw row positions.
 
+        Dynamical friction (round-4: [friction] composes with the block
+        integrator): the rigid CoM drag is evaluated from the FULL source
+        state (the predicted positions/velocities the stepper passes) and
+        added to every active row — uniform, so it cancels in pairwise
+        separations exactly as on the shared-dt paths; zero jerk term
+        (same documented approximation as accel_jerk)."""
+        acc, jerk = self._accel_jerk_on_rows(pos_rows, vel_rows, src_pos,
+                                             src_vel, src_mass,
+                                             rows_mask=rows_mask)
+        if self.friction is not None:
+            acc = acc + self.friction.accel_df(
+                src_pos, src_vel, jnp.asarray(src_mass)).astype(acc.dtype)
+        return acc, jerk
+
+    def _accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel,
+                            src_mass, rows_mask=None):
+        """accel_jerk_on_rows minus the friction term (so the pruned
+        branches below can recurse without double-adding the drag).
+
         Precision tiers: extended+pallas uses the in-register EFT kernel;
         every OTHER non-f32 combination (df32 on any backend, extended on
         jnp) evaluates the rows in emulated/native f64 — exact, and the
@@ -696,12 +733,12 @@ class ForceModel:
                                        src_mask=None)
 
             def eval_cluster(_):
-                return base.accel_jerk_on_rows(pos_rows, vel_rows,
-                                               src_pos, src_vel, src_mass)
+                return base._accel_jerk_on_rows(pos_rows, vel_rows,
+                                                src_pos, src_vel, src_mass)
 
             def eval_tail(_):
-                return base.accel_jerk_on_rows(pos_rows, vel_rows,
-                                               sp, sv, sm)
+                return base._accel_jerk_on_rows(pos_rows, vel_rows,
+                                                sp, sv, sm)
 
             def eval_mixed(_):
                 a_cl, j_cl = eval_cluster(None)

@@ -183,12 +183,16 @@ class MacroKDK(LeapfrogKDK):
     n_batches: int = 8
     host_stepping: bool = True
 
-    def _accel(self, pos, mass, t):
+    def _accel(self, pos, mass, t, vel=None):
+        # ``vel`` is the kick-point velocity (same contract as the in-jit
+        # steppers' force.accel calls) — required when the force carries
+        # dynamical friction, unused otherwise
         return self.force.at_time(t).accel_batched(
-            pos, mass, n_batches=self.n_batches).astype(pos.dtype)
+            pos, mass, n_batches=self.n_batches, vel=vel).astype(pos.dtype)
 
     def init(self, state: ParticleState) -> KDKCarry:
-        acc = self._accel(state.pos, state.mass, state.time)
+        acc = self._accel(state.pos, state.mass, state.time,
+                          vel=state.vel)
         return KDKCarry(state=state, acc=acc,
                         n_steps=jnp.asarray(0, jnp.int64))
 
@@ -197,7 +201,8 @@ class MacroKDK(LeapfrogKDK):
         s_half = _kdk_kick_drift(carry.state, carry.acc, self.dt)
         # s_half.time is still the step-START time (_kdk_close advances
         # it); the closing eval happens at the step's END time
-        acc_new = self._accel(s_half.pos, s_half.mass, s_half.time + self.dt)
+        acc_new = self._accel(s_half.pos, s_half.mass,
+                              s_half.time + self.dt, vel=s_half.vel)
         s_new = _kdk_close(s_half, acc_new, self.dt)
         return KDKCarry(state=s_new, acc=acc_new, n_steps=carry.n_steps + 1)
 
@@ -242,7 +247,7 @@ class MacroYoshida4(MacroKDK):
             h = w * self.dt
             state = _kdk_kick_drift(state, acc, h)
             acc = self._accel(state.pos, state.mass,
-                              s.time + c * self.dt)
+                              s.time + c * self.dt, vel=state.vel)
             state = _sub_close(state, acc, h)
         state = state.replace(time=s.time + self.dt)
         return KDKCarry(state=state, acc=acc, n_steps=carry.n_steps + 1)

@@ -363,17 +363,6 @@ def build_scene(cfg: SimConfig) -> Scene:
 def make_stepper(cfg: SimConfig, force: ForceModel):
     """Build the configured stepper; returns (stepper, kind)."""
     ic = cfg.integrator
-    if getattr(force, "friction", None) is not None:
-        # block's active-row evals and the macro batched evals do not
-        # carry the drag term — refuse rather than integrate with forces
-        # inconsistent between code paths
-        if ic.kind == "block":
-            raise ValueError("[friction] is not wired through the block "
-                             "integrator's active-row evaluation — use "
-                             "kdk/yoshida4/hermite")
-        if ic.macro_batches > 0:
-            raise ValueError("[friction] is not wired through the "
-                             "macro_batches dispatch path")
     if ic.kind == "kdk":
         if ic.macro_batches > 0:
             # oversized-N path: host-stepped KDK over the batched chunked

@@ -152,13 +152,107 @@ def test_friction_validation(tmp_path):
         cfg, friction=dataclasses.replace(cfg.friction, ln_lambda=0.0))
     with pytest.raises(ValueError, match="ln_lambda"):
         run(bad)
+    # round-4: friction x block is WIRED (test_isothermal_inspiral_rate_
+    # block below); the remaining composition refusal is the mesh
     bad2 = dataclasses.replace(
-        cfg, integrator=dataclasses.replace(cfg.integrator, kind="block",
-                                            dt_max=1.0 / 16))
-    with pytest.raises(ValueError, match="block"):
+        cfg, mesh=dataclasses.replace(cfg.mesh, n_devices=8))
+    with pytest.raises(ValueError, match="mesh"):
         run(bad2)
     bad3 = dataclasses.replace(
         cfg, potential=dataclasses.replace(cfg.potential, kind="none"),
         orbit=dataclasses.replace(cfg.orbit, kind="none"))
     with pytest.raises(ValueError, match="external"):
         run(bad3)
+
+
+# --------------------------------------------------------------------------
+# round-4: friction x block and friction x macro (VERDICT round-3 item 5)
+# --------------------------------------------------------------------------
+
+def test_isothermal_inspiral_rate_block(tmp_path):
+    """The SIS decay law through the BLOCK integrator: the drag now rides
+    the active-row evaluations (ForceModel.accel_jerk_on_rows), so the
+    inspiral works with block timesteps — the composition the round-3
+    refusal made impossible. Same oracle and design constraints as the
+    kdk test above (n=2 compact pair, >=3 orbital periods)."""
+    import dataclasses
+    import glob
+
+    from oc_nbody_tpu.io.snapshot import read_snapshot
+
+    lnl, t_end = 20.0, 200.0
+    cfg = _inspiral_cfg(tmp_path / "blk", lnl, t_end)
+    cfg = dataclasses.replace(
+        cfg,
+        ic=dataclasses.replace(cfg.ic, n=2),
+        integrator=dataclasses.replace(
+            cfg.integrator, kind="block", eta=0.02, dt_max=1.0 / 16,
+            n_levels=6),
+        output=dataclasses.replace(cfg.output, diag_every=5.0,
+                                   snap_every=10.0))
+    res = run(cfg)
+    assert "a_df" in res.diagnostics
+    assert np.all(res.diagnostics["a_df"][1:] > 0)
+
+    ts, r2s = [], []
+    for p in sorted(glob.glob(str(tmp_path / "blk" / "snapshot_*.h5"))):
+        s = read_snapshot(p).state
+        m = np.asarray(s.mass, np.float64)
+        com = (np.asarray(s.pos) * m[:, None]).sum(0) / m.sum()
+        ts.append(float(s.time))
+        r2s.append(float((com ** 2).sum()))
+    slope = np.polyfit(np.asarray(ts), np.asarray(r2s), 1)[0]
+    v0 = 20.451 / 2.0739
+    f1 = erf(1.0) - 2.0 * np.exp(-1.0) / np.sqrt(np.pi)
+    expect = -2.0 * f1 * lnl * 1.0 * 1.0 / v0
+    assert slope == pytest.approx(expect, rel=0.02), (slope, expect)
+
+
+def test_macro_friction_matches_in_jit(tmp_path, monkeypatch):
+    """friction x macro_batches: the drag flows through accel_batched
+    (kick-point velocities threaded by the macro steppers), so the
+    host-stepped trajectory tracks the in-jit KDK with friction."""
+    import dataclasses
+
+    from oc_nbody_tpu.forces import make_force_model
+    from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK, MacroKDK
+    from oc_nbody_tpu.models.plummer import plummer
+    from oc_nbody_tpu.ops import pallas_gravity as pg
+
+    monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(pg, "T_SYMA", 64)
+    monkeypatch.setattr(pg, "SYM_MIN", 64)
+    monkeypatch.setattr(pg, "CHUNK_SYM", 128)
+    try:
+        halo = pot.LogHalo(v0=jnp.asarray(5.0), rc=jnp.asarray(0.05))
+        fr = ChandrasekharFriction(host=halo, G=jnp.asarray(1.0),
+                                   ln_lambda=jnp.asarray(10.0),
+                                   sigma=jnp.asarray(0.0))
+        force = make_force_model(eps=0.05, external=halo, backend="pallas",
+                                 friction=fr)
+        n, dt, steps = 128, 1.0 / 64, 4
+        state = plummer(n, jax.random.PRNGKey(3)).shifted(
+            dpos=jnp.array([30.0, 0.0, 0.0]),
+            dvel=jnp.array([0.0, 5.0, 0.0]))
+
+        ref = LeapfrogKDK(force=force, dt=dt)
+        c_ref = jax.jit(ref.advance, static_argnums=1)(ref.init(state),
+                                                       steps)
+        mac = MacroKDK(force=force, dt=dt, n_batches=2)
+        c_mac = mac.advance_to_bounded(mac.init(state), steps * dt,
+                                       max_steps=100)
+        # the drag is large enough to matter: switching it off must move
+        # trajectory far more than the macro-vs-in-jit difference
+        scale = float(jnp.max(jnp.abs(c_ref.state.pos)))
+        err = float(jnp.max(jnp.abs(c_mac.state.pos - c_ref.state.pos)))
+        assert err < 1e-5 * scale
+        nof = LeapfrogKDK(force=dataclasses.replace(force, friction=None),
+                          dt=dt)
+        c_nof = jax.jit(nof.advance, static_argnums=1)(nof.init(state),
+                                                       steps)
+        gap = float(jnp.max(jnp.abs(c_nof.state.pos - c_ref.state.pos)))
+        assert gap > 100 * max(err, 1e-12), (gap, err)
+    finally:
+        pg.accel.clear_cache()
+        pg.accel_sym_chunked.clear_cache()
+        pg._chunked_batch.clear_cache()
