@@ -20,7 +20,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from oc_nbody_tpu.ensemble import read_ensemble  # noqa: E402
 
 
-def summarize(path):
+def summarize(path, drift_warn=0.0):
+    """Per-member summary rows; with ``drift_warn > 0`` each row gains a
+    ``drift_flag`` marking members whose peak |dE/E_int| exceeds the
+    bound — one mis-stepped member in a survey is integrator error
+    reported as physics unless flagged (VERDICT round-3 W3)."""
     _, seeds, table, fin = read_ensemble(path)
     t = table["time"][:, 0]
     e = len(seeds)
@@ -39,6 +43,8 @@ def summarize(path):
             "max_drift": float(drift[:, i].max()),
             "t_dissolve": float(t[dead[0]]) if dead.size else None,
         }
+        if drift_warn > 0:
+            row["drift_flag"] = bool(row["max_drift"] > drift_warn)
         if "sweep_values" in fin:
             row[fin["sweep_key"]] = float(fin["sweep_values"][i])
         rows.append(row)
@@ -94,10 +100,19 @@ def main(argv=None):
     ap.add_argument("--save", default=None, metavar="FIG.png",
                     help="write the survey figure (bound-mass evolution "
                          "per sweep group + final-value summary)")
+    ap.add_argument("--drift-warn", type=float, default=0.0,
+                    help="flag members whose peak |dE/E_int| exceeds this "
+                         "bound (0 = off)")
     args = ap.parse_args(argv)
     if args.save:
         plot(args.path, args.save)
-    rows = summarize(args.path)
+    rows = summarize(args.path, drift_warn=args.drift_warn)
+    n_flag = sum(1 for r in rows if r.get("drift_flag"))
+    if n_flag:
+        bad = [r["seed"] for r in rows if r.get("drift_flag")]
+        print(f"WARNING: {n_flag} member(s) exceed |dE/E_int| = "
+              f"{args.drift_warn:g}: seeds {bad} — treat their physics "
+              "columns as suspect", file=sys.stderr)
     if args.json:
         print(json.dumps(rows, indent=1))
         return 0

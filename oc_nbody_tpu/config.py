@@ -246,6 +246,10 @@ class OutputConfig:
     diag_f64: bool = False       # full-f64 pairwise PE in diagnostics (slow)
     core_diag: bool = True       # CH85 r_core/rho_core columns (one extra
     # bounded O(min(N,65k)²) distance sweep per diagnostics row)
+    # ensemble mode: warn when any member's |dE/E_int| exceeds this bound
+    # (0 = off). A survey containing one mis-stepped member would
+    # otherwise report integrator error as physics (VERDICT round-3 W3).
+    drift_warn: float = 0.0
 
 
 @dataclasses.dataclass
