@@ -1710,1785 +1710,465 @@ def _sym_enabled() -> bool:
         v = _os.environ.get("OCN_PALLAS_JERK_SYM", "1")
     return v == "1"
 
-# accel-only square tile: fewer live temporaries than the jerk variant
-# (no dv/rv/B), so a larger tile may fit — swept on hardware.
+
+# Square-tile sizes per op (hardware-swept; see each original family's
+# notes, condensed): accel-only tiles are larger (fewer live temporaries),
+# jerk smallest; the extended (hi/lo) tiers halve again for the extra
+# planes. T_SYMX=512 measured 22.29 ms at 65k but OOMs scoped VMEM at
+# small npad (the limit interacts with the total padded size) — 384
+# compiles everywhere for 1.4%.
 T_SYMA = int(_os.environ.get("OCN_PALLAS_T_SYMA", 512))
-
-
-def _accel_kernel_sym(rowsT_ref, gm_ref, eps2_ref, outT_ref, *, guarded):
-    """Pair-symmetric accel: same action/reaction scheme as the jerk
-    variant below, velocities omitted."""
-    t = T_SYMA
-    nt = rowsT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv3 = inv * (inv * inv)
-            return d, gm_ref[0:1, slj] * inv3, gmi * inv3
-
-        d, w, _ = pair_tile(i0)
-        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d, w, wi = pair_tile(j0)
-            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            return tuple(ar)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Pair-symmetric accel, self-interaction form (f32 tolerance vs the
-    one-sided oracle: reaction terms arrive column-wise)."""
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYMA), T_SYMA)
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT = _call(
-            functools.partial(_accel_kernel_sym, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=14 * npad * npad, bytes_accessed=npad * 32,
-                transcendentals=npad * npad // 2,
-            ),
-        )(rowsT, gm, eps2)
-    return outT[:, :n].T.astype(pos.dtype)
-
-
 T_SYMP = int(_os.environ.get("OCN_PALLAS_T_SYMP", 512))
-
-
-def _accel_phi_kernel_sym(rowsT_ref, gm_ref, eps2_ref, outT_ref, phi_ref,
-                          *, guarded):
-    """Pair-symmetric accel+potential (diagnostics pass). The shared inv
-    serves four accumulations: accel row/col (mass-weighted, signed) and
-    phi row/col (mass-weighted, both negative). Self pairs on the
-    diagonal contribute 0 to accel (d = 0) and the softened self term to
-    phi when eps > 0 — the same contract as the one-sided kernels
-    (caller adds self_phi)."""
-    t = T_SYMP
-    nt = rowsT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-    phi_ref[:] = jnp.zeros_like(phi_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv2 = inv * inv
-            gmjinv = gm_ref[0:1, slj] * inv
-            gmiinv = gmi * inv
-            return d, gmjinv * inv2, gmiinv * inv2, gmjinv, gmiinv
-
-        d, w, _, gmjinv, _ = pair_tile(i0)
-        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
-        prow = -jnp.sum(gmjinv, axis=1, keepdims=True)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d, w, wi, gmjinv, gmiinv = pair_tile(j0)
-            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            phi_ref[:, slj] = phi_ref[:, slj] - jnp.sum(
-                gmiinv, axis=0, keepdims=True)
-            return tuple(ar) + (pr,)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + (prow,))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        phi_ref[:, sli] = phi_ref[:, sli] + res[3].reshape(1, t)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_potential_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Pair-symmetric (accel, phi_pair), self-interaction form; phi
-    follows the one-sided contract (self term included when eps > 0 —
-    this wrapper adds self_phi exactly like accel_potential)."""
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYMP), T_SYMP)
-    eps32 = jnp.asarray(eps, jnp.float32)
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = eps32.reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT, phi = _call(
-            functools.partial(_accel_phi_kernel_sym, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                       jax.ShapeDtypeStruct((1, npad), jnp.float32)),
-            cost_estimate=pl.CostEstimate(
-                flops=17 * npad * npad, bytes_accessed=npad * 40,
-                transcendentals=npad * npad // 2,
-            ),
-        )(rowsT, gm, eps2)
-    acc = outT[:, :n].T
-    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
-    return acc.astype(pos.dtype), phi.astype(pos.dtype)
-
-
-def _accel_jerk_kernel_sym(rowsT_ref, vrowsT_ref, gm_ref, eps2_ref,
-                           outT_ref, joutT_ref, *, guarded):
-    t = T_SYM
-    nt = rowsT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-    joutT_ref[:] = jnp.zeros_like(joutT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vi = [vrowsT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rowsT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            dv = [vrowsT_ref[c:c + 1, slj] - vi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv3 = inv * (inv * inv)
-            w = gm_ref[0:1, slj] * inv3           # force ON i-rows
-            rv = d[0] * dv[0] + d[1] * dv[1] + d[2] * dv[2]
-            uu = (jnp.float32(3.0) * rv) * (inv * inv)
-            B = [dv[c] - uu * d[c] for c in range(3)]
-            return d, B, w, gmi * inv3            # wi: force ON j-cols
-
-        # diagonal tile: one-sided row accumulation (pairs inside the
-        # tile appear once per direction across the row sweep)
-        d, B, w, _ = pair_tile(i0)
-        arow = [jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)]
-        jrow = [jnp.sum(w * B[c], axis=1, keepdims=True) for c in range(3)]
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            ar = carry[:3]
-            jr = carry[3:]
-            d, B, w, wi = pair_tile(j0)
-            ar = [ar[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            # j-block reaction: -sum over the i axis, mass-weighted by gm_i
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            jcol = jnp.concatenate(
-                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            joutT_ref[:, slj] = joutT_ref[:, slj] + jcol
-            return tuple(ar) + tuple(jr)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + tuple(jrow))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        joutT_ref[:, sli] = joutT_ref[:, sli] + jnp.concatenate(
-            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Pair-symmetric (accel, jerk), self-interaction form. Accumulation
-    order differs from the one-sided kernels (reaction terms arrive
-    column-wise), so agreement with the oracle is to f32 tolerance, not
-    bitwise."""
-    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYM), T_SYM)
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT, joutT = _call(
-            functools.partial(_accel_jerk_kernel_sym, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                       jax.ShapeDtypeStruct((3, npad), jnp.float32)),
-            cost_estimate=pl.CostEstimate(
-                flops=30 * npad * npad, bytes_accessed=npad * 56,
-                transcendentals=npad * npad // 2,
-            ),
-        )(rowsT, vrowsT, gm, eps2)
-    return outT[:, :n].T.astype(pos.dtype), joutT[:, :n].T.astype(pos.dtype)
-
-
-# extended-tier pair-symmetric accel: the hi/lo arithmetic shares the
-# same action/reaction structure (the lo-corrected separation d+e and the
-# Newton-refined inv serve both directions), so the accuracy tier gets
-# the same pair-halving. Measured at 65k: 22.3 ms (T=512, which fits) vs
-# 44.0 ms one-sided accel_x (+95%) — extended accuracy at the old f32
-# production price; close-pair error unchanged (2.63e-6 vs 2.60e-6,
-# hardware).
-# 512 measured 22.29 ms at N=65536 but OOMs the scoped-VMEM stack by
-# 472K at small npad (N=4096 → 16.46M requested; the limit interacts
-# with the total padded size, not just the tile) — 384 compiles at every
-# size and costs 1.4% (22.61 ms).
 T_SYMX = int(_os.environ.get("OCN_PALLAS_T_SYMX", 384))
-
-
-def _accel_kernel_sym_x(rhiT_ref, rloT_ref, gm_ref, eps2_ref, outT_ref,
-                        *, guarded):
-    t = T_SYMX
-    nt = rhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv3 = inv * (inv * inv)
-            s = [d[c] + e[c] for c in range(3)]
-            return s, gm_ref[0:1, slj] * inv3, gmi * inv3
-
-        s, w, _ = pair_tile(i0)
-        arow = [jnp.sum(w * s[c], axis=1, keepdims=True) for c in range(3)]
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            s, w, wi = pair_tile(j0)
-            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            return tuple(ar)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
+T_SYMXP = int(_os.environ.get("OCN_PALLAS_T_SYMXP", 384))
 T_SYMXJ = int(_os.environ.get("OCN_PALLAS_T_SYMXJ", 256))
 
-
-def _accel_jerk_kernel_sym_x(rhiT_ref, rloT_ref, vhiT_ref, vloT_ref,
-                             gm_ref, eps2_ref, outT_ref, joutT_ref,
-                             *, guarded):
-    """Extended-tier pair-symmetric accel+jerk: hi/lo positions AND
-    velocities; the shared bracket B = dv − (3rv·inv²)(d+e) serves both
-    directions like the f32 variant."""
-    t = T_SYMXJ
-    nt = rhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-    joutT_ref[:] = jnp.zeros_like(joutT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vi = [vhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vli = [vloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dv = [(vhiT_ref[c:c + 1, slj] - vi[c])
-                  + (vloT_ref[c:c + 1, slj] - vli[c]) for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv3 = inv * (inv * inv)
-            s = [d[c] + e[c] for c in range(3)]
-            rv = s[0] * dv[0] + s[1] * dv[1] + s[2] * dv[2]
-            uu = (jnp.float32(3.0) * rv) * (inv * inv)
-            B = [dv[c] - uu * s[c] for c in range(3)]
-            return s, B, gm_ref[0:1, slj] * inv3, gmi * inv3
-
-        s, B, w, _ = pair_tile(i0)
-        arow = [jnp.sum(w * s[c], axis=1, keepdims=True) for c in range(3)]
-        jrow = [jnp.sum(w * B[c], axis=1, keepdims=True) for c in range(3)]
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            ar = carry[:3]
-            jr = carry[3:]
-            s, B, w, wi = pair_tile(j0)
-            ar = [ar[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            jcol = jnp.concatenate(
-                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            joutT_ref[:, slj] = joutT_ref[:, slj] + jcol
-            return tuple(ar) + tuple(jr)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + tuple(jrow))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        joutT_ref[:, sli] = joutT_ref[:, sli] + jnp.concatenate(
-            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_jerk_sym_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-tier pair-symmetric (accel, jerk), self-interaction form;
-    f64 in/out."""
-    center = jnp.mean(pos, axis=0)
-    vcenter = jnp.mean(vel, axis=0)
-    hi, lo = _split_rows(pos, center)
-    vhi, vlo = _split_rows(vel, vcenter)
-    gm = (jnp.asarray(G, jnp.float64)
-          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYMXJ), T_SYMXJ)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT, joutT = _call(
-            functools.partial(_accel_jerk_kernel_sym_x, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                       jax.ShapeDtypeStruct((3, npad), jnp.float32)),
-            cost_estimate=pl.CostEstimate(
-                flops=42 * npad * npad, bytes_accessed=npad * 104,
-                transcendentals=npad * npad // 2,
-            ),
-        )(_padT(hi, npad), _padT(lo, npad), _padT(vhi, npad),
-          _padT(vlo, npad), jnp.pad(gm[None, :], ((0, 0), (0, npad - n))),
-          eps2)
-    return (outT[:, :n].T.astype(pos.dtype),
-            joutT[:, :n].T.astype(pos.dtype))
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-tier pair-symmetric accel, self-interaction form; f64
-    in/out (hi/lo split internally, same frame for both roles)."""
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm = (jnp.asarray(G, jnp.float64)
-          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYMX), T_SYMX)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT = _call(
-            functools.partial(_accel_kernel_sym_x, guarded=guarded),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
-            cost_estimate=pl.CostEstimate(
-                flops=24 * npad * npad, bytes_accessed=npad * 56,
-                transcendentals=npad * npad // 2,
-            ),
-        )(_padT(hi, npad), _padT(lo, npad),
-          jnp.pad(gm[None, :], ((0, 0), (0, npad - n))), eps2)
-    return outT[:, :n].T.astype(pos.dtype)
-
-
-# --------------------------------------------------------------------------
-# chunked pair-symmetric self-interaction past STREAM_N
-# --------------------------------------------------------------------------
-#
-# The resident sym kernels stop at STREAM_N (whole (3, N) + accumulators
-# must fit VMEM), so the 1M+ regime fell back to the one-sided streamed
-# sweep: 1.82e11 int/s vs the sym kernels' ~2.7e11 N²-equivalent rate.
-# Close the gap by CHUNKING the self-interaction: pad N to C chunks of
-# CHUNK_SYM, then
-#   * each diagonal chunk runs the existing resident sym kernel
-#     (_accel_kernel_sym) via lax.map — one trace, C sequential calls;
-#   * each off-diagonal chunk PAIR (i < j) runs a cross-sym kernel with
-#     BOTH chunks VMEM-resident: the tile geometry (d, u, rsqrt) is
-#     computed once per pair and mass-weighted twice (action into chunk
-#     i's rows, reaction into chunk j's columns) — Newton's 3rd law at
-#     the chunk level, no HBM read-modify-write anywhere;
-#   * a lax.scan over the static (i, j) pair list threads the (3, npad)
-#     accumulator through dynamic_slice/dynamic_update_slice — the cross
-#     kernel traces ONCE regardless of C (28 pairs at N=1M, 528 at 8M).
-# Accumulation depth per particle is C-1 f32 adds at the chunk level plus
-# the in-kernel tile sums — same structure the resident sym kernels
-# already have; measured max rel err vs the f64 oracle at 1M is the same
-# order as the Kahan-streamed one-sided path (bench/validate_pallas.py).
-
-# Chunk size: must be a multiple of T_SYMA. 131072 keeps the cross
-# kernel's resident footprint (2 chunks + 2 outputs + 2 gm rows ≈ 8 MB)
-# under the 16 MiB scoped-VMEM budget alongside the (t, t) temporaries.
+# Chunk sizes for the past-resident-cap (HBM-bound) chunked forms: each
+# must be a multiple of its op's tile; sized so the cross kernel's
+# resident footprint (2 chunks x planes + outputs + gm rows) stays under
+# the 16 MiB scoped-VMEM budget alongside the (t, t) temporaries
+# (98304 for the xj family would be 14.9 MB — the same OOM class as
+# T_SYMX=512; 73728 = 256*288 keeps it at ~11.2 MB).
 CHUNK_SYM = int(_os.environ.get("OCN_PALLAS_CHUNK_SYM", 131072))
-
-
-def _accel_kernel_cross_sym(rAT_ref, gmA_ref, rBT_ref, gmB_ref, eps2_ref,
-                            outAT_ref, outBT_ref, *, guarded):
-    """Cross-chunk pair-symmetric accel: every (A-row, B-source) pair is
-    computed once; A gets +gmB·w·d row sums, B gets −gmA·w·d column sums.
-    No diagonal special case — the chunks are disjoint by construction."""
-    t = T_SYMA
-    ntA = rAT_ref.shape[1] // t
-    ntB = rBT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv3 = inv * (inv * inv)
-            w = gmB_ref[0:1, slj] * inv3
-            wi = gmi * inv3
-            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            return tuple(ar)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3))
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_call(rAT, gmA, rBT, gmB, eps2, guarded):
-    c = rAT.shape[1]
-    return _call(
-        functools.partial(_accel_kernel_cross_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=28 * c * c, bytes_accessed=c * 64,
-            transcendentals=c * c,
-        ),
-    )(rAT, gmA, rBT, gmB, eps2)
-
-
-def _sym_diag_call(rowsT, gm, eps2, guarded):
-    npad = rowsT.shape[1]
-    return _call(
-        functools.partial(_accel_kernel_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=14 * npad * npad, bytes_accessed=npad * 32,
-            transcendentals=npad * npad // 2,
-        ),
-    )(rowsT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_sym_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
-                      chunk: int | None = None):
-    """Pair-symmetric self-interaction accel for N past the resident cap.
-
-    Functionally identical to accel_sym (f32 tolerance: reaction terms
-    arrive column-wise and chunk contributions sum in arrival order);
-    VMEM holds only two chunks at a time, so N is HBM-bound like the
-    streamed kernels but each unique pair is computed once.
-    """
-    if chunk is None:
-        chunk = CHUNK_SYM
-    if chunk % T_SYMA != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMA {T_SYMA}")
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag = jax.lax.map(
-            lambda ab: _sym_diag_call(ab[0], ab[1], eps2, guarded),
-            (rch, gch))
-        outT = diag.transpose(1, 0, 2).reshape(3, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(out, ij):
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-                rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
-                gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
-                rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
-                gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
-                oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + oA,
-                    (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + oB,
-                    (0, ja))
-                return out, None
-
-            outT, _ = jax.lax.scan(body, outT, pairs)
-    return outT[:, :n].T.astype(pos.dtype)
-
-
-def _accel_phi_kernel_cross_sym(rAT_ref, gmA_ref, rBT_ref, gmB_ref, eps2_ref,
-                                outAT_ref, outBT_ref, phiA_ref, phiB_ref,
-                                *, guarded):
-    """Cross-chunk pair-symmetric accel+phi: shared inv serves A-row and
-    B-column accel plus both phi accumulations. Chunks are disjoint, so
-    no self pairs appear here — the softened self term lives entirely in
-    the diagonal-chunk kernel (same caller-adds-self_phi contract)."""
-    t = T_SYMP
-    ntA = rAT_ref.shape[1] // t
-    ntB = rBT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-    phiB_ref[:] = jnp.zeros_like(phiB_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv2 = inv * inv
-            gmjinv = gmB_ref[0:1, slj] * inv
-            gmiinv = gmi * inv
-            w = gmjinv * inv2
-            wi = gmiinv * inv2
-            ar = [carry[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            phiB_ref[:, slj] = phiB_ref[:, slj] - jnp.sum(
-                gmiinv, axis=0, keepdims=True)
-            return tuple(ar) + (pr,)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3)) + (
-            jnp.zeros((t, 1), jnp.float32),)
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        phiA_ref[:, sli] = res[3].reshape(1, t)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_phi_call(rAT, gmA, rBT, gmB, eps2, guarded):
-    c = rAT.shape[1]
-    return _call(
-        functools.partial(_accel_phi_kernel_cross_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2
-                  + [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=34 * c * c, bytes_accessed=c * 80,
-            transcendentals=c * c,
-        ),
-    )(rAT, gmA, rBT, gmB, eps2)
-
-
-def _sym_phi_diag_call(rowsT, gm, eps2, guarded):
-    npad = rowsT.shape[1]
-    return _call(
-        functools.partial(_accel_phi_kernel_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, npad), jnp.float32)),
-        cost_estimate=pl.CostEstimate(
-            flops=17 * npad * npad, bytes_accessed=npad * 40,
-            transcendentals=npad * npad // 2,
-        ),
-    )(rowsT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_potential_sym_chunked(pos, mass, eps=0.0, G=1.0,
-                                guarded: bool = True,
-                                chunk: int | None = None):
-    """Chunked pair-symmetric (accel, phi) past the resident cap — the
-    diagnostics-pass twin of accel_sym_chunked. phi follows the one-sided
-    contract (softened self term included via the diagonal chunks when
-    eps > 0; this wrapper adds self_phi like accel_potential)."""
-    if chunk is None:
-        chunk = CHUNK_SYM
-    if chunk % T_SYMP != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMP {T_SYMP}")
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    eps32 = jnp.asarray(eps, jnp.float32)
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = eps32.reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_p = jax.lax.map(
-            lambda ab: _sym_phi_diag_call(ab[0], ab[1], eps2, guarded),
-            (rch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(carry, ij):
-                out, ph = carry
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-                rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
-                gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
-                rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
-                gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
-                oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2,
-                                                     guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + oA,
-                    (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + oB,
-                    (0, ja))
-                ph = jax.lax.dynamic_update_slice(
-                    ph, jax.lax.dynamic_slice(ph, (0, ia), (1, chunk)) + pA,
-                    (0, ia))
-                ph = jax.lax.dynamic_update_slice(
-                    ph, jax.lax.dynamic_slice(ph, (0, ja), (1, chunk)) + pB,
-                    (0, ja))
-                return (out, ph), None
-
-            (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
-    acc = outT[:, :n].T
-    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
-    return acc.astype(pos.dtype), phi.astype(pos.dtype)
-
-
-# Jerk chunk: must be a multiple of T_SYM (384). 98304 = 384·256 keeps
-# the cross kernel's resident footprint (2 chunks × pos+vel + 4 outputs +
-# 2 gm rows ≈ 10 MB) under the 16 MiB scoped-VMEM budget.
 CHUNK_SYMJ = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMJ", 98304))
-
-
-def _accel_jerk_kernel_cross_sym(rAT_ref, vAT_ref, gmA_ref,
-                                 rBT_ref, vBT_ref, gmB_ref, eps2_ref,
-                                 outAT_ref, joutAT_ref,
-                                 outBT_ref, joutBT_ref, *, guarded):
-    """Cross-chunk pair-symmetric accel+jerk: the shared bracket
-    B = dv − (3rv·inv²)d serves both directions; chunks are disjoint so
-    there is no diagonal case."""
-    t = T_SYM
-    ntA = rAT_ref.shape[1] // t
-    ntB = rBT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-    joutBT_ref[:] = jnp.zeros_like(joutBT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vi = [vAT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            ar = carry[:3]
-            jr = carry[3:]
-            d = [rBT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            dv = [vBT_ref[c:c + 1, slj] - vi[c] for c in range(3)]
-            u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
-            inv = _inv_r(u, guarded)
-            inv3 = inv * (inv * inv)
-            w = gmB_ref[0:1, slj] * inv3
-            wi = gmi * inv3
-            rv = d[0] * dv[0] + d[1] * dv[1] + d[2] * dv[2]
-            uu = (jnp.float32(3.0) * rv) * (inv * inv)
-            B = [dv[c] - uu * d[c] for c in range(3)]
-            ar = [ar[c] + jnp.sum(w * d[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * d[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            jcol = jnp.concatenate(
-                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            joutBT_ref[:, slj] = joutBT_ref[:, slj] + jcol
-            return tuple(ar) + tuple(jr)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(6))
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        joutAT_ref[:, sli] = jnp.concatenate(
-            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_jerk_call(rAT, vAT, gmA, rBT, vBT, gmB, eps2, guarded):
-    c = rAT.shape[1]
-    return _call(
-        functools.partial(_accel_jerk_kernel_cross_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 4,
-        cost_estimate=pl.CostEstimate(
-            flops=60 * c * c, bytes_accessed=c * 112,
-            transcendentals=c * c,
-        ),
-    )(rAT, vAT, gmA, rBT, vBT, gmB, eps2)
-
-
-def _sym_jerk_diag_call(rowsT, vrowsT, gm, eps2, guarded):
-    npad = rowsT.shape[1]
-    return _call(
-        functools.partial(_accel_jerk_kernel_sym, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((3, npad), jnp.float32)),
-        cost_estimate=pl.CostEstimate(
-            flops=30 * npad * npad, bytes_accessed=npad * 56,
-            transcendentals=npad * npad // 2,
-        ),
-    )(rowsT, vrowsT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_jerk_sym_chunked(pos, vel, mass, eps=0.0, G=1.0,
-                           guarded: bool = True, chunk: int | None = None):
-    """Chunked pair-symmetric (accel, jerk) past the resident cap — the
-    Hermite twin of accel_sym_chunked (shared-dt Hermite at N > STREAM_N;
-    the block active-row path is rows-vs-sources and keeps the one-sided
-    streamed sweep)."""
-    if chunk is None:
-        chunk = CHUNK_SYMJ
-    if chunk % T_SYM != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYM {T_SYM}")
-    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        vch = vrowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_j = jax.lax.map(
-            lambda ab: _sym_jerk_diag_call(ab[0], ab[1], ab[2], eps2,
-                                           guarded),
-            (rch, vch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(carry, ij):
-                out, jout = carry
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-
-                def sl3(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-                def sl1(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-                oA, jA, oB, jB = _cross_sym_jerk_call(
-                    sl3(rowsT, ia), sl3(vrowsT, ia), sl1(gm, ia),
-                    sl3(rowsT, ja), sl3(vrowsT, ja), sl1(gm, ja),
-                    eps2, guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ia) + oA, (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ja) + oB, (0, ja))
-                jout = jax.lax.dynamic_update_slice(
-                    jout, sl3(jout, ia) + jA, (0, ia))
-                jout = jax.lax.dynamic_update_slice(
-                    jout, sl3(jout, ja) + jB, (0, ja))
-                return (out, jout), None
-
-            (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
-    return (outT[:, :n].T.astype(pos.dtype),
-            joutT[:, :n].T.astype(pos.dtype))
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_batch(rowsT, gm, eps2, pairs, guarded, chunk, with_diag):
-    """One dispatch of the batched chunked-sym accel: the diagonal sweep
-    (when with_diag) plus a PADDED slice of the cross-pair list. Pad
-    entries are (-1, -1) and masked to zero contribution (the cross call
-    still runs on chunk 0 vs chunk 0 — wasted but branch-free)."""
-    npad = rowsT.shape[1]
-    C = npad // chunk
-    if with_diag:
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag = jax.lax.map(
-            lambda ab: _sym_diag_call(ab[0], ab[1], eps2, guarded),
-            (rch, gch))
-        outT = diag.transpose(1, 0, 2).reshape(3, npad)
-    else:
-        outT = jnp.zeros_like(rowsT)
-
-    def body(out, ij):
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
-        rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
-        gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
-        rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
-        gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
-        oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + w * oA,
-            (0, ia))
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + w * oB,
-            (0, ja))
-        return out, None
-
-    outT, _ = jax.lax.scan(body, outT, pairs)
-    return outT
-
-
-def accel_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
-                              guarded: bool = True,
-                              chunk: int | None = None,
-                              n_batches: int = 1):
-    """Chunked pair-symmetric accel split across n_batches separate XLA
-    dispatches (host-accumulated partials).
-
-    Purpose: a FULL self-interaction eval at N = 4M is a ~60 s XLA
-    program and at 8M ~240 s; single programs past the runtime watchdog
-    (this environment's TPU relay flakes past ~40-90 s; production
-    pre-emption windows impose the same shape of cap) must be decomposed.
-    Batch 0 carries the diagonal sweep (O(C) cheap kernels); the cross-
-    pair list is padded to a multiple of n_batches and split evenly, so
-    every batch compiles ONCE (same shapes). Functionally identical to
-    accel_sym_chunked up to f32 summation order.
-
-    Not jittable as a whole (it is the dispatch-splitting itself); for
-    in-jit stepping use accel_sym_chunked.
-    """
-    if chunk is None:
-        chunk = CHUNK_SYM
-    if chunk % T_SYMA != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMA {T_SYMA}")
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    pair_list, nb, per = _split_pairs(C, n_batches)
-    with jax.enable_x64(False):
-        outT = _pipelined_batches(
-            lambda b, pairs: _chunked_batch(rowsT, gm, eps2, pairs,
-                                            guarded, chunk, b == 0),
-            nb, per, pair_list)
-    return outT[:, :n].T.astype(pos.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_phi_batch(rowsT, gm, eps2, pairs, guarded, chunk, with_diag):
-    """One dispatch of the batched chunked-sym accel+phi (diagnostics
-    twin of _chunked_batch; same sentinel masking)."""
-    npad = rowsT.shape[1]
-    C = npad // chunk
-    if with_diag:
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_p = jax.lax.map(
-            lambda ab: _sym_phi_diag_call(ab[0], ab[1], eps2, guarded),
-            (rch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
-    else:
-        outT = jnp.zeros_like(rowsT)
-        phi = jnp.zeros_like(rowsT[:1])
-
-    def body(carry, ij):
-        out, ph = carry
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
-        rA = jax.lax.dynamic_slice(rowsT, (0, ia), (3, chunk))
-        gA = jax.lax.dynamic_slice(gm, (0, ia), (1, chunk))
-        rB = jax.lax.dynamic_slice(rowsT, (0, ja), (3, chunk))
-        gB = jax.lax.dynamic_slice(gm, (0, ja), (1, chunk))
-        oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, (0, ia), (3, chunk)) + w * oA,
-            (0, ia))
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, (0, ja), (3, chunk)) + w * oB,
-            (0, ja))
-        ph = jax.lax.dynamic_update_slice(
-            ph, jax.lax.dynamic_slice(ph, (0, ia), (1, chunk)) + w * pA,
-            (0, ia))
-        ph = jax.lax.dynamic_update_slice(
-            ph, jax.lax.dynamic_slice(ph, (0, ja), (1, chunk)) + w * pB,
-            (0, ja))
-        return (out, ph), None
-
-    (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
-    return outT, phi
-
-
-def accel_potential_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
-                                        guarded: bool = True,
-                                        chunk: int | None = None,
-                                        n_batches: int = 1):
-    """Batched (accel, phi) for oversized evals — the diagnostics twin of
-    accel_sym_chunked_batched; same dispatch-splitting rationale and the
-    same phi contract (self term from the diagonal sweep cancelled by
-    self_phi here)."""
-    if chunk is None:
-        chunk = CHUNK_SYM
-    if chunk % T_SYMP != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMP {T_SYMP}")
-    pos_c, mass_c = prepare_f32(pos, mass)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    eps32 = jnp.asarray(eps, jnp.float32)
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = eps32.reshape(1, 1) ** 2
-
-    pair_list, nb, per = _split_pairs(C, n_batches)
-    with jax.enable_x64(False):
-        outT, phi = _pipelined_batches(
-            lambda b, pairs: _chunked_phi_batch(rowsT, gm, eps2, pairs,
-                                                guarded, chunk, b == 0),
-            nb, per, pair_list)
-    acc = outT[:, :n].T
-    phi = phi[0, :n] + self_phi(mass_c, eps32, G32)
-    return acc.astype(pos.dtype), phi.astype(pos.dtype)
-
-
-# Extended-tier chunk: must be a multiple of T_SYMX (384). 98304 = 384·256
-# keeps the cross kernel's resident footprint (2 chunks × hi/lo planes +
-# 2 outputs + 2 gm rows ≈ 9.4 MB) under the 16 MiB scoped-VMEM budget.
 CHUNK_SYMX = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMX", 98304))
-
-
-def _accel_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, gmA_ref,
-                              rBhiT_ref, rBloT_ref, gmB_ref, eps2_ref,
-                              outAT_ref, outBT_ref, *, guarded):
-    """Cross-chunk extended-tier pair-symmetric accel: the hi/lo-corrected
-    separation s = d + e and the Newton-refined inv are computed once per
-    pair and mass-weighted twice. Both chunks' hi/lo planes share ONE
-    global centring frame (the wrapper splits before chunking) — chunk-
-    local centring would break the hi/lo invariant across chunks."""
-    t = T_SYMX
-    ntA = rAhiT_ref.shape[1] // t
-    ntB = rBhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv3 = inv * (inv * inv)
-            s = [d[c] + e[c] for c in range(3)]
-            w = gmB_ref[0:1, slj] * inv3
-            wi = gmi * inv3
-            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            return tuple(ar)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3))
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_x_call(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2, guarded):
-    c = rAhi.shape[1]
-    return _call(
-        functools.partial(_accel_kernel_cross_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=48 * c * c, bytes_accessed=c * 112,
-            transcendentals=c * c,
-        ),
-    )(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2)
-
-
-def _sym_x_diag_call(hiT, loT, gm, eps2, guarded):
-    npad = hiT.shape[1]
-    return _call(
-        functools.partial(_accel_kernel_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=24 * npad * npad, bytes_accessed=npad * 56,
-            transcendentals=npad * npad // 2,
-        ),
-    )(hiT, loT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_sym_x_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
-                        chunk: int | None = None):
-    """Extended-tier chunked pair-symmetric accel past the resident cap;
-    f64 in/out, ONE global centring + hi/lo split before chunking."""
-    if chunk is None:
-        chunk = CHUNK_SYMX
-    if chunk % T_SYMX != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMX {T_SYMX}")
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    with jax.enable_x64(False):
-        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
-        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag = jax.lax.map(
-            lambda ab: _sym_x_diag_call(ab[0], ab[1], ab[2], eps2, guarded),
-            (hch, lch, gch))
-        outT = diag.transpose(1, 0, 2).reshape(3, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(out, ij):
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-
-                def sl3(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-                def sl1(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-                oA, oB = _cross_sym_x_call(
-                    sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
-                    sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ia) + oA, (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ja) + oB, (0, ja))
-                return out, None
-
-            outT, _ = jax.lax.scan(body, outT, pairs)
-    return outT[:, :n].T.astype(pos.dtype)
-
-
-# --------------------------------------------------------------------------
-# extended-tier pair-symmetric accel+phi (diagnostics pass)
-# --------------------------------------------------------------------------
-#
-# Completes the extended family: before this, precision="extended"
-# diagnostics always took the ONE-SIDED hilo sweep (every pair twice), so
-# the extended diagnostics pass paid ~2x the stepping kernels' rate and —
-# worse — had no chunked or batched form at all, locking extended runs out
-# of the oversized-eval (MacroKDK, N >= 4M) driver path. Same phi contract
-# as accel_potential_x: RAW phi (includes the softened self term when
-# eps > 0; the caller adds gravity.self_phi to cancel).
-
-T_SYMXP = int(_os.environ.get("OCN_PALLAS_T_SYMXP", 384))
-
-
-def _accel_phi_kernel_sym_x(rhiT_ref, rloT_ref, gm_ref, eps2_ref,
-                            outT_ref, phi_ref, *, guarded):
-    """Extended-tier pair-symmetric accel+phi: the hi/lo-corrected u and
-    Newton-refined inv serve FOUR accumulations (accel row/col, phi
-    row/col). Diagonal self pairs: s = 0 so accel gets 0; phi gets the
-    softened self term when eps > 0 (caller adds self_phi), exactly like
-    the f32 sym kernel."""
-    t = T_SYMXP
-    nt = rhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outT_ref[:] = jnp.zeros_like(outT_ref)
-    phi_ref[:] = jnp.zeros_like(phi_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gm_ref[0:1, sli].reshape(t, 1)
-
-        def pair_tile(j0):
-            slj = pl.ds(j0, t)
-            d = [rhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv2 = inv * inv
-            s = [d[c] + e[c] for c in range(3)]
-            gmjinv = gm_ref[0:1, slj] * inv
-            gmiinv = gmi * inv
-            return s, gmjinv * inv2, gmiinv * inv2, gmjinv, gmiinv
-
-        s, w, _, gmjinv, _ = pair_tile(i0)
-        arow = [jnp.sum(w * s[c], axis=1, keepdims=True) for c in range(3)]
-        prow = -jnp.sum(gmjinv, axis=1, keepdims=True)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            s, w, wi, gmjinv, gmiinv = pair_tile(j0)
-            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outT_ref[:, slj] = outT_ref[:, slj] + acol
-            phi_ref[:, slj] = phi_ref[:, slj] - jnp.sum(
-                gmiinv, axis=0, keepdims=True)
-            return tuple(ar) + (pr,)
-
-        res = jax.lax.fori_loop(i + 1, nt, j_body, tuple(arow) + (prow,))
-        outT_ref[:, sli] = outT_ref[:, sli] + jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        phi_ref[:, sli] = phi_ref[:, sli] + res[3].reshape(1, t)
-        return 0
-
-    jax.lax.fori_loop(0, nt, i_body, 0)
-
-
-def _sym_x_phi_diag_call(hiT, loT, gm, eps2, guarded):
-    npad = hiT.shape[1]
-    return _call(
-        functools.partial(_accel_phi_kernel_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, npad), jnp.float32)),
-        cost_estimate=pl.CostEstimate(
-            flops=27 * npad * npad, bytes_accessed=npad * 64,
-            transcendentals=npad * npad // 2,
-        ),
-    )(hiT, loT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded",))
-def accel_potential_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
-    """Extended-tier pair-symmetric (accel, phi_pair), self-interaction
-    form; f64 in/out. RAW phi contract (same as accel_potential_x): when
-    eps > 0 phi includes the softened self term; the caller adds
-    gravity.self_phi."""
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm = (jnp.asarray(G, jnp.float64)
-          * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    npad = _round_up(max(n, T_SYMXP), T_SYMXP)
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-
-    with jax.enable_x64(False):
-        outT, phi = _sym_x_phi_diag_call(
-            _padT(hi, npad), _padT(lo, npad),
-            jnp.pad(gm[None, :], ((0, 0), (0, npad - n))), eps2, guarded)
-    return (outT[:, :n].T.astype(pos.dtype),
-            phi[0, :n].astype(pos.dtype))
-
-
-def _accel_phi_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, gmA_ref,
-                                  rBhiT_ref, rBloT_ref, gmB_ref, eps2_ref,
-                                  outAT_ref, outBT_ref, phiA_ref, phiB_ref,
-                                  *, guarded):
-    """Cross-chunk extended-tier pair-symmetric accel+phi: disjoint
-    chunks, so no self pairs here — the softened self term lives entirely
-    in the diagonal-chunk kernel. Both chunks' hi/lo planes share ONE
-    global centring frame (wrapper splits before chunking)."""
-    t = T_SYMXP
-    ntA = rAhiT_ref.shape[1] // t
-    ntB = rBhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-    phiB_ref[:] = jnp.zeros_like(phiB_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv2 = inv * inv
-            s = [d[c] + e[c] for c in range(3)]
-            gmjinv = gmB_ref[0:1, slj] * inv
-            gmiinv = gmi * inv
-            w = gmjinv * inv2
-            wi = gmiinv * inv2
-            ar = [carry[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            pr = carry[3] - jnp.sum(gmjinv, axis=1, keepdims=True)
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            phiB_ref[:, slj] = phiB_ref[:, slj] - jnp.sum(
-                gmiinv, axis=0, keepdims=True)
-            return tuple(ar) + (pr,)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(3)) + (
-            jnp.zeros((t, 1), jnp.float32),)
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        phiA_ref[:, sli] = res[3].reshape(1, t)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_x_phi_call(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2, guarded):
-    c = rAhi.shape[1]
-    return _call(
-        functools.partial(_accel_phi_kernel_cross_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 2
-                  + [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=54 * c * c, bytes_accessed=c * 120,
-            transcendentals=c * c,
-        ),
-    )(rAhi, rAlo, gmA, rBhi, rBlo, gmB, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_potential_sym_x_chunked(pos, mass, eps=0.0, G=1.0,
-                                  guarded: bool = True,
-                                  chunk: int | None = None):
-    """Extended-tier chunked pair-symmetric (accel, phi) past the resident
-    cap; f64 in/out, ONE global centring + hi/lo split before chunking.
-    RAW phi contract (caller adds self_phi), matching accel_potential_x."""
-    if chunk is None:
-        chunk = CHUNK_SYMX
-    if chunk % T_SYMXP != 0:
-        raise ValueError(
-            f"chunk {chunk} must be a multiple of T_SYMXP {T_SYMXP}")
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    with jax.enable_x64(False):
-        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
-        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_p = jax.lax.map(
-            lambda ab: _sym_x_phi_diag_call(ab[0], ab[1], ab[2], eps2,
-                                            guarded),
-            (hch, lch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(carry, ij):
-                out, ph = carry
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-
-                def sl3(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-                def sl1(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-                oA, oB, pA, pB = _cross_sym_x_phi_call(
-                    sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
-                    sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ia) + oA, (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ja) + oB, (0, ja))
-                ph = jax.lax.dynamic_update_slice(
-                    ph, sl1(ph, ia) + pA, (0, ia))
-                ph = jax.lax.dynamic_update_slice(
-                    ph, sl1(ph, ja) + pB, (0, ja))
-                return (out, ph), None
-
-            (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
-    return (outT[:, :n].T.astype(pos.dtype),
-            phi[0, :n].astype(pos.dtype))
-
-
-# --------------------------------------------------------------------------
-# extended-tier chunked pair-symmetric accel+jerk
-# --------------------------------------------------------------------------
-
-# Extended jerk chunk: must be a multiple of T_SYMXJ (256). The cross
-# kernel holds 2 chunks x (pos hi/lo + vel hi/lo = 12 planes) + 4 outputs
-# x 3 planes + 2 gm rows = 38 planes ~= 152 B/particle; 73728 (= 256*288)
-# keeps that at ~11.2 MB under the 16 MiB scoped-VMEM budget alongside the
-# (t, t) temporaries (98304 would be 14.9 MB — too close, same class of
-# OOM as T_SYMX=512).
 CHUNK_SYMXJ = int(_os.environ.get("OCN_PALLAS_CHUNK_SYMXJ", 73728))
 
 
-def _accel_jerk_kernel_cross_sym_x(rAhiT_ref, rAloT_ref, vAhiT_ref,
-                                   vAloT_ref, gmA_ref,
-                                   rBhiT_ref, rBloT_ref, vBhiT_ref,
-                                   vBloT_ref, gmB_ref, eps2_ref,
-                                   outAT_ref, joutAT_ref,
-                                   outBT_ref, joutBT_ref, *, guarded):
-    """Cross-chunk extended-tier pair-symmetric accel+jerk: hi/lo
-    positions AND velocities; the shared bracket B = dv − (3rv·inv²)(d+e)
-    serves both directions. Disjoint chunks — no diagonal case."""
-    t = T_SYMXJ
-    ntA = rAhiT_ref.shape[1] // t
-    ntB = rBhiT_ref.shape[1] // t
-    eps2 = eps2_ref[0, 0]
-    outBT_ref[:] = jnp.zeros_like(outBT_ref)
-    joutBT_ref[:] = jnp.zeros_like(joutBT_ref)
-
-    def i_body(i, _):
-        i0 = i * t
-        sli = pl.ds(i0, t)
-        pi = [rAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        li = [rAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vi = [vAhiT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        vli = [vAloT_ref[c:c + 1, sli].reshape(t, 1) for c in range(3)]
-        gmi = gmA_ref[0:1, sli].reshape(t, 1)
-
-        def j_body(j, carry):
-            j0 = j * t
-            slj = pl.ds(j0, t)
-            ar = carry[:3]
-            jr = carry[3:]
-            d = [rBhiT_ref[c:c + 1, slj] - pi[c] for c in range(3)]
-            e = [rBloT_ref[c:c + 1, slj] - li[c] for c in range(3)]
-            dv = [(vBhiT_ref[c:c + 1, slj] - vi[c])
-                  + (vBloT_ref[c:c + 1, slj] - vli[c]) for c in range(3)]
-            dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
-            u = dd + (jnp.float32(2.0) * de + eps2)
-            inv = _inv_r(u, guarded)
-            inv = inv * (jnp.float32(1.5)
-                         - (jnp.float32(0.5) * u) * (inv * inv))
-            inv3 = inv * (inv * inv)
-            s = [d[c] + e[c] for c in range(3)]
-            rv = s[0] * dv[0] + s[1] * dv[1] + s[2] * dv[2]
-            uu = (jnp.float32(3.0) * rv) * (inv * inv)
-            B = [dv[c] - uu * s[c] for c in range(3)]
-            w = gmB_ref[0:1, slj] * inv3
-            wi = gmi * inv3
-            ar = [ar[c] + jnp.sum(w * s[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            jr = [jr[c] + jnp.sum(w * B[c], axis=1, keepdims=True)
-                  for c in range(3)]
-            acol = jnp.concatenate(
-                [-jnp.sum(wi * s[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            jcol = jnp.concatenate(
-                [-jnp.sum(wi * B[c], axis=0, keepdims=True)
-                 for c in range(3)], axis=0)
-            outBT_ref[:, slj] = outBT_ref[:, slj] + acol
-            joutBT_ref[:, slj] = joutBT_ref[:, slj] + jcol
-            return tuple(ar) + tuple(jr)
-
-        zero = tuple(jnp.zeros((t, 1), jnp.float32) for _ in range(6))
-        res = jax.lax.fori_loop(0, ntB, j_body, zero)
-        outAT_ref[:, sli] = jnp.concatenate(
-            [res[c].reshape(1, t) for c in range(3)], axis=0)
-        joutAT_ref[:, sli] = jnp.concatenate(
-            [res[3 + c].reshape(1, t) for c in range(3)], axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, ntA, i_body, 0)
-
-
-def _cross_sym_xj_call(rAhi, rAlo, vAhi, vAlo, gmA,
-                       rBhi, rBlo, vBhi, vBlo, gmB, eps2, guarded):
-    c = rAhi.shape[1]
-    return _call(
-        functools.partial(_accel_jerk_kernel_cross_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((3, c), jnp.float32)] * 4,
-        cost_estimate=pl.CostEstimate(
-            flops=84 * c * c, bytes_accessed=c * 208,
-            transcendentals=c * c,
-        ),
-    )(rAhi, rAlo, vAhi, vAlo, gmA, rBhi, rBlo, vBhi, vBlo, gmB, eps2)
-
-
-def _sym_xj_diag_call(hiT, loT, vhiT, vloT, gm, eps2, guarded):
-    npad = hiT.shape[1]
-    return _call(
-        functools.partial(_accel_jerk_kernel_sym_x, guarded=guarded),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((3, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((3, npad), jnp.float32)),
-        cost_estimate=pl.CostEstimate(
-            flops=42 * npad * npad, bytes_accessed=npad * 104,
-            transcendentals=npad * npad // 2,
-        ),
-    )(hiT, loT, vhiT, vloT, gm, eps2)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
-def accel_jerk_sym_x_chunked(pos, vel, mass, eps=0.0, G=1.0,
-                             guarded: bool = True,
-                             chunk: int | None = None):
-    """Extended-tier chunked pair-symmetric (accel, jerk) past the
-    resident cap (the extended Hermite shared-step evaluation at
-    N > STREAM_N); f64 in/out, ONE global centring + hi/lo split of
-    positions AND velocities before chunking."""
-    if chunk is None:
-        chunk = CHUNK_SYMXJ
-    if chunk % T_SYMXJ != 0:
-        raise ValueError(
-            f"chunk {chunk} must be a multiple of T_SYMXJ {T_SYMXJ}")
-    center = jnp.mean(pos, axis=0)
-    vcenter = jnp.mean(vel, axis=0)
-    hi, lo = _split_rows(pos, center)
-    vhi, vlo = _split_rows(vel, vcenter)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    vhiT = _padT(vhi, npad)
-    vloT = _padT(vlo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    with jax.enable_x64(False):
-        def ch3(a):
-            return a.reshape(3, C, chunk).transpose(1, 0, 2)
-
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_j = jax.lax.map(
-            lambda ab: _sym_xj_diag_call(ab[0], ab[1], ab[2], ab[3], ab[4],
-                                         eps2, guarded),
-            (ch3(hiT), ch3(loT), ch3(vhiT), ch3(vloT), gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
-
-        if C > 1:
-            pairs = jnp.asarray(
-                [(i, j) for i in range(C) for j in range(i + 1, C)],
-                jnp.int32)
-
-            def body(carry, ij):
-                out, jout = carry
-                ia = ij[0] * chunk
-                ja = ij[1] * chunk
-
-                def sl3(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-                def sl1(a, off):
-                    return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-                oA, jA, oB, jB = _cross_sym_xj_call(
-                    sl3(hiT, ia), sl3(loT, ia), sl3(vhiT, ia),
-                    sl3(vloT, ia), sl1(gm, ia),
-                    sl3(hiT, ja), sl3(loT, ja), sl3(vhiT, ja),
-                    sl3(vloT, ja), sl1(gm, ja), eps2, guarded)
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ia) + oA, (0, ia))
-                out = jax.lax.dynamic_update_slice(
-                    out, sl3(out, ja) + oB, (0, ja))
-                jout = jax.lax.dynamic_update_slice(
-                    jout, sl3(jout, ia) + jA, (0, ia))
-                jout = jax.lax.dynamic_update_slice(
-                    jout, sl3(jout, ja) + jB, (0, ja))
-                return (out, jout), None
-
-            (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
-    return (outT[:, :n].T.astype(pos.dtype),
-            joutT[:, :n].T.astype(pos.dtype))
-
-
 # --------------------------------------------------------------------------
-# batched (multi-dispatch) oversized-eval variants: jerk + extended tiers
+# pair-symmetric kernel family, factored (VERDICT round-3 W2)
 # --------------------------------------------------------------------------
 #
-# Same dispatch-splitting rationale as accel_sym_chunked_batched (one full
-# eval at 4M/8M is a 60-240 s XLA program — past watchdog / pre-emption
-# windows): batch 0 carries the diagonal sweep, the padded cross-pair list
-# splits evenly across n_batches same-shape dispatches, partials are
-# host-accumulated. These complete the family so MacroKDK runs the
-# extended tier first-class and a host-stepped Hermite has its jerk eval.
+# One PAIR-PHYSICS definition per op x tier; the {sym self-interaction,
+# cross-pair, chunked, batched} forms are GENERATED from it. Previously
+# every cell of that product was a hand-written kernel (~2,100 lines, and
+# each bugfix had to be applied in up to 7 places); the physics lives in
+# exactly six small functions now.
+#
+# A pair op is a dict with:
+#   nplanes  — number of (3, n) row-plane refs (pos / pos+vel / hi,lo /
+#              hi,lo,vhi,vlo)
+#   ngroups  — (3, n)-shaped output groups (1 = accel, 2 = accel+jerk)
+#   has_phi  — extra (1, n) potential output
+#   load(planes, gm_ref, sli, t)      -> i-tile columns (opaque tuple)
+#   pair(planes, gm_ref, slj, cols, eps2, guarded)
+#            -> (vecs, w, wi, phiw)
+#       vecs — 3*ngroups (t_i, t_j) channel arrays (separation s / d,
+#              then the jerk bracket B when present)
+#       w    — action weight (gm_j * inv^3 class), rows accumulate
+#              +sum(w * vec, axis=1)
+#       wi   — reaction weight (gm_i * inv^3), columns accumulate
+#              -sum(wi * vec, axis=0)
+#       phiw — (gmjinv, gmiinv) for the phi row/col sums, or None
+#   sym_cost / cross_cost — (flops_per_pair, bytes_per_particle) for the
+#              CostEstimate hints (hardware-measured originals kept)
+#
+# Numerics are preserved operation-for-operation: the pair functions are
+# the original kernels' pair_tile bodies verbatim, and the generated
+# sweeps accumulate in the same order (row carries through the fori_loop,
+# reaction columns written per j-tile, diagonal/self tile rows-only).
 
 
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_jerk_batch(rowsT, vrowsT, gm, eps2, pairs, guarded, chunk,
-                        with_diag):
-    """One dispatch of the batched chunked-sym accel+jerk (sentinel
-    masking as _chunked_batch)."""
-    npad = rowsT.shape[1]
+def _op(name, nplanes, ngroups, has_phi, load, pair, sym_cost, cross_cost):
+    return dict(name=name, nplanes=nplanes, ngroups=ngroups,
+                has_phi=has_phi, load=load, pair=pair, sym_cost=sym_cost,
+                cross_cost=cross_cost,
+                nouts=ngroups + (1 if has_phi else 0))
+
+
+def _load_pos(planes, gm_ref, sli, t):
+    (rT,) = planes
+    pi = [rT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    gmi = gm_ref[0:1, sli].reshape(t, 1)
+    return pi, gmi
+
+
+def _pair_accel(planes, gm_ref, slj, cols, eps2, guarded):
+    (rT,) = planes
+    pi, gmi = cols
+    d = [rT[c:c + 1, slj] - pi[c] for c in range(3)]
+    u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+    inv = _inv_r(u, guarded)
+    inv3 = inv * (inv * inv)
+    return d, gm_ref[0:1, slj] * inv3, gmi * inv3, None
+
+
+def _pair_phi(planes, gm_ref, slj, cols, eps2, guarded):
+    (rT,) = planes
+    pi, gmi = cols
+    d = [rT[c:c + 1, slj] - pi[c] for c in range(3)]
+    u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+    inv = _inv_r(u, guarded)
+    inv2 = inv * inv
+    gmjinv = gm_ref[0:1, slj] * inv
+    gmiinv = gmi * inv
+    return d, gmjinv * inv2, gmiinv * inv2, (gmjinv, gmiinv)
+
+
+def _load_pos_vel(planes, gm_ref, sli, t):
+    rT, vT = planes
+    pi = [rT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    vi = [vT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    gmi = gm_ref[0:1, sli].reshape(t, 1)
+    return pi, vi, gmi
+
+
+def _pair_jerk(planes, gm_ref, slj, cols, eps2, guarded):
+    rT, vT = planes
+    pi, vi, gmi = cols
+    d = [rT[c:c + 1, slj] - pi[c] for c in range(3)]
+    dv = [vT[c:c + 1, slj] - vi[c] for c in range(3)]
+    u = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+    inv = _inv_r(u, guarded)
+    inv3 = inv * (inv * inv)
+    w = gm_ref[0:1, slj] * inv3
+    rv = d[0] * dv[0] + d[1] * dv[1] + d[2] * dv[2]
+    uu = (jnp.float32(3.0) * rv) * (inv * inv)
+    B = [dv[c] - uu * d[c] for c in range(3)]
+    return d + B, w, gmi * inv3, None
+
+
+def _load_hilo(planes, gm_ref, sli, t):
+    hiT, loT = planes
+    pi = [hiT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    li = [loT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    gmi = gm_ref[0:1, sli].reshape(t, 1)
+    return pi, li, gmi
+
+
+def _hilo_sep_inv(hiT, loT, slj, pi, li, eps2, guarded):
+    """The extended tier's shared separation/inverse: lo-corrected u and
+    one Newton refinement of rsqrt, then s = d + e."""
+    d = [hiT[c:c + 1, slj] - pi[c] for c in range(3)]
+    e = [loT[c:c + 1, slj] - li[c] for c in range(3)]
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    de = d[0] * e[0] + d[1] * e[1] + d[2] * e[2]
+    u = dd + (jnp.float32(2.0) * de + eps2)
+    inv = _inv_r(u, guarded)
+    inv = inv * (jnp.float32(1.5) - (jnp.float32(0.5) * u) * (inv * inv))
+    s = [d[c] + e[c] for c in range(3)]
+    return s, inv
+
+
+def _pair_accel_x(planes, gm_ref, slj, cols, eps2, guarded):
+    hiT, loT = planes
+    pi, li, gmi = cols
+    s, inv = _hilo_sep_inv(hiT, loT, slj, pi, li, eps2, guarded)
+    inv3 = inv * (inv * inv)
+    return s, gm_ref[0:1, slj] * inv3, gmi * inv3, None
+
+
+def _pair_phi_x(planes, gm_ref, slj, cols, eps2, guarded):
+    hiT, loT = planes
+    pi, li, gmi = cols
+    s, inv = _hilo_sep_inv(hiT, loT, slj, pi, li, eps2, guarded)
+    inv2 = inv * inv
+    gmjinv = gm_ref[0:1, slj] * inv
+    gmiinv = gmi * inv
+    return s, gmjinv * inv2, gmiinv * inv2, (gmjinv, gmiinv)
+
+
+def _load_hilo_vel(planes, gm_ref, sli, t):
+    hiT, loT, vhiT, vloT = planes
+    pi = [hiT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    li = [loT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    vi = [vhiT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    vli = [vloT[c:c + 1, sli].reshape(t, 1) for c in range(3)]
+    gmi = gm_ref[0:1, sli].reshape(t, 1)
+    return pi, li, vi, vli, gmi
+
+
+def _pair_jerk_x(planes, gm_ref, slj, cols, eps2, guarded):
+    hiT, loT, vhiT, vloT = planes
+    pi, li, vi, vli, gmi = cols
+    dv = [(vhiT[c:c + 1, slj] - vi[c]) + (vloT[c:c + 1, slj] - vli[c])
+          for c in range(3)]
+    s, inv = _hilo_sep_inv(hiT, loT, slj, pi, li, eps2, guarded)
+    inv3 = inv * (inv * inv)
+    rv = s[0] * dv[0] + s[1] * dv[1] + s[2] * dv[2]
+    uu = (jnp.float32(3.0) * rv) * (inv * inv)
+    B = [dv[c] - uu * s[c] for c in range(3)]
+    return s + B, gm_ref[0:1, slj] * inv3, gmi * inv3, None
+
+
+_OP_A = _op("accel", 1, 1, False, _load_pos, _pair_accel,
+            (14, 32), (28, 64))
+_OP_P = _op("phi", 1, 1, True, _load_pos, _pair_phi, (17, 40), (34, 80))
+_OP_J = _op("jerk", 2, 2, False, _load_pos_vel, _pair_jerk,
+            (30, 56), (60, 112))
+_OP_AX = _op("accel_x", 2, 1, False, _load_hilo, _pair_accel_x,
+             (24, 56), (48, 112))
+_OP_PX = _op("phi_x", 2, 1, True, _load_hilo, _pair_phi_x,
+             (27, 64), (54, 120))
+_OP_JX = _op("jerk_x", 4, 2, False, _load_hilo_vel, _pair_jerk_x,
+             (42, 104), (84, 208))
+
+
+def _row_parts(op, vecs, w, phiw):
+    parts = [jnp.sum(w * v, axis=1, keepdims=True) for v in vecs]
+    if op["has_phi"]:
+        parts.append(-jnp.sum(phiw[0], axis=1, keepdims=True))
+    return tuple(parts)
+
+
+def _scatter_cols(op, outs, slj, vecs, wi, phiw):
+    for g in range(op["ngroups"]):
+        col = jnp.concatenate(
+            [-jnp.sum(wi * vecs[3 * g + c], axis=0, keepdims=True)
+             for c in range(3)], axis=0)
+        outs[g][:, slj] = outs[g][:, slj] + col
+    if op["has_phi"]:
+        outs[-1][:, slj] = outs[-1][:, slj] - jnp.sum(
+            phiw[1], axis=0, keepdims=True)
+
+
+def _write_rows(op, outs, sli, res, t, add):
+    for g in range(op["ngroups"]):
+        tile = jnp.concatenate(
+            [res[3 * g + c].reshape(1, t) for c in range(3)], axis=0)
+        outs[g][:, sli] = (outs[g][:, sli] + tile) if add else tile
+    if op["has_phi"]:
+        p = res[-1].reshape(1, t)
+        outs[-1][:, sli] = (outs[-1][:, sli] + p) if add else p
+
+
+def _make_sym_kernel(op, t):
+    """Self-interaction triangle sweep: the diagonal tile contributes
+    rows-only (each in-tile pair appears once per direction across the
+    row sweep); off-diagonal tiles j > i contribute action rows AND
+    reaction columns — Newton's 3rd law at the tile level."""
+
+    def kernel(*refs, guarded):
+        planes = refs[:op["nplanes"]]
+        gm_ref = refs[op["nplanes"]]
+        eps2 = refs[op["nplanes"] + 1][0, 0]
+        outs = refs[op["nplanes"] + 2:]
+        nt = planes[0].shape[1] // t
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
+
+        def i_body(i, _):
+            i0 = i * t
+            sli = pl.ds(i0, t)
+            cols = op["load"](planes, gm_ref, sli, t)
+            vecs, w, _, phiw = op["pair"](planes, gm_ref, sli, cols,
+                                          eps2, guarded)
+            carry0 = _row_parts(op, vecs, w, phiw)
+
+            def j_body(j, carry):
+                slj = pl.ds(j * t, t)
+                vecs, w, wi, phiw = op["pair"](planes, gm_ref, slj, cols,
+                                               eps2, guarded)
+                parts = _row_parts(op, vecs, w, phiw)
+                _scatter_cols(op, outs, slj, vecs, wi, phiw)
+                return tuple(c + p for c, p in zip(carry, parts))
+
+            res = jax.lax.fori_loop(i + 1, nt, j_body, carry0)
+            _write_rows(op, outs, sli, res, t, add=True)
+            return 0
+
+        jax.lax.fori_loop(0, nt, i_body, 0)
+
+    return kernel
+
+
+def _make_cross_kernel(op, t):
+    """Cross-pair sweep between two DISJOINT sets: every (A-row, B-source)
+    pair once; A gets action rows, B gets reaction columns. No diagonal
+    special case (disjoint by construction), so self terms never appear
+    here — for phi they live entirely in the diagonal/sym kernel."""
+
+    def kernel(*refs, guarded):
+        np_ = op["nplanes"]
+        planesA = refs[:np_]
+        gmA = refs[np_]
+        planesB = refs[np_ + 1:2 * np_ + 1]
+        gmB = refs[2 * np_ + 1]
+        eps2 = refs[2 * np_ + 2][0, 0]
+        outsA = refs[2 * np_ + 3:2 * np_ + 3 + op["nouts"]]
+        outsB = refs[2 * np_ + 3 + op["nouts"]:]
+        ntA = planesA[0].shape[1] // t
+        ntB = planesB[0].shape[1] // t
+        for o in outsB:
+            o[:] = jnp.zeros_like(o)
+
+        def i_body(i, _):
+            sli = pl.ds(i * t, t)
+            cols = op["load"](planesA, gmA, sli, t)
+
+            def j_body(j, carry):
+                slj = pl.ds(j * t, t)
+                vecs, w, wi, phiw = op["pair"](planesB, gmB, slj, cols,
+                                               eps2, guarded)
+                parts = _row_parts(op, vecs, w, phiw)
+                _scatter_cols(op, outsB, slj, vecs, wi, phiw)
+                return tuple(c + p for c, p in zip(carry, parts))
+
+            zero = tuple(jnp.zeros((t, 1), jnp.float32)
+                         for _ in range(3 * op["ngroups"]
+                                        + (1 if op["has_phi"] else 0)))
+            res = jax.lax.fori_loop(0, ntB, j_body, zero)
+            _write_rows(op, outsA, sli, res, t, add=False)
+            return 0
+
+        jax.lax.fori_loop(0, ntA, i_body, 0)
+
+    return kernel
+
+
+def _out_shapes(op, npad):
+    shapes = [jax.ShapeDtypeStruct((3, npad), jnp.float32)
+              for _ in range(op["ngroups"])]
+    if op["has_phi"]:
+        shapes.append(jax.ShapeDtypeStruct((1, npad), jnp.float32))
+    return shapes
+
+
+def _sym_call(op, t, planesT, gm, eps2, guarded):
+    """op's self-interaction sweep as one pallas_call; returns the output
+    tuple (vec groups [+ phi]) in transposed (3/1, npad) layout."""
+    npad = planesT[0].shape[1]
+    fl, by = op["sym_cost"]
+    out = _call(
+        functools.partial(_make_sym_kernel(op, t), guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                 * (op["nplanes"] + 1)
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(op["nouts"])),
+        out_shape=tuple(_out_shapes(op, npad)),
+        cost_estimate=pl.CostEstimate(
+            flops=fl * npad * npad, bytes_accessed=npad * by,
+            transcendentals=npad * npad // 2,
+        ),
+    )(*planesT, gm, eps2)
+    return out if isinstance(out, (tuple, list)) else (out,)
+
+
+def _cross_call(op, t, planesA, gmA, planesB, gmB, eps2, guarded):
+    """op's cross-pair sweep; returns (outsA..., outsB...)."""
+    npad = planesA[0].shape[1]
+    fl, by = op["cross_cost"]
+    out = _call(
+        functools.partial(_make_cross_kernel(op, t), guarded=guarded),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                 * (2 * op["nplanes"] + 2)
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(2 * op["nouts"])),
+        out_shape=tuple(_out_shapes(op, npad) + _out_shapes(op, npad)),
+        cost_estimate=pl.CostEstimate(
+            flops=fl * npad * npad, bytes_accessed=npad * by,
+            transcendentals=npad * npad,
+        ),
+    )(*planesA, gmA, *planesB, gmB, eps2)
+    return tuple(out)
+
+
+# ---- generic chunked / batched drivers ------------------------------------
+
+def _chunked_diag(op, t, chunk, planesT, gm, eps2, guarded):
+    """All diagonal chunks through the sym kernel via lax.map (one trace,
+    C sequential calls); returns full-(npad) transposed outputs."""
+    npad = planesT[0].shape[1]
     C = npad // chunk
-    if with_diag:
-        rch = rowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        vch = vrowsT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_j = jax.lax.map(
-            lambda ab: _sym_jerk_diag_call(ab[0], ab[1], ab[2], eps2,
-                                           guarded),
-            (rch, vch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
-    else:
-        outT = jnp.zeros_like(rowsT)
-        joutT = jnp.zeros_like(rowsT)
 
-    def body(carry, ij):
-        out, jout = carry
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
+    def ch(a):
+        k = a.shape[0]
+        return a.reshape(k, C, chunk).transpose(1, 0, 2)
 
-        def sl3(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
+    outs = jax.lax.map(
+        lambda ab: _sym_call(op, t, ab[:-1], ab[-1], eps2, guarded),
+        tuple(ch(p) for p in planesT) + (ch(gm),))
+    return [o.transpose(1, 0, 2).reshape(o.shape[1], npad) for o in outs]
 
-        def sl1(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
 
-        oA, jA, oB, jB = _cross_sym_jerk_call(
-            sl3(rowsT, ia), sl3(vrowsT, ia), sl1(gm, ia),
-            sl3(rowsT, ja), sl3(vrowsT, ja), sl1(gm, ja), eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(
-            out, sl3(out, ia) + w * oA, (0, ia))
-        out = jax.lax.dynamic_update_slice(
-            out, sl3(out, ja) + w * oB, (0, ja))
-        jout = jax.lax.dynamic_update_slice(
-            jout, sl3(jout, ia) + w * jA, (0, ia))
-        jout = jax.lax.dynamic_update_slice(
-            jout, sl3(jout, ja) + w * jB, (0, ja))
-        return (out, jout), None
+def _zeros_outs(op, planesT):
+    outs = [jnp.zeros_like(planesT[0]) for _ in range(op["ngroups"])]
+    if op["has_phi"]:
+        outs.append(jnp.zeros_like(planesT[0][:1]))
+    return outs
 
-    (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
-    return outT, joutT
+
+def _cross_accumulate(op, t, chunk, planesT, gm, eps2, guarded, outs, ij,
+                      valid=None):
+    """One cross-pair (chunk i, chunk j) evaluated and accumulated into
+    the full-size outputs at both chunks' slots. ``valid`` masks sentinel
+    (-1, -1) padding entries in the batched form (the cross call still
+    runs on chunk 0 vs chunk 0 — wasted but branch-free)."""
+    ia = (jnp.maximum(ij[0], 0) if valid is not None else ij[0]) * chunk
+    ja = (jnp.maximum(ij[1], 0) if valid is not None else ij[1]) * chunk
+
+    def sl(a, off):
+        return jax.lax.dynamic_slice(a, (0, off), (a.shape[0], chunk))
+
+    res = _cross_call(op, t,
+                      tuple(sl(p, ia) for p in planesT), sl(gm, ia),
+                      tuple(sl(p, ja) for p in planesT), sl(gm, ja),
+                      eps2, guarded)
+    resA, resB = res[:op["nouts"]], res[op["nouts"]:]
+    w = (jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+         if valid is not None else None)
+    new = []
+    for o, a, b in zip(outs, resA, resB):
+        if w is not None:
+            a, b = w * a, w * b
+        o = jax.lax.dynamic_update_slice(o, sl(o, ia) + a, (0, ia))
+        o = jax.lax.dynamic_update_slice(o, sl(o, ja) + b, (0, ja))
+        new.append(o)
+    return new
+
+
+def _sym_chunked_generic(op, t, chunk, planesT, gm, eps2, guarded):
+    """In-jit chunked self-interaction: diagonal chunks + a lax.scan over
+    the static (i, j) cross-pair list (the cross kernel traces ONCE
+    regardless of C — 28 pairs at 1M, 528 at 8M)."""
+    npad = planesT[0].shape[1]
+    C = npad // chunk
+    outs = _chunked_diag(op, t, chunk, planesT, gm, eps2, guarded)
+    if C > 1:
+        pairs = jnp.asarray(
+            [(i, j) for i in range(C) for j in range(i + 1, C)], jnp.int32)
+
+        def body(outs, ij):
+            return _cross_accumulate(op, t, chunk, planesT, gm, eps2,
+                                     guarded, outs, ij), None
+
+        outs, _ = jax.lax.scan(body, outs, pairs)
+    return outs
+
+
+def _make_chunked_batch(op):
+    """One dispatch of the batched chunked-sym op: the diagonal sweep
+    (when with_diag) plus a PADDED slice of the cross-pair list
+    (sentinels (-1, -1) masked to zero contribution)."""
+
+    @functools.partial(jax.jit,
+                       static_argnames=("guarded", "chunk", "t",
+                                        "with_diag"))
+    def batch(planesT, gm, eps2, pairs, guarded, chunk, t, with_diag):
+        if with_diag:
+            outs = _chunked_diag(op, t, chunk, planesT, gm, eps2, guarded)
+        else:
+            outs = _zeros_outs(op, planesT)
+
+        def body(outs, ij):
+            return _cross_accumulate(op, t, chunk, planesT, gm, eps2,
+                                     guarded, outs, ij,
+                                     valid=ij[0] >= 0), None
+
+        outs, _ = jax.lax.scan(body, outs, pairs)
+        return tuple(outs)
+
+    return batch
+
+
+_chunked_batch = _make_chunked_batch(_OP_A)
+_chunked_phi_batch = _make_chunked_batch(_OP_P)
+_chunked_jerk_batch = _make_chunked_batch(_OP_J)
+_chunked_x_batch = _make_chunked_batch(_OP_AX)
+_chunked_x_phi_batch = _make_chunked_batch(_OP_PX)
+_chunked_xj_batch = _make_chunked_batch(_OP_JX)
 
 
 def _split_pairs(C, n_batches):
@@ -3523,77 +2203,341 @@ def _pipelined_batches(dispatch, nb, per, pair_list):
     return acc
 
 
-def accel_jerk_sym_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
-                                   guarded: bool = True,
-                                   chunk: int | None = None,
-                                   n_batches: int = 1):
-    """Batched (accel, jerk) for oversized evals — the Hermite twin of
-    accel_sym_chunked_batched. Not jittable as a whole (it IS the
-    dispatch-splitting); for in-jit stepping use accel_jerk_sym_chunked."""
-    if chunk is None:
-        chunk = CHUNK_SYMJ
-    if chunk % T_SYM != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYM {T_SYM}")
-    pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
-    n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
-    G32 = jnp.asarray(G, jnp.float32)
-    rowsT = jnp.pad(pos_c.T, ((0, 0), (0, npad - n)))
-    vrowsT = jnp.pad(vel_c.T, ((0, 0), (0, npad - n)))
-    gm = jnp.pad((G32 * mass_c)[None, :], ((0, 0), (0, npad - n)))
-    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+# ---- operand preparation (shared by the thin public wrappers) -------------
 
-    pair_list, nb, per = _split_pairs(C, n_batches)
+def _prep_f32_T(pos, mass, G, npad, vel=None):
+    """Transposed zero-padded f32 operands: plane list + gm row."""
+    if vel is None:
+        pos_c, mass_c = prepare_f32(pos, mass)
+        planes = [pos_c.T]
+    else:
+        pos_c, mass_c, vel_c = prepare_f32(pos, mass, vel=vel)
+        planes = [pos_c.T, vel_c.T]
+    n = pos.shape[0]
+    planes = [jnp.pad(p, ((0, 0), (0, npad - n))) for p in planes]
+    gm = jnp.pad((jnp.asarray(G, jnp.float32) * mass_c)[None, :],
+                 ((0, 0), (0, npad - n)))
+    return planes, gm, mass_c
+
+
+def _prep_x_T(pos, mass, G, npad, vel=None):
+    """Extended-tier operands: ONE global centring, hi/lo split of
+    positions (and velocities) BEFORE any chunking — chunk-local centring
+    would break the hi/lo invariant across chunks."""
+    center = jnp.mean(pos, axis=0)
+    hi, lo = _split_rows(pos, center)
+    planes = [_padT(hi, npad), _padT(lo, npad)]
+    if vel is not None:
+        vcenter = jnp.mean(vel, axis=0)
+        vhi, vlo = _split_rows(vel, vcenter)
+        planes += [_padT(vhi, npad), _padT(vlo, npad)]
+    gm0 = (jnp.asarray(G, jnp.float64)
+           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    n = pos.shape[0]
+    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
+    return planes, gm
+
+
+def _chunk_check(chunk, t, tname):
+    if chunk % t != 0:
+        raise ValueError(f"chunk {chunk} must be a multiple of {tname} {t}")
+
+
+# ---- public wrappers: resident sym forms -----------------------------------
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric accel, self-interaction form (f32 tolerance vs the
+    one-sided oracle: reaction terms arrive column-wise)."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMA), T_SYMA)
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        outT, joutT = _pipelined_batches(
-            lambda b, pairs: _chunked_jerk_batch(rowsT, vrowsT, gm, eps2,
-                                                 pairs, guarded, chunk,
-                                                 b == 0),
-            nb, per, pair_list)
+        (outT,) = _sym_call(_OP_A, T_SYMA, planes, gm, eps2, guarded)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_sym(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric (accel, phi_pair), self-interaction form; phi
+    follows the one-sided contract (self term included when eps > 0 —
+    this wrapper adds self_phi exactly like accel_potential)."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMP), T_SYMP)
+    planes, gm, mass_c = _prep_f32_T(pos, mass, G, npad)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps2 = eps32.reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, phi = _sym_call(_OP_P, T_SYMP, planes, gm, eps2, guarded)
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, jnp.asarray(G, jnp.float32))
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_sym(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Pair-symmetric (accel, jerk), self-interaction form. Accumulation
+    order differs from the one-sided kernels (reaction terms arrive
+    column-wise), so agreement with the oracle is to f32 tolerance, not
+    bitwise."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYM), T_SYM)
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad, vel=vel)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, joutT = _sym_call(_OP_J, T_SYM, planes, gm, eps2, guarded)
+    return outT[:, :n].T.astype(pos.dtype), joutT[:, :n].T.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-tier pair-symmetric accel, self-interaction form; f64
+    in/out (hi/lo split internally, same frame for both roles). Measured
+    at 65k: 22.3 ms vs 44.0 one-sided accel_x (+95%) — extended accuracy
+    at the old f32 production price, close-pair error unchanged."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMX), T_SYMX)
+    planes, gm = _prep_x_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        (outT,) = _sym_call(_OP_AX, T_SYMX, planes, gm, eps2, guarded)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_potential_sym_x(pos, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-tier pair-symmetric (accel, phi_pair), self-interaction
+    form; f64 in/out. RAW phi contract (same as accel_potential_x): when
+    eps > 0 phi includes the softened self term; the caller adds
+    gravity.self_phi."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMXP), T_SYMXP)
+    planes, gm = _prep_x_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, phi = _sym_call(_OP_PX, T_SYMXP, planes, gm, eps2, guarded)
+    return (outT[:, :n].T.astype(pos.dtype), phi[0, :n].astype(pos.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded",))
+def accel_jerk_sym_x(pos, vel, mass, eps=0.0, G=1.0, guarded: bool = True):
+    """Extended-tier pair-symmetric (accel, jerk), self-interaction form;
+    f64 in/out (hi/lo positions AND velocities)."""
+    n = pos.shape[0]
+    npad = _round_up(max(n, T_SYMXJ), T_SYMXJ)
+    planes, gm = _prep_x_T(pos, mass, G, npad, vel=vel)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, joutT = _sym_call(_OP_JX, T_SYMXJ, planes, gm, eps2, guarded)
     return (outT[:, :n].T.astype(pos.dtype),
             joutT[:, :n].T.astype(pos.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_x_batch(hiT, loT, gm, eps2, pairs, guarded, chunk, with_diag):
-    """One dispatch of the batched extended-tier chunked-sym accel."""
-    npad = hiT.shape[1]
-    C = npad // chunk
-    if with_diag:
-        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
-        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag = jax.lax.map(
-            lambda ab: _sym_x_diag_call(ab[0], ab[1], ab[2], eps2, guarded),
-            (hch, lch, gch))
-        outT = diag.transpose(1, 0, 2).reshape(3, npad)
-    else:
-        outT = jnp.zeros_like(hiT)
+# ---- public wrappers: chunked (past the resident cap) ----------------------
+#
+# The resident sym kernels stop at STREAM_N (whole (3, N) + accumulators
+# must fit VMEM); the chunked forms keep the pair-halving at 1M+ by
+# running each diagonal chunk through the sym kernel and each unordered
+# chunk PAIR through the cross kernel — Newton's 3rd law at the chunk
+# level, no HBM read-modify-write anywhere. Measured (bench/
+# chunked_sym.json): 1M accel 4036 vs 6046 ms one-sided streamed (+50%,
+# 2.72e11 N²-eq int/s), phi +41%, jerk +34%.
 
-    def body(out, ij):
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_sym_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
+                      chunk: int | None = None):
+    """Pair-symmetric self-interaction accel for N past the resident cap.
+    Functionally identical to accel_sym (f32 tolerance: chunk
+    contributions sum in arrival order)."""
+    chunk = CHUNK_SYM if chunk is None else chunk
+    _chunk_check(chunk, T_SYMA, "T_SYMA")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        (outT,) = _sym_chunked_generic(_OP_A, T_SYMA, chunk, planes, gm,
+                                       eps2, guarded)
+    return outT[:, :n].T.astype(pos.dtype)
 
-        def sl3(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
 
-        def sl1(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_potential_sym_chunked(pos, mass, eps=0.0, G=1.0,
+                                guarded: bool = True,
+                                chunk: int | None = None):
+    """Chunked pair-symmetric (accel, phi) past the resident cap — the
+    diagnostics-pass twin of accel_sym_chunked. phi follows the one-sided
+    contract (softened self term via the diagonal chunks when eps > 0;
+    this wrapper adds self_phi like accel_potential)."""
+    chunk = CHUNK_SYM if chunk is None else chunk
+    _chunk_check(chunk, T_SYMP, "T_SYMP")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, mass_c = _prep_f32_T(pos, mass, G, npad)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps2 = eps32.reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, phi = _sym_chunked_generic(_OP_P, T_SYMP, chunk, planes, gm,
+                                         eps2, guarded)
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, jnp.asarray(G, jnp.float32))
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
 
-        oA, oB = _cross_sym_x_call(
-            sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
-            sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
-                                           (0, ia))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
-                                           (0, ja))
-        return out, None
 
-    outT, _ = jax.lax.scan(body, outT, pairs)
-    return outT
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_jerk_sym_chunked(pos, vel, mass, eps=0.0, G=1.0,
+                           guarded: bool = True, chunk: int | None = None):
+    """Chunked pair-symmetric (accel, jerk) past the resident cap — the
+    Hermite twin of accel_sym_chunked (shared-dt Hermite at N > STREAM_N;
+    the block active-row path is rows-vs-sources and keeps the one-sided
+    streamed sweep)."""
+    chunk = CHUNK_SYMJ if chunk is None else chunk
+    _chunk_check(chunk, T_SYM, "T_SYM")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad, vel=vel)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, joutT = _sym_chunked_generic(_OP_J, T_SYM, chunk, planes,
+                                           gm, eps2, guarded)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_sym_x_chunked(pos, mass, eps=0.0, G=1.0, guarded: bool = True,
+                        chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric accel past the resident cap;
+    f64 in/out, ONE global centring + hi/lo split before chunking."""
+    chunk = CHUNK_SYMX if chunk is None else chunk
+    _chunk_check(chunk, T_SYMX, "T_SYMX")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        (outT,) = _sym_chunked_generic(_OP_AX, T_SYMX, chunk, planes, gm,
+                                       eps2, guarded)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_potential_sym_x_chunked(pos, mass, eps=0.0, G=1.0,
+                                  guarded: bool = True,
+                                  chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric (accel, phi) past the resident
+    cap; f64 in/out. RAW phi contract (caller adds self_phi), matching
+    accel_potential_x."""
+    chunk = CHUNK_SYMX if chunk is None else chunk
+    _chunk_check(chunk, T_SYMXP, "T_SYMXP")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, phi = _sym_chunked_generic(_OP_PX, T_SYMXP, chunk, planes,
+                                         gm, eps2, guarded)
+    return (outT[:, :n].T.astype(pos.dtype), phi[0, :n].astype(pos.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("guarded", "chunk"))
+def accel_jerk_sym_x_chunked(pos, vel, mass, eps=0.0, G=1.0,
+                             guarded: bool = True,
+                             chunk: int | None = None):
+    """Extended-tier chunked pair-symmetric (accel, jerk) past the
+    resident cap (the extended Hermite shared-step evaluation at
+    N > STREAM_N); f64 in/out, ONE global centring + hi/lo split of
+    positions AND velocities before chunking."""
+    chunk = CHUNK_SYMXJ if chunk is None else chunk
+    _chunk_check(chunk, T_SYMXJ, "T_SYMXJ")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad, vel=vel)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    with jax.enable_x64(False):
+        outT, joutT = _sym_chunked_generic(_OP_JX, T_SYMXJ, chunk, planes,
+                                           gm, eps2, guarded)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
+
+
+# ---- public wrappers: batched (multi-dispatch oversized evals) -------------
+#
+# One full self-interaction eval at N = 4M is a ~60 s XLA program and at
+# 8M ~240 s — past runtime watchdogs / pre-emption windows (this
+# environment's TPU relay flakes past ~40-90 s) — so the batched forms
+# decompose it: batch 0 carries the diagonal sweep (O(C) cheap kernels),
+# the padded cross-pair list splits evenly across n_batches same-shape
+# dispatches (each compiles once), and partials are host-accumulated
+# through the depth-2 pipeline. Functionally identical to the chunked
+# forms up to f32 summation order. NOT jittable as a whole (they ARE the
+# dispatch splitting); for in-jit stepping use the *_chunked forms.
+
+def _batched_generic(batch_fn, op, t, chunk, planesT, gm, eps2, guarded,
+                     n_batches):
+    C = planesT[0].shape[1] // chunk
+    pair_list, nb, per = _split_pairs(C, n_batches)
+    with jax.enable_x64(False):
+        return _pipelined_batches(
+            lambda b, pairs: batch_fn(tuple(planesT), gm, eps2, pairs,
+                                      guarded, chunk, t, b == 0),
+            nb, per, pair_list)
+
+
+def accel_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                              guarded: bool = True,
+                              chunk: int | None = None,
+                              n_batches: int = 1):
+    """Batched pair-symmetric accel for oversized evals (MacroKDK)."""
+    chunk = CHUNK_SYM if chunk is None else chunk
+    _chunk_check(chunk, T_SYMA, "T_SYMA")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    (outT,) = _batched_generic(_chunked_batch, _OP_A, T_SYMA, chunk,
+                               planes, gm, eps2, guarded, n_batches)
+    return outT[:, :n].T.astype(pos.dtype)
+
+
+def accel_potential_sym_chunked_batched(pos, mass, eps=0.0, G=1.0,
+                                        guarded: bool = True,
+                                        chunk: int | None = None,
+                                        n_batches: int = 1):
+    """Batched (accel, phi) for oversized diagnostics evals; the self
+    term from the diagonal sweep is cancelled by self_phi here."""
+    chunk = CHUNK_SYM if chunk is None else chunk
+    _chunk_check(chunk, T_SYMP, "T_SYMP")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, mass_c = _prep_f32_T(pos, mass, G, npad)
+    eps32 = jnp.asarray(eps, jnp.float32)
+    eps2 = eps32.reshape(1, 1) ** 2
+    outT, phi = _batched_generic(_chunked_phi_batch, _OP_P, T_SYMP, chunk,
+                                 planes, gm, eps2, guarded, n_batches)
+    acc = outT[:, :n].T
+    phi = phi[0, :n] + self_phi(mass_c, eps32, jnp.asarray(G, jnp.float32))
+    return acc.astype(pos.dtype), phi.astype(pos.dtype)
+
+
+def accel_jerk_sym_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
+                                   guarded: bool = True,
+                                   chunk: int | None = None,
+                                   n_batches: int = 1):
+    """Batched (accel, jerk) for oversized evals — a host-stepped
+    Hermite's force evaluation."""
+    chunk = CHUNK_SYMJ if chunk is None else chunk
+    _chunk_check(chunk, T_SYM, "T_SYM")
+    n = pos.shape[0]
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm, _ = _prep_f32_T(pos, mass, G, npad, vel=vel)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
+    outT, joutT = _batched_generic(_chunked_jerk_batch, _OP_J, T_SYM,
+                                   chunk, planes, gm, eps2, guarded,
+                                   n_batches)
+    return (outT[:, :n].T.astype(pos.dtype),
+            joutT[:, :n].T.astype(pos.dtype))
 
 
 def accel_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
@@ -3601,80 +2545,16 @@ def accel_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
                                 chunk: int | None = None,
                                 n_batches: int = 1):
     """Batched extended-tier accel for oversized evals (precision =
-    'extended' through MacroKDK at N >= 4M). ONE global centring + hi/lo
-    split on the host, then the same dispatch-splitting as the f32
-    batched wrapper."""
-    if chunk is None:
-        chunk = CHUNK_SYMX
-    if chunk % T_SYMX != 0:
-        raise ValueError(f"chunk {chunk} must be a multiple of T_SYMX {T_SYMX}")
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    'extended' through MacroKDK at N >= 4M)."""
+    chunk = CHUNK_SYMX if chunk is None else chunk
+    _chunk_check(chunk, T_SYMX, "T_SYMX")
     n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    pair_list, nb, per = _split_pairs(C, n_batches)
-    with jax.enable_x64(False):
-        outT = _pipelined_batches(
-            lambda b, pairs: _chunked_x_batch(hiT, loT, gm, eps2, pairs,
-                                              guarded, chunk, b == 0),
-            nb, per, pair_list)
+    (outT,) = _batched_generic(_chunked_x_batch, _OP_AX, T_SYMX, chunk,
+                               planes, gm, eps2, guarded, n_batches)
     return outT[:, :n].T.astype(pos.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_x_phi_batch(hiT, loT, gm, eps2, pairs, guarded, chunk,
-                         with_diag):
-    """One dispatch of the batched extended-tier chunked-sym accel+phi."""
-    npad = hiT.shape[1]
-    C = npad // chunk
-    if with_diag:
-        hch = hiT.reshape(3, C, chunk).transpose(1, 0, 2)
-        lch = loT.reshape(3, C, chunk).transpose(1, 0, 2)
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_p = jax.lax.map(
-            lambda ab: _sym_x_phi_diag_call(ab[0], ab[1], ab[2], eps2,
-                                            guarded),
-            (hch, lch, gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        phi = diag_p.transpose(1, 0, 2).reshape(1, npad)
-    else:
-        outT = jnp.zeros_like(hiT)
-        phi = jnp.zeros_like(hiT[:1])
-
-    def body(carry, ij):
-        out, ph = carry
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
-
-        def sl3(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-        def sl1(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-        oA, oB, pA, pB = _cross_sym_x_phi_call(
-            sl3(hiT, ia), sl3(loT, ia), sl1(gm, ia),
-            sl3(hiT, ja), sl3(loT, ja), sl1(gm, ja), eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
-                                           (0, ia))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
-                                           (0, ja))
-        ph = jax.lax.dynamic_update_slice(ph, sl1(ph, ia) + w * pA, (0, ia))
-        ph = jax.lax.dynamic_update_slice(ph, sl1(ph, ja) + w * pB, (0, ja))
-        return (out, ph), None
-
-    (outT, phi), _ = jax.lax.scan(body, (outT, phi), pairs)
-    return outT, phi
 
 
 def accel_potential_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
@@ -3682,87 +2562,17 @@ def accel_potential_sym_x_chunked_batched(pos, mass, eps=0.0, G=1.0,
                                           chunk: int | None = None,
                                           n_batches: int = 1):
     """Batched extended-tier (accel, phi) for oversized diagnostics evals.
-    RAW phi contract (caller adds self_phi), matching the rest of the
-    extended family."""
-    if chunk is None:
-        chunk = CHUNK_SYMX
-    if chunk % T_SYMXP != 0:
-        raise ValueError(
-            f"chunk {chunk} must be a multiple of T_SYMXP {T_SYMXP}")
-    center = jnp.mean(pos, axis=0)
-    hi, lo = _split_rows(pos, center)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    RAW phi contract (caller adds self_phi)."""
+    chunk = CHUNK_SYMX if chunk is None else chunk
+    _chunk_check(chunk, T_SYMXP, "T_SYMXP")
     n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    pair_list, nb, per = _split_pairs(C, n_batches)
-    with jax.enable_x64(False):
-        outT, phi = _pipelined_batches(
-            lambda b, pairs: _chunked_x_phi_batch(hiT, loT, gm, eps2,
-                                                  pairs, guarded, chunk,
-                                                  b == 0),
-            nb, per, pair_list)
-    return (outT[:, :n].T.astype(pos.dtype),
-            phi[0, :n].astype(pos.dtype))
-
-
-@functools.partial(jax.jit, static_argnames=("guarded", "chunk", "with_diag"))
-def _chunked_xj_batch(hiT, loT, vhiT, vloT, gm, eps2, pairs, guarded,
-                      chunk, with_diag):
-    """One dispatch of the batched extended-tier chunked-sym accel+jerk."""
-    npad = hiT.shape[1]
-    C = npad // chunk
-    if with_diag:
-        def ch3(a):
-            return a.reshape(3, C, chunk).transpose(1, 0, 2)
-
-        gch = gm.reshape(1, C, chunk).transpose(1, 0, 2)
-        diag_a, diag_j = jax.lax.map(
-            lambda ab: _sym_xj_diag_call(ab[0], ab[1], ab[2], ab[3], ab[4],
-                                         eps2, guarded),
-            (ch3(hiT), ch3(loT), ch3(vhiT), ch3(vloT), gch))
-        outT = diag_a.transpose(1, 0, 2).reshape(3, npad)
-        joutT = diag_j.transpose(1, 0, 2).reshape(3, npad)
-    else:
-        outT = jnp.zeros_like(hiT)
-        joutT = jnp.zeros_like(hiT)
-
-    def body(carry, ij):
-        out, jout = carry
-        valid = ij[0] >= 0
-        ia = jnp.maximum(ij[0], 0) * chunk
-        ja = jnp.maximum(ij[1], 0) * chunk
-
-        def sl3(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (3, chunk))
-
-        def sl1(a, off):
-            return jax.lax.dynamic_slice(a, (0, off), (1, chunk))
-
-        oA, jA, oB, jB = _cross_sym_xj_call(
-            sl3(hiT, ia), sl3(loT, ia), sl3(vhiT, ia), sl3(vloT, ia),
-            sl1(gm, ia),
-            sl3(hiT, ja), sl3(loT, ja), sl3(vhiT, ja), sl3(vloT, ja),
-            sl1(gm, ja), eps2, guarded)
-        w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ia) + w * oA,
-                                           (0, ia))
-        out = jax.lax.dynamic_update_slice(out, sl3(out, ja) + w * oB,
-                                           (0, ja))
-        jout = jax.lax.dynamic_update_slice(jout, sl3(jout, ia) + w * jA,
-                                            (0, ia))
-        jout = jax.lax.dynamic_update_slice(jout, sl3(jout, ja) + w * jB,
-                                            (0, ja))
-        return (out, jout), None
-
-    (outT, joutT), _ = jax.lax.scan(body, (outT, joutT), pairs)
-    return outT, joutT
+    outT, phi = _batched_generic(_chunked_x_phi_batch, _OP_PX, T_SYMXP,
+                                 chunk, planes, gm, eps2, guarded,
+                                 n_batches)
+    return (outT[:, :n].T.astype(pos.dtype), phi[0, :n].astype(pos.dtype))
 
 
 def accel_jerk_sym_x_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
@@ -3771,54 +2581,29 @@ def accel_jerk_sym_x_chunked_batched(pos, vel, mass, eps=0.0, G=1.0,
                                      n_batches: int = 1):
     """Batched extended-tier (accel, jerk) for oversized evals (a
     host-stepped extended Hermite's force evaluation)."""
-    if chunk is None:
-        chunk = CHUNK_SYMXJ
-    if chunk % T_SYMXJ != 0:
-        raise ValueError(
-            f"chunk {chunk} must be a multiple of T_SYMXJ {T_SYMXJ}")
-    center = jnp.mean(pos, axis=0)
-    vcenter = jnp.mean(vel, axis=0)
-    hi, lo = _split_rows(pos, center)
-    vhi, vlo = _split_rows(vel, vcenter)
-    gm0 = (jnp.asarray(G, jnp.float64)
-           * jnp.asarray(mass, jnp.float64)).astype(jnp.float32)
+    chunk = CHUNK_SYMXJ if chunk is None else chunk
+    _chunk_check(chunk, T_SYMXJ, "T_SYMXJ")
     n = pos.shape[0]
-    C = -(-max(n, 1) // chunk)
-    npad = C * chunk
+    npad = -(-max(n, 1) // chunk) * chunk
+    planes, gm = _prep_x_T(pos, mass, G, npad, vel=vel)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    hiT = _padT(hi, npad)
-    loT = _padT(lo, npad)
-    vhiT = _padT(vhi, npad)
-    vloT = _padT(vlo, npad)
-    gm = jnp.pad(gm0[None, :], ((0, 0), (0, npad - n)))
-
-    pair_list, nb, per = _split_pairs(C, n_batches)
-    with jax.enable_x64(False):
-        outT, joutT = _pipelined_batches(
-            lambda b, pairs: _chunked_xj_batch(hiT, loT, vhiT, vloT, gm,
-                                               eps2, pairs, guarded, chunk,
-                                               b == 0),
-            nb, per, pair_list)
+    outT, joutT = _batched_generic(_chunked_xj_batch, _OP_JX, T_SYMXJ,
+                                   chunk, planes, gm, eps2, guarded,
+                                   n_batches)
     return (outT[:, :n].T.astype(pos.dtype),
             joutT[:, :n].T.astype(pos.dtype))
 
 
-# --------------------------------------------------------------------------
-# cross-pair wrappers (halfring sharded mode, parallel/force.py): ONE call
-# computes BOTH the action on set A and the reaction on set B — the
-# pair-symmetric building block between two *disjoint* particle sets (two
-# mesh shards). Row-layout f32-ready inputs (already globally centred by the
-# caller: per-set centring would put A and B in different frames). Both sets
-# are zero-mass padded to a common tile multiple; padded rows contribute 0
-# in either direction (gm = 0) and their output rows are sliced off.
+# ---- public wrappers: cross-pair (halfring sharded mode) -------------------
 #
-# VMEM-RESIDENT like the sym kernels: both transposed operand sets plus the
-# two outputs live in regular VMEM (~32 B/particle/plane), so per-shard
-# sizes are good to the same ~262k residency class as STREAM_N. For larger
-# shards use mode="ring" (streamed one-sided kernels); a chunked cross-pair
-# form (the accel_sym_chunked machinery applied across two shards) is the
-# natural extension if a >262k-per-shard halfring use case appears.
-# --------------------------------------------------------------------------
+# ONE call computes BOTH the action on set A and the reaction on set B —
+# the pair-symmetric building block between two DISJOINT particle sets
+# (two mesh shards). Inputs already globally centred by the caller
+# (per-set centring would put A and B in different frames); both sets are
+# zero-mass padded to a common tile multiple, padded rows contribute 0 in
+# either direction and their output rows are sliced off. VMEM-RESIDENT
+# like the sym kernels (good to the same ~262k-per-shard residency class
+# as STREAM_N; for larger shards use mode="ring").
 
 def _cross_pad(pos, gm, npad):
     n = pos.shape[0]
@@ -3831,7 +2616,7 @@ def _cross_pad(pos, gm, npad):
 def accel_cross_pair(posA, posB, massA, massB, eps, G=1.0,
                      guarded: bool = True):
     """(accel on A from B, accel on B from A) in one pair-symmetric sweep
-    (_accel_kernel_cross_sym: each (a, b) pair once, reaction = −action)."""
+    (each (a, b) pair once, reaction = −action)."""
     nA, nB = posA.shape[0], posB.shape[0]
     G32 = jnp.asarray(G, jnp.float32)
     npad = _round_up(max(nA, nB, T_SYMA), T_SYMA)
@@ -3839,7 +2624,8 @@ def accel_cross_pair(posA, posB, massA, massB, eps, G=1.0,
     rB, gB = _cross_pad(posB, G32 * massB.astype(jnp.float32), npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, oB = _cross_sym_call(rA, gA, rB, gB, eps2, guarded)
+        oA, oB = _cross_call(_OP_A, T_SYMA, (rA,), gA, (rB,), gB, eps2,
+                             guarded)
     return (oA[:, :nA].T.astype(posA.dtype),
             oB[:, :nB].T.astype(posB.dtype))
 
@@ -3857,7 +2643,8 @@ def accel_potential_cross_pair(posA, posB, massA, massB, eps, G=1.0,
     rB, gB = _cross_pad(posB, G32 * massB.astype(jnp.float32), npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, oB, pA, pB = _cross_sym_phi_call(rA, gA, rB, gB, eps2, guarded)
+        oA, pA, oB, pB = _cross_call(_OP_P, T_SYMP, (rA,), gA, (rB,), gB,
+                                     eps2, guarded)
     return (oA[:, :nA].T.astype(posA.dtype), pA[0, :nA].astype(posA.dtype),
             oB[:, :nB].T.astype(posB.dtype), pB[0, :nB].astype(posB.dtype))
 
@@ -3876,16 +2663,15 @@ def accel_jerk_cross_pair(posA, velA, posB, velB, massA, massB, eps, G=1.0,
     vB = jnp.pad(velB.astype(jnp.float32).T, ((0, 0), (0, npad - nB)))
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, jA, oB, jB = _cross_sym_jerk_call(rA, vA, gA, rB, vB, gB,
-                                              eps2, guarded)
+        oA, jA, oB, jB = _cross_call(_OP_J, T_SYM, (rA, vA), gA, (rB, vB),
+                                     gB, eps2, guarded)
     return (oA[:, :nA].T.astype(posA.dtype), jA[:, :nA].T.astype(posA.dtype),
             oB[:, :nB].T.astype(posB.dtype), jB[:, :nB].T.astype(posB.dtype))
 
 
 # extended-tier cross-pair wrappers (halfring + precision="extended"):
 # pre-split (hi, lo) f32 planes under ONE global centring (the caller's
-# _split_global), gm = G·mass in f32 — same contract as *_x_hilo. Same
-# zero-mass common-size padding rules as the f32 cross-pair wrappers.
+# _split_global), gm = G·mass in f32 — same contract as *_x_hilo.
 
 def _cross_pad_x(hi, lo, gm, npad):
     n = hi.shape[0]
@@ -3903,7 +2689,8 @@ def accel_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB, eps,
     hB, lB, gB = _cross_pad_x(rBhi, rBlo, gmB, npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, oB = _cross_sym_x_call(hA, lA, gA, hB, lB, gB, eps2, guarded)
+        oA, oB = _cross_call(_OP_AX, T_SYMX, (hA, lA), gA, (hB, lB), gB,
+                             eps2, guarded)
     return oA[:, :nA].T, oB[:, :nB].T
 
 
@@ -3918,8 +2705,8 @@ def accel_potential_cross_pair_x_hilo(rAhi, rAlo, rBhi, rBlo, gmA, gmB,
     hB, lB, gB = _cross_pad_x(rBhi, rBlo, gmB, npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, oB, pA, pB = _cross_sym_x_phi_call(hA, lA, gA, hB, lB, gB,
-                                               eps2, guarded)
+        oA, pA, oB, pB = _cross_call(_OP_PX, T_SYMXP, (hA, lA), gA,
+                                     (hB, lB), gB, eps2, guarded)
     return oA[:, :nA].T, pA[0, :nA], oB[:, :nB].T, pB[0, :nB]
 
 
@@ -3936,9 +2723,9 @@ def accel_jerk_cross_pair_x_hilo(rAhi, rAlo, vAhi, vAlo, rBhi, rBlo,
     vhB, vlB = _padT(vBhi, npad), _padT(vBlo, npad)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
     with jax.enable_x64(False):
-        oA, jA, oB, jB = _cross_sym_xj_call(hA, lA, vhA, vlA, gA,
-                                            hB, lB, vhB, vlB, gB,
-                                            eps2, guarded)
+        oA, jA, oB, jB = _cross_call(_OP_JX, T_SYMXJ, (hA, lA, vhA, vlA),
+                                     gA, (hB, lB, vhB, vlB), gB, eps2,
+                                     guarded)
     return (oA[:, :nA].T, jA[:, :nA].T, oB[:, :nB].T, jB[:, :nB].T)
 
 
