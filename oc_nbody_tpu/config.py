@@ -186,6 +186,9 @@ class IntegratorConfig:
     dt_max: float = 1.0 / 16.0   # hermite/block upper clamp
     quantize: bool = False       # hermite: snap shared dt to dt_max/2^k
     pec2: bool = False           # hermite/block: second corrector pass (PEC²)
+    symmetrized: bool = False    # hermite: time-symmetrized dt selection
+    # (Hut–Makino–McMillan) — kills the secular drift of adaptive dt on
+    # periodic (binary-dominated) orbits at +1 force eval/step
     n_levels: int = 8            # block: number of power-of-two rungs
     precision: str = "f32"       # pairwise tier: f32 | extended | df32
     # kdk + hermite: > 0 switches to the host-stepped Macro stepper

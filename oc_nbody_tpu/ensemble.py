@@ -156,7 +156,8 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
                            eta_init=cfg.integrator.eta_init,
                            dt_max=cfg.integrator.dt_max,
                            quantize=cfg.integrator.quantize,
-                           pec2=cfg.integrator.pec2)
+                           pec2=cfg.integrator.pec2,
+                           symmetrized=cfg.integrator.symmetrized)
     else:
         from oc_nbody_tpu.integrators.leapfrog import Yoshida4
         stepper = Yoshida4(force=force, dt=cfg.integrator.dt)

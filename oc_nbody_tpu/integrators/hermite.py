@@ -112,6 +112,16 @@ class Hermite4:
     # (the corrector is iterated once toward its fixed point); same 4th
     # order. Standard option in Makino–Aarseth Hermite codes.
     pec2: bool = False
+    # Time-symmetrized step selection (Hut, Makino & McMillan 1995): the
+    # executed dt is the average of the criterion at the step's START
+    # (the carried dt) and at its trial END — one fixed-point iteration
+    # toward dt = h((t) + (t+dt))/2. A time-asymmetric dt(t) makes the
+    # otherwise-symmetric Hermite scheme secularly drift on periodic
+    # (binary-dominated) orbits; symmetrizing kills the secular term at
+    # the cost of ONE extra force evaluation per step (the trial pass) —
+    # the post-collapse mitigation knob (VERDICT round-3 Missing #4).
+    # Composes with pec2 (then 3 evals/step).
+    symmetrized: bool = False
 
     def __post_init__(self):
         import math
@@ -188,9 +198,26 @@ class Hermite4:
         return HermiteCarry(state=state_new, acc=a1, jerk=j1, dt=dt_new,
                             n_steps=carry.n_steps + 1)
 
+    def _exec_step(self, carry: HermiteCarry, dt_cap) -> HermiteCarry:
+        """One step under an upper dt bound (the advance_to landing clip).
+
+        symmetrized=True (Hut–Makino–McMillan): a TRIAL step at the
+        carried dt yields the end-state criterion; the executed dt is the
+        shaped average of start and end criteria, capped the same way.
+        One fixed-point iteration suffices for the secular-drift
+        cancellation (the residual asymmetry is O(dt²) of the criterion's
+        variation — below the scheme's own dt⁴ error for any sane eta)."""
+        dt = jnp.minimum(carry.dt, dt_cap)
+        if not self.symmetrized:
+            return self._step_with_dt(carry, dt)
+        trial = self._step_with_dt(carry, dt)
+        dt_s = jnp.minimum(
+            self._shape_dt(0.5 * (carry.dt + trial.dt)), dt_cap)
+        return self._step_with_dt(carry, dt_s)
+
     # ---- public -------------------------------------------------------
     def step(self, carry: HermiteCarry) -> HermiteCarry:
-        return self._step_with_dt(carry, carry.dt)
+        return self._exec_step(carry, jnp.inf)
 
     def advance(self, carry: HermiteCarry, n: int) -> HermiteCarry:
         return jax.lax.fori_loop(0, n, lambda _, c: self.step(c), carry)
@@ -202,8 +229,7 @@ class Hermite4:
             return c.state.time < t_end * (1 - jnp.sign(t_end) * 1e-14) - 1e-300
 
         def body(c):
-            dt = jnp.minimum(c.dt, t_end - c.state.time)
-            return self._step_with_dt(c, dt)
+            return self._exec_step(c, t_end - c.state.time)
 
         return jax.lax.while_loop(cond, body, carry)
 
@@ -218,8 +244,7 @@ class Hermite4:
                     - 1e-300) & (c.n_steps - start < max_steps)
 
         def body(c):
-            dt = jnp.minimum(c.dt, t_end - c.state.time)
-            return self._step_with_dt(c, dt)
+            return self._exec_step(c, t_end - c.state.time)
 
         return jax.lax.while_loop(cond, body, carry)
 
@@ -272,6 +297,14 @@ class MacroHermite(Hermite4):
 
     def __post_init__(self):
         super().__post_init__()
+        if self.symmetrized:
+            # the trial pass would double the already-dominant batched
+            # force cost at macro N — and the knob targets binary-
+            # dominated small-N systems, which is not this regime
+            raise ValueError(
+                "integrator.symmetrized is not supported with "
+                "macro_batches (the trial pass doubles the batched force "
+                "cost; the knob targets binary-dominated small-N runs)")
         # per-instance jitted O(N) programs (self is frozen/hashable; the
         # closures constant-fold eta/dt_min/dt_max/quantize at trace time)
         @jax.jit

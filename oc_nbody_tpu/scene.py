@@ -393,11 +393,12 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
             return MacroHermite(force=force, eta=ic.eta,
                                 eta_init=ic.eta_init, dt_max=ic.dt_max,
                                 quantize=ic.quantize, pec2=ic.pec2,
+                                symmetrized=ic.symmetrized,
                                 n_batches=ic.macro_batches), "hermite"
         from oc_nbody_tpu.integrators.hermite import Hermite4
         return Hermite4(force=force, eta=ic.eta, eta_init=ic.eta_init,
                         dt_max=ic.dt_max, quantize=ic.quantize,
-                        pec2=ic.pec2), "hermite"
+                        pec2=ic.pec2, symmetrized=ic.symmetrized), "hermite"
     if ic.kind == "block":
         from oc_nbody_tpu.integrators.block import BlockHermite
         return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,
