@@ -53,6 +53,18 @@ VARIANTS = {
     "nokick": {"sev.kick_sigma_ns_kms": "0.0", "sev.kick_sigma_bh_kms": "0.0"},
     "nosev": {"sev.kind": "none"},
     "eta2": {"integrator.eta": "0.01"},
+    # round-4 follow-up: base==nokick bitwise and eta2 unchanged, so the
+    # residual is SEV-specific but NOT Aarseth-criterion truncation. The
+    # remaining dt knob the SEV boundary actually exercises is eta_init:
+    # _reinit after each mass drop RESETS the rungs from the eta_init
+    # startup rule (run.py), so the post-death transient integrates on
+    # eta_init-derived steps that eta does not control.
+    "etai2": {"integrator.eta_init": "0.005"},
+    # and the accounting-side check: diag_f64 swaps the f32 pairwise phi
+    # for emulated-f64 in every E_tot the ledger reads — if the jump
+    # shrinks, the residual was measurement noise of the f32 potential
+    # at the jump boundaries, not dynamics
+    "diagf64": {"output.diag_f64": "true"},
 }
 
 
