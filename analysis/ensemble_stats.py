@@ -30,7 +30,12 @@ def summarize(path, drift_warn=0.0):
     e = len(seeds)
     mb = table["M_bound"] / np.maximum(table["M_bound"][0], 1e-300)
     nb = table["N_bound"]
-    drift = (np.abs(table["dE_over_E_int"]) if "dE_over_E_int" in table
+    # ledger-corrected residual when present (SEV surveys): raw dE/E
+    # under mass loss is physics, not integrator error
+    drift = (np.abs(table["dE_cons_over_E_int"])
+             if "dE_cons_over_E_int" in table
+             else np.abs(table["dE_over_E_int"])
+             if "dE_over_E_int" in table
              else np.abs((table["E_tot"] - table["E_tot"][0])
                          / np.abs(table["E_int"][0])))
     rows = []

@@ -22,9 +22,24 @@ Design constraints (v1, enforced):
 * the jnp blocked force kernel (``backend="jnp"``) — it vmaps cleanly;
   Pallas kernels are written for single-realization shapes (their win is
   at large N, which is not the ensemble regime);
-* shared force model (eps, G, external potential, orbit) across members —
-  the ensemble varies the IC seed; and no SEV / escape pruning / friction
-  / mesh (each carries per-realization host state).
+* shared force model (eps, G, external potential, orbit, friction law)
+  across members — the ensemble varies the IC seed; escape pruning and
+  the mesh stay out (per-member source-bucket re-partitions would retrace
+  a different program per member; the batch axis IS the parallelism).
+
+Stellar evolution composes (round-4): ``SEVTables`` is a registered
+pytree, so the per-member death schedules stack along the batch axis and
+the idempotent O(N) update vmaps — each boundary applies
+``vmap(_update)`` and ledgers each member's E_tot jump into a per-member
+``E_sev_cum`` column, exactly the single-run driver's accounting
+(run.py). Members whose schedule fired get their carry rebuilt (stale
+acc/jerk/dt); untouched members keep theirs bitwise, so the
+member ≡ single-run contract survives. Dynamical friction composes too:
+the Chandrasekhar drag is a pure O(1) function of each member's own
+CoM, evaluated inside the force model — it vmaps with no extra state.
+This is what makes the survey mode survey-complete: a bound-mass vs
+kick-velocity grid (``--sweep sev.kick_sigma_ns_kms=...``) is one
+vmapped program.
 
 Members are never compared against each other inside the program — the
 batch axis is embarrassingly parallel — so per-member results are
@@ -49,8 +64,8 @@ import numpy as np
 from oc_nbody_tpu import diagnostics as diag_mod
 from oc_nbody_tpu.config import SimConfig
 from oc_nbody_tpu.forces import make_force_model
-from oc_nbody_tpu.scene import (build_external_potential, build_ic,
-                                build_units, place_on_orbit)
+from oc_nbody_tpu.scene import (_build_friction, build_external_potential,
+                                build_ic, build_units, place_on_orbit)
 from oc_nbody_tpu.state import ParticleState
 
 
@@ -79,12 +94,14 @@ def _validate(cfg: SimConfig):
     if cfg.mesh.n_devices != 1:
         raise ValueError("ensemble mode is single-device (the batch axis "
                          "is the parallelism)")
-    for name, on in (("sev", cfg.sev.kind not in (None, "none")),
-                     ("escape.prune", cfg.escape.prune),
-                     ("friction", cfg.friction.kind not in (None, "none"))):
-        if on:
-            raise ValueError(f"ensemble mode does not support [{name}] "
-                             "(per-realization host state)")
+    if cfg.sev.kind not in (None, "none", "simple"):
+        raise ValueError(f"unknown sev kind {cfg.sev.kind!r}")
+    if cfg.escape.prune:
+        # the one genuine hold-out: pruning's source-bucket partition is
+        # host-side control flow (bucket-size recompiles, per-boundary
+        # re-partition) that would be a DIFFERENT program per member
+        raise ValueError("ensemble mode does not support [escape] pruning "
+                         "(per-member source buckets retrace per member)")
 
 
 def _stack(states):
@@ -118,11 +135,15 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
             raise ValueError("sweep supports one parameter axis")
         (skey, svals), = sweep.items()
         sec = skey.split(".")[0]
-        if sec not in ("ic", "orbit") or skey == "ic.n":
+        if sec not in ("ic", "orbit", "sev") or skey == "ic.n":
             raise ValueError(
                 f"sweep key {skey!r} must be state-side (ic.* except ic.n, "
-                "or orbit.*): force-side parameters would break the shared "
+                "orbit.*, or sev.* — sev shapes the per-member death "
+                "tables): force-side parameters would break the shared "
                 "force model / single-program design")
+        if sec == "sev" and cfg.sev.kind in (None, "none"):
+            raise ValueError("sweep over sev.* needs [sev] enabled "
+                             "(sev.kind = \"simple\")")
         members = [(s, v) for v in svals for s in seeds]
     else:
         skey, members = None, [(s, None) for s in seeds]
@@ -131,21 +152,36 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
 
     us = build_units(cfg)
     external = build_external_potential(cfg, us)
-    states = []
+    sev_on = cfg.sev.kind not in (None, "none")
+    states, sev_tables = [], []
     for s, v in members:
         c = dataclasses.replace(cfg, ic=dataclasses.replace(cfg.ic, seed=s))
         if v is not None:
             c = apply_overrides(c, [f"{skey}={v}"])
         st = build_ic(c, us)
-        states.append(place_on_orbit(st, external, c, us))
+        st = place_on_orbit(st, external, c, us)
+        states.append(st)
+        if sev_on:
+            # per-member death schedule from the member's own fresh IC +
+            # forward RNG stream — the same derivation as build_scene /
+            # run.py, so each member's tables (incl. kick draws) are
+            # identical to its standalone run's
+            from oc_nbody_tpu.models.stellar_evolution import \
+                make_stellar_evolution
+            key = jax.random.fold_in(jax.random.PRNGKey(c.ic.seed),
+                                     0x52554E)
+            sev_tables.append(make_stellar_evolution(c.sev, us, st,
+                                                     key).tables)
     stacked = _stack(states)
+    tables = _stack(sev_tables) if sev_on else None
     seeds = [s for s, _ in members]                 # per-member metadata
     sweep_vals = [v for _, v in members] if sweep else None
 
+    friction = _build_friction(cfg, us, external)
     force = make_force_model(
         eps=cfg.integrator.eps, G=us.G, external=external,
         backend="jnp", chunk=max(256, cfg.ic.n),
-        precision=cfg.integrator.precision)
+        precision=cfg.integrator.precision, friction=friction)
 
     if cfg.integrator.kind == "kdk":
         from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
@@ -207,7 +243,27 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
     vdiag = jax.jit(jax.vmap(lambda s: diag_mod.compute_all(
         s, force, out.fractions, core=out.core_diag)))
 
+    if sev_on:
+        from oc_nbody_tpu.models.stellar_evolution import (_count_pending,
+                                                           _update)
+        vpending = jax.jit(jax.vmap(_count_pending))
+        vupdate = jax.jit(jax.vmap(lambda s, tb: _update(s, tb)[0]))
+        # host-side per-member diagnostics constants (run.py's
+        # n_dead/dM_sev formulas, vectorized over the batch axis)
+        _m_init = np.asarray(tables.m_init)                       # (E, N)
+        _m_mid = np.asarray(tables.m_mid)
+        _real_rem = np.asarray(tables.m_rem) < _m_init * (1.0 - 1e-6)
+        _m_init_sum = np.asarray(tables.m_init_sum, np.float64)   # (E,)
+    e_sev_cum = np.zeros(len(seeds), np.float64)
+    if friction is not None:
+        _vadf = jax.jit(jax.vmap(lambda s: jnp.linalg.norm(
+            friction.accel_df(s.pos, s.vel, s.mass))))
+
     wall0 = _time.perf_counter()
+    if sev_on and int(jax.device_get(jnp.sum(vpending(stacked, tables)))):
+        # stars already past t_death at t0 (epoch0_myr) fold into the IC
+        # before the drift baseline, exactly as the single-run driver
+        stacked = vupdate(stacked, tables)
     carry = vinit(stacked)
     series: dict[str, list] = {}
 
@@ -215,22 +271,81 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
         for key, v in row.items():
             series.setdefault(key, []).append(np.asarray(v))
 
+    def sev_cols(row, mass_np):
+        """Per-member (E,) stellar-evolution columns (run.py names)."""
+        row["M_tot"] = mass_np.astype(np.float64).sum(axis=1)
+        row["N_rem"] = (_real_rem & (mass_np <= _m_mid)).sum(
+            axis=1).astype(np.float64)
+        row["dM_sev"] = _m_init_sum - mass_np.astype(np.float64).sum(axis=1)
+        row["E_sev_cum"] = e_sev_cum.copy()
+        return row
+
     row0 = jax.device_get(vdiag(carry.state))
-    emit(row0)
+    if sev_on:
+        row0 = sev_cols(row0, np.asarray(jax.device_get(carry.state.mass)))
+    if friction is not None:
+        row0["a_df"] = np.asarray(jax.device_get(_vadf(carry.state)),
+                                  np.float64)
     # per-member drift gate (VERDICT round-3 W3): a survey containing one
     # mis-stepped member (e.g. a too-coarse dt for the tightest King draw)
     # would otherwise report integrator error as physics — warn once per
-    # offending member when |dE/E_int| exceeds output.drift_warn (> 0)
+    # offending member when the drift exceeds output.drift_warn (> 0).
+    # With SEV on, the gated quantity is the LEDGER-CORRECTED residual
+    # (E_tot − E_sev_cum drift): raw dE/E under mass loss is physics.
     e_tot0 = np.asarray(row0["E_tot"], np.float64)
     e_int0 = np.abs(np.asarray(row0.get("E_int", row0["E_tot"]),
                                np.float64))
     e_int0 = np.where(e_int0 > 0, e_int0, 1.0)
+    if sev_on:
+        row0["dE_cons_over_E_int"] = np.zeros(len(seeds), np.float64)
+    emit(row0)
     flagged = np.zeros(len(seeds), bool)
+
+    def _reinit_members(carry, new_state, mask):
+        """Rebuild the carry for members whose schedule fired (stale
+        acc/jerk + hermite dt reset from the eta_init startup rule — the
+        run.py _reinit contract for SEV); untouched members keep their
+        carry BITWISE so they stay equal to their standalone runs."""
+        fresh = vinit(new_state)
+        m = jnp.asarray(mask)
+
+        def sel(a, b):
+            return jnp.where(m.reshape(m.shape + (1,) * (a.ndim - 1)), a, b)
+
+        rebuilt = jax.tree_util.tree_map(sel, fresh, carry)
+        return dataclasses.replace(rebuilt, n_steps=carry.n_steps)
+
     for i in range(1, n_diag + 1):
         t_target = min(t0 + i * realized, out.t_end) if adaptive \
             else t0 + i * realized
         carry = vadv(carry, t_target)
+        e_pre = mask = None
+        if sev_on:
+            pend = np.asarray(jax.device_get(
+                vpending(carry.state, tables)))
+            if pend.sum():
+                # one or more members had deaths this interval: measure
+                # each one's E_tot at unchanged positions, apply the mass
+                # drops + kicks, rebuild those members' carries, and
+                # ledger each jump below (run.py's accounting, per member)
+                mask = pend > 0
+                e_pre = np.asarray(jax.device_get(
+                    vdiag(carry.state)["E_tot"]), np.float64)
+                carry = _reinit_members(
+                    carry, vupdate(carry.state, tables), mask)
         row = jax.device_get(vdiag(carry.state))
+        if e_pre is not None:
+            e_sev_cum[mask] += (np.asarray(row["E_tot"], np.float64)
+                                - e_pre)[mask]
+        if sev_on:
+            row = sev_cols(row, np.asarray(
+                jax.device_get(carry.state.mass)))
+            row["dE_cons_over_E_int"] = (
+                np.asarray(row["E_tot"], np.float64) - e_tot0
+                - e_sev_cum) / e_int0
+        if friction is not None:
+            row["a_df"] = np.asarray(jax.device_get(_vadf(carry.state)),
+                                     np.float64)
         if not np.all(np.isfinite(row["E_tot"])):
             bad = [seeds[j] for j in np.nonzero(
                 ~np.isfinite(np.asarray(row["E_tot"])))[0]]
@@ -238,8 +353,11 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
                 f"non-finite total energy in members (seeds {bad}) at "
                 f"interval {i}")
         if out.drift_warn > 0:
-            drift = np.abs(np.asarray(row["E_tot"], np.float64)
-                           - e_tot0) / e_int0
+            if sev_on:
+                drift = np.abs(row["dE_cons_over_E_int"])
+            else:
+                drift = np.abs(np.asarray(row["E_tot"], np.float64)
+                               - e_tot0) / e_int0
             new_bad = (drift > out.drift_warn) & ~flagged
             if new_bad.any():
                 flagged |= new_bad
