@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--variants", nargs="*", default=[
         "block10", "block12", "block14", "block12_pec2",
         "hermite_pec2", "hermite_pec2_sym"])
+    # measured: the unbounded sym variant ran >10x hermite_pec2's wall
+    # without finishing the window — the symmetrizing fixed point halves
+    # the shared dt in the binary-dominated core. Bound it so the partial
+    # datum (t_reached, n_steps at the cap) records that cost.
+    ap.add_argument("--cap", type=int, default=4_000_000)
     args = ap.parse_args()
 
     import numpy as np
@@ -117,7 +122,7 @@ def main():
         # period steps for EVERY star — if the cap binds, the partial
         # window + extrapolation IS the frontier datum (the cost is the
         # finding)
-        cap = 4_000_000
+        cap = args.cap
         while not st.reached(carry, t_end) and int(carry.n_steps) < cap:
             carry = adv(carry, t_end, 250_000)
         jax.block_until_ready(carry.state.pos)
