@@ -464,6 +464,14 @@ class ForceModel:
         n = int(pos.shape[0])
         nb = max(1, int(n_batches))
         cs = -(-n // nb)
+        # Bound each dispatch's row chunk at the VMEM-resident kernels'
+        # validated envelope (pallas_gravity.RT_MAX_ROWS — a 1M/4 chunk
+        # measured a compile-time scoped-VMEM OOM, 16.14M vs the 16.00M
+        # limit, on this chip): past the cap nb grows instead, keeping
+        # every dispatch on the fast resident path and ~tens of ms.
+        if cs > pg.RT_MAX_ROWS:
+            cs = pg.RT_MAX_ROWS
+            nb = -(-n // cs)
         total = nb * cs
 
         def padto(a):

@@ -174,7 +174,8 @@ def accel_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0,
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
     if (_resident_t() and not compensated
-            and src_pos.shape[0] >= RT_MIN_ACCEL):
+            and src_pos.shape[0] >= RT_MIN_ACCEL
+            and pos_rows.shape[0] <= RT_MAX_ROWS):
         # transposed monolithic variant: measured faster above the
         # crossover (see the "transposed monolithic kernels" section); the
         # grid kernel remains for small N and compensated-resident.
@@ -265,7 +266,8 @@ def accel_potential_rows(pos_rows, src_pos, src_mass, eps, G=1.0, chunk: int = 0
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
     if (_resident_t() and not compensated
-            and src_pos.shape[0] >= RT_MIN_ACCEL):
+            and src_pos.shape[0] >= RT_MIN_ACCEL
+            and pos_rows.shape[0] <= RT_MAX_ROWS):
         return accel_potential_rows_t(pos_rows, src_pos, src_mass, eps, G,
                                       guarded)
     nr = pos_rows.shape[0]
@@ -368,7 +370,8 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
     if compensated is None:
         compensated = COMPENSATED_RESIDENT
     if (_resident_t() and not compensated
-            and src_pos.shape[0] >= RT_MIN_JERK):
+            and src_pos.shape[0] >= RT_MIN_JERK
+            and pos_rows.shape[0] <= RT_MAX_ROWS):
         return accel_jerk_rows_t(pos_rows, vel_rows, src_pos, src_vel,
                                  src_mass, eps, G, guarded)
     nr = pos_rows.shape[0]
@@ -738,6 +741,18 @@ TJ_JT = int(_os.environ.get("OCN_PALLAS_TJ_JT", 1024))
 # but accel within noise). The transposed win grows with N (+12-15% at 65k).
 RT_MIN_ACCEL = int(_os.environ.get("OCN_PALLAS_RT_MIN_A", 32768))
 RT_MIN_JERK = int(_os.environ.get("OCN_PALLAS_RT_MIN_J", 16384))
+
+# Row-count ceiling for the VMEM-RESIDENT monolithic variants (the
+# transposed `_t` family here and the resident `_x` extended family):
+# those kernels keep the ENTIRE row set and its outputs on the kernel
+# stack, so oversized row chunks OOM scoped VMEM at compile time —
+# measured on this chip: accel_rows_t at rows=262,144 × src=65,536
+# allocated 16.14 MiB against the 16.00 MiB scoped limit (the 1M pruned
+# macro path, round 4). 65,536 rows is the validated envelope (the 65k
+# escape-pruning bench drove every rows-kernel at that size on
+# hardware). Row counts past the cap fall back to the row-GRIDDED /
+# streamed families, which block rows at TI_* and are row-unbounded.
+RT_MAX_ROWS = int(_os.environ.get("OCN_PALLAS_RT_MAX_ROWS", 65536))
 
 
 def _resident_t() -> bool:
@@ -1473,7 +1488,7 @@ def accel_rows_x_hilo(rhi, rlo, shi, slo, gm, eps, guarded: bool = True):
     (_accel_kernel_x) runs — the same body as accel_x."""
     nr, ns = rhi.shape[0], shi.shape[0]
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    if ns > STREAM_N:
+    if ns > STREAM_N or nr > RT_MAX_ROWS:
         nrp = _round_up(max(nr, TI_XS), TI_XS)
         nsp = _round_up(max(ns, TJ_XS), TJ_XS)
         with jax.enable_x64(False):
@@ -1535,7 +1550,7 @@ def accel_potential_rows_x_hilo(rhi, rlo, shi, slo, gm, eps,
     that are also sources (caller adds gravity.self_phi to cancel)."""
     nr, ns = rhi.shape[0], shi.shape[0]
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    if ns > STREAM_N:
+    if ns > STREAM_N or nr > RT_MAX_ROWS:
         nrp = _round_up(max(nr, TI_XS), TI_XS)
         nsp = _round_up(max(ns, TJ_XS), TJ_XS)
         with jax.enable_x64(False):
@@ -1607,7 +1622,7 @@ def accel_jerk_rows_x_hilo(rhi, rlo, vhi, vlo, shi, slo, svhi, svlo, gm,
     AND velocity planes; f32 in/out."""
     nr, ns = rhi.shape[0], shi.shape[0]
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1) ** 2
-    if ns > STREAM_N:
+    if ns > STREAM_N or nr > RT_MAX_ROWS:
         nrp = _round_up(max(nr, TI_XS), TI_XS)
         nsp = _round_up(max(ns, TJ_XS), TJ_XS)
         row_spec = pl.BlockSpec((TI_XS, 3), lambda i, j: (i, 0),

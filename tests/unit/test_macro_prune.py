@@ -67,6 +67,31 @@ def test_pruned_batched_evals_match_unbatched(interpret, precision, tol):
     assert np.abs(j - j_ref).max() / np.abs(j_ref).max() < 4 * tol
 
 
+@pytest.mark.parametrize("precision,tol", [("f32", 2e-6), ("extended", 5e-7)])
+def test_pruned_batched_row_cap(interpret, monkeypatch, precision, tol):
+    """Row chunks past pallas_gravity.RT_MAX_ROWS must split into more,
+    capped dispatches (and the extended hilo entries must route capped
+    rows to the row-gridded streamed kernels) and still match — the
+    resident kernels' scoped-VMEM envelope: a 1M/4-row chunk measured a
+    compile-time OOM (16.14M vs the 16.00M limit) on the chip."""
+    from oc_nbody_tpu.ops import pallas_gravity as pg
+    monkeypatch.setattr(pg, "RT_MAX_ROWS", 64)
+    state, ref = _pruned_pair("jnp", precision)
+    _, pal = _pruned_pair("pallas", precision)
+    a_ref = np.asarray(ref.accel(state.pos, state.mass))
+    # n_batches=1: uncapped cs would be N=256 rows in one dispatch; the
+    # cap must force 4 dispatches of 64 and reproduce the oracle
+    a = np.asarray(pal.accel_batched(state.pos, state.mass, n_batches=1))
+    assert np.abs(a - a_ref).max() / np.abs(a_ref).max() < tol
+    aj_ref, j_ref = ref.accel_jerk(state.pos, state.vel, state.mass)
+    aj, j = pal.accel_jerk_batched(state.pos, state.vel, state.mass,
+                                   n_batches=1)
+    assert (np.abs(np.asarray(aj) - np.asarray(aj_ref)).max()
+            / np.abs(np.asarray(aj_ref)).max() < tol)
+    assert (np.abs(np.asarray(j) - np.asarray(j_ref)).max()
+            / np.abs(np.asarray(j_ref)).max() < 4 * tol)
+
+
 def _macro_cfg(out_dir, t_end):
     """Over-tidal scenario with r_cut=0.5 so the partition is ACTIVE from
     t=0 (33 members -> bucket 64 at n=256, measured in the test design);
