@@ -204,6 +204,12 @@ class ShardedForce:
     # _split_global). The df32 tier stays single-chip (make_sharded_force
     # rejects it with the routing rationale).
     precision: str = dataclasses.field(default="f32", metadata=dict(static=True))
+    # Chandrasekhar dynamical friction (round-4: [friction] composes with
+    # the mesh): the rigid CoM drag is an O(1) add evaluated on the
+    # GLOBAL state OUTSIDE shard_map — GSPMD reduces the mass-weighted
+    # CoM across shards like any other replicated reduction, so no
+    # per-mode wiring exists; same zero-jerk contract as ForceModel.
+    friction: Optional[object] = None
     # ---- escape pruning on the mesh (round-4: the bucket gather composes
     # with row sharding). Same contract as ForceModel: sources become the
     # gathered cluster bucket, only tail–tail interactions are dropped.
@@ -583,18 +589,29 @@ class ShardedForce:
         return tuple(out)
 
     # ---- public API (mirrors ForceModel) ------------------------------
+    def _add_df(self, acc, pos, vel, mass):
+        """Add the dynamical-friction drag (ForceModel's contract: vel is
+        required when friction is configured; zero jerk term)."""
+        if self.friction is None:
+            return acc
+        if vel is None:
+            raise ValueError(
+                "this ShardedForce carries dynamical friction: "
+                "accel() needs the velocities (vel=...)")
+        return acc + self.friction.accel_df(pos, vel, mass).astype(
+            acc.dtype)
+
     def accel(self, pos, mass, vel=None):
-        # ``vel`` is accepted for call-site symmetry with ForceModel (the
-        # KDK/Yoshida steppers pass their kick-point velocity for
-        # velocity-dependent terms); dynamical friction is not supported
-        # on a mesh, so it is unused here.
+        # ``vel``: the KDK/Yoshida steppers pass their kick-point velocity
+        # for velocity-dependent terms (the dynamical-friction drag here)
         if self.pruned:
             (acc,) = self._pruned_eval(pos, mass, want="accel")
             if self.external is not None:
                 acc = acc + self.external.accel(pos)
-            return acc
+            return self._add_df(acc, pos, vel, mass)
         if self.precision == "extended":
-            return self._accel_extended(pos, mass)
+            return self._add_df(self._accel_extended(pos, mass),
+                                pos, vel, mass)
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -658,7 +675,7 @@ class ShardedForce:
         acc = out[:n].astype(pos.dtype)
         if self.external is not None:
             acc = acc + self.external.accel(pos)
-        return acc
+        return self._add_df(acc, pos, vel, mass)
 
     def accel_potential(self, pos, mass):
         if self.pruned:
@@ -751,9 +768,10 @@ class ShardedForce:
                 a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
                 acc = acc + a_ext
                 jerk = jerk + da_ext
-            return acc, jerk
+            return self._add_df(acc, pos, vel, mass), jerk
         if self.precision == "extended":
-            return self._accel_jerk_extended(pos, vel, mass)
+            acc, jerk = self._accel_jerk_extended(pos, vel, mass)
+            return self._add_df(acc, pos, vel, mass), jerk
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -817,8 +835,7 @@ class ShardedForce:
             a_ext, da_ext = self.external.accel_jerk_ext(pos, vel)
             acc = acc + a_ext
             jerk = jerk + da_ext
-        return acc, jerk
-
+        return self._add_df(acc, pos, vel, mass), jerk
 
     def accel_jerk_on_rows(self, pos_rows, vel_rows, src_pos, src_vel,
                            src_mass, rows_mask=None):
@@ -833,8 +850,13 @@ class ShardedForce:
         if rows_mask is not None:
             raise ValueError("escape pruning is not supported on a mesh")
         if self.precision == "extended":
-            return self._accel_jerk_on_rows_extended(
+            acc, jerk = self._accel_jerk_on_rows_extended(
                 pos_rows, vel_rows, src_pos, src_vel, src_mass)
+            if self.friction is not None:
+                acc = acc + self.friction.accel_df(
+                    src_pos, src_vel, jnp.asarray(src_mass)).astype(
+                        acc.dtype)
+            return acc, jerk
         k = self._rows_kernel()
         eps32 = jnp.asarray(self.eps, jnp.float32)
         G32 = jnp.asarray(self.G, jnp.float32)
@@ -866,6 +888,12 @@ class ShardedForce:
             a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
             acc = acc + a_ext
             jerk = jerk + da_ext
+        if self.friction is not None:
+            # the rigid CoM drag from the FULL (predicted) source state,
+            # added to every active row — ForceModel.accel_jerk_on_rows's
+            # exact contract (uniform => cancels in pairwise separations)
+            acc = acc + self.friction.accel_df(
+                src_pos, src_vel, jnp.asarray(src_mass)).astype(acc.dtype)
         return acc, jerk
 
     def _accel_jerk_on_rows_extended(self, pos_rows, vel_rows, src_pos,
@@ -915,7 +943,8 @@ class ShardedForce:
 
 def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
                        mode: str = "allgather", backend: str = "auto",
-                       chunk: int = 1024, precision: str = "f32") -> ShardedForce:
+                       chunk: int = 1024, precision: str = "f32",
+                       friction=None) -> ShardedForce:
     if mode not in ("allgather", "ring", "rdma", "halfring"):
         raise ValueError(f"unknown sharded-force mode {mode!r}")
     if precision not in ("f32", "extended"):
@@ -945,5 +974,5 @@ def make_sharded_force(eps, G=1.0, external=None, mesh: Mesh = None,
         eps=jnp.asarray(eps, jnp.float64),
         G=jnp.asarray(G, jnp.float64),
         external=external, mesh=mesh, mode=mode, backend=backend, chunk=chunk,
-        precision=precision,
+        precision=precision, friction=friction,
     )

@@ -337,17 +337,16 @@ def build_scene(cfg: SimConfig) -> Scene:
         from oc_nbody_tpu.parallel import make_mesh, make_sharded_force
         n_dev = cfg.mesh.n_devices or len(jax.devices())
         if n_dev > 1:
-            if friction is not None:
-                raise ValueError("[friction] is not supported on a mesh "
-                                 "(mesh.n_devices = 1 required)")
             # precision tiers on the mesh: "extended" shards the hi/lo
             # planes through the same collectives (round-2 Missing #1
-            # closed); make_sharded_force rejects df32 with the rationale
+            # closed); make_sharded_force rejects df32 with the rationale.
+            # [friction] composes (round-4): the rigid CoM drag is an O(1)
+            # add on the global state outside shard_map.
             mode = cfg.mesh.mode if cfg.mesh.mode != "auto" else "allgather"
             force = make_sharded_force(
                 eps=cfg.integrator.eps, G=us.G, external=external,
                 mesh=make_mesh(n_dev), mode=mode, backend=cfg.backend,
-                precision=cfg.integrator.precision,
+                precision=cfg.integrator.precision, friction=friction,
             )
             return Scene(units=us, state=state, force=force, config=cfg,
                          rng_key=rng_key)

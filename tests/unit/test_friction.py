@@ -153,11 +153,9 @@ def test_friction_validation(tmp_path):
     with pytest.raises(ValueError, match="ln_lambda"):
         run(bad)
     # round-4: friction x block is WIRED (test_isothermal_inspiral_rate_
-    # block below); the remaining composition refusal is the mesh
-    bad2 = dataclasses.replace(
-        cfg, mesh=dataclasses.replace(cfg.mesh, n_devices=8))
-    with pytest.raises(ValueError, match="mesh"):
-        run(bad2)
+    # block below) and friction x mesh composes too — the sharded driver
+    # equality is pinned in tests/distributed/test_sharded_friction.py,
+    # so no mesh refusal remains to pin here
     bad3 = dataclasses.replace(
         cfg, potential=dataclasses.replace(cfg.potential, kind="none"),
         orbit=dataclasses.replace(cfg.orbit, kind="none"))
