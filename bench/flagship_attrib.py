@@ -65,6 +65,12 @@ VARIANTS = {
     # shrinks, the residual was measurement noise of the f32 potential
     # at the jump boundaries, not dynamics
     "diagf64": {"output.diag_f64": "true"},
+    # validation of the shipped fix (run._merge_reinit_carry): identical
+    # knobs to "base", recorded under its own name — at HEAD the SEV
+    # boundary caps the re-derived startup rungs by the pre-jump ones,
+    # so this replay must land near the etai2 background (~1e-5), not
+    # reproduce the +9.0e-4 jump
+    "fixed": {},
 }
 
 

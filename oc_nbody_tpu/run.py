@@ -96,6 +96,39 @@ def _diag_extra_fn(cfg: SimConfig, scene):
     return add
 
 
+def _merge_reinit_carry(new_carry, old_carry, keep_steps: bool):
+    """Merge a freshly-init'd stepper carry with the pre-boundary one.
+
+    Run counters always survive. ``keep_steps=True`` (escape-pruning
+    re-partitions) preserves the timestep state outright (block dt_i
+    rungs / hermite shared dt): dropping tail–tail forces barely perturbs
+    valid step sizes, and re-deriving them from the conservative eta_init
+    startup rule at every boundary was measured to triple the block
+    drift. ``keep_steps=False`` (SEV mass-change boundaries) takes the
+    elementwise MIN of the re-derived startup steps and the pre-jump
+    ones: attribution measured (bench/flagship_attrib.json, round 4) the
+    flagship's +9.0e-4/interval ledger jump is the post-death transient
+    integrating on startup rungs one level coarser than the running
+    Aarseth rungs (halving eta_init drops it to 7.6e-6; eta, kicks,
+    diag_f64 all move nothing). The old rungs carry the a2/a3 information
+    the first-order startup rule lacks; min() keeps the fresh rule's
+    response to kicked/perturbed stars and can only refine elsewhere
+    (block dt_i are power-of-two int64 rung lengths, so the min is a
+    valid rung)."""
+    c = new_carry
+    names = ("n_steps", "n_active_sum") + (
+        ("dt_i", "dt") if keep_steps else ())
+    keep = {f.name: getattr(old_carry, f.name)
+            for f in dataclasses.fields(c) if f.name in names}
+    if not keep_steps:
+        fields = {f.name for f in dataclasses.fields(c)}
+        for nm in ("dt_i", "dt"):
+            if nm in fields and hasattr(old_carry, nm):
+                keep[nm] = jax.numpy.minimum(getattr(c, nm),
+                                             getattr(old_carry, nm))
+    return dataclasses.replace(c, **keep) if keep else c
+
+
 def _run(cfg: SimConfig, resume: bool = False,
          progress: Optional[callable] = None) -> RunResult:
     scene = build_scene(cfg)
@@ -258,12 +291,8 @@ def _run(cfg: SimConfig, resume: bool = False,
     def _reinit(old_carry, new_state, keep_steps=False):
         """Rebuild the carry after an out-of-band change: stale acc/jerk
         are re-derived under the CURRENT pruned force while the run
-        counters survive. ``keep_steps=True`` (re-partitions) additionally
-        preserves the timestep state (block dt_i rungs / hermite shared
-        dt): dropping tail–tail forces barely perturbs valid step sizes,
-        and re-deriving them from the conservative eta_init startup rule
-        at every boundary was measured to triple the block drift. SEV mass
-        changes keep the reset — there the old rungs really are stale.
+        counters survive (see _merge_reinit_carry for the timestep-state
+        policy at re-partition vs SEV boundaries).
 
         Macro (host-stepped) steppers init eagerly: their force eval IS
         the dispatch-splitting host loop, which must not be traced (the
@@ -272,11 +301,7 @@ def _run(cfg: SimConfig, resume: bool = False,
         replace outside any jit."""
         c = (_macro_stepper(_prune["src"]).init(new_state) if host_stepping
              else _init_jit(new_state, _prune["src"]))
-        names = ("n_steps", "n_active_sum") + (
-            ("dt_i", "dt") if keep_steps else ())
-        keep = {f.name: getattr(old_carry, f.name)
-                for f in dataclasses.fields(c) if f.name in names}
-        return dataclasses.replace(c, **keep) if keep else c
+        return _merge_reinit_carry(c, old_carry, keep_steps)
 
     if carry is None:
         # fresh run: a previous run's diagnostics/snapshots in this dir
