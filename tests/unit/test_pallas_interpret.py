@@ -15,8 +15,11 @@ from oc_nbody_tpu.ops import gravity
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
-    monkeypatch.setattr(pg, "_call",
-                        functools.partial(pl.pallas_call, interpret=True))
+    # the env switch is read at CALL time by the shared _call in
+    # ops/pallas_pair.py — one knob covers pallas_gravity's own kernels
+    # AND the generated pair-spec families (patching pg._call stopped
+    # reaching the latter when the factored core moved modules)
+    monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
     # jitted wrappers cache the traced _call: clear between modes
     jitted = (pg.accel_rows, pg.accel_potential_rows, pg.accel_jerk_rows,
               pg.accel_rows_streamed, pg.accel_potential_rows_streamed,

@@ -17,10 +17,9 @@ from oc_nbody_tpu.ops import gravity
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
-    monkeypatch.setattr(pg, "_call",
-                        functools.partial(pl.pallas_call, interpret=True))
-    monkeypatch.setattr(pd, "_call",
-                        functools.partial(pl.pallas_call, interpret=True))
+    # read at CALL time by the shared _call in ops/pallas_pair.py — one
+    # knob covers pallas_gravity, pallas_df, and the generated families
+    monkeypatch.setenv("OCN_PALLAS_INTERPRET", "1")
     jitted = (pg.accel_x, pg.accel_potential_x, pg.accel_jerk_rows_x,
               pd.accel_df_pallas, pd.accel_jerk_df_pallas)
     for fn in jitted:
