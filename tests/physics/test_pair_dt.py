@@ -1,0 +1,129 @@
+"""Pair-aware block rung criterion (integrator.pair_dt).
+
+The Aarseth criterion is built from the AGGREGATE force, which vanishes
+through the softened core (a ∝ r for r << eps): an eccentric hard pair
+whose pericentre dives inside eps gets its dt *grown* exactly where the
+encounter is fastest. The pair criterion caps dt at eta_pair × the
+softened two-body encounter timescale min(sqrt(u)/|v_ij|, u^{3/4}/
+sqrt(G m_pair)), which stays finite (~eps/v) through the core. Measured
+motivation: configs/binaries_8k.toml random-walks |dE/E_int| to ~3.5e-3
+by t=6.5 without it (round-4 VERDICT Missing #1).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oc_nbody_tpu.forces import make_force_model
+from oc_nbody_tpu.integrators.block import BlockHermite
+from oc_nbody_tpu.ops import gravity
+from oc_nbody_tpu.state import ParticleState
+
+
+def test_pair_timescale_oracle():
+    rng = np.random.default_rng(5)
+    n, m = 48, 32
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, size=n).astype(np.float32)
+    src_pos, src_vel, src_mass = pos[:m], vel[:m], mass[:m]
+    eps, G = 0.05, 1.3
+
+    got = np.asarray(gravity.pair_timescale_rows(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(src_pos), jnp.asarray(src_vel), jnp.asarray(src_mass),
+        eps, G, chunk=16))
+
+    dr = src_pos[None, :, :] - pos[:, None, :]
+    dv = src_vel[None, :, :] - vel[:, None, :]
+    r2 = np.sum(dr * dr, axis=-1)
+    u = r2 + eps * eps
+    v2 = np.sum(dv * dv, axis=-1)
+    with np.errstate(divide="ignore"):
+        t_fly2 = np.where(v2 > 0, u / np.maximum(v2, 1e-300), np.inf)
+    gm_pair = G * (mass[:, None] + src_mass[None, :])
+    t_ff2 = u ** 1.5 / gm_pair
+    tau2 = np.minimum(t_fly2, t_ff2)
+    tau2 = np.where(r2 > 0, tau2, np.inf)  # rows 0..31 see themselves
+    want = np.sqrt(tau2.min(axis=1))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def _eccentric_pair(a=0.01, e=0.97, m=0.5):
+    """Isolated two-body pair at APOCENTRE (so the startup rung derives
+    from the slow end of the orbit — the criterion must then dive on its
+    own as pericentre approaches)."""
+    gm = 2.0 * m
+    r_apo = a * (1.0 + e)
+    v_apo = np.sqrt(gm * (2.0 / r_apo - 1.0 / a))
+    pos = jnp.asarray([[-r_apo / 2, 0, 0], [r_apo / 2, 0, 0]], jnp.float64)
+    vel = jnp.asarray([[0, -v_apo / 2, 0], [0, v_apo / 2, 0]], jnp.float64)
+    return ParticleState(pos=pos, vel=vel,
+                         mass=jnp.asarray([m, m], jnp.float32),
+                         ids=jnp.arange(2, dtype=jnp.int32),
+                         time=jnp.asarray(0.0, jnp.float64))
+
+
+def _soft_energy(state, eps, gm_prod):
+    ke = 0.5 * float(jnp.sum(state.mass[:, None] * state.vel ** 2))
+    r = float(jnp.linalg.norm(state.pos[1] - state.pos[0]))
+    return ke - gm_prod / np.sqrt(r * r + eps * eps)
+
+
+def test_pair_dt_holds_softened_pericentre():
+    # r_peri = a(1-e) = 3e-4 << eps = 1.5e-3: the passage happens INSIDE
+    # the softened core, where the Aarseth dt inflates. Two periods.
+    a, e, m, eps = 0.01, 0.97, 0.5, 1.5e-3
+    state = _eccentric_pair(a, e, m)
+    period = 2.0 * np.pi * np.sqrt(a ** 3 / (2 * m))
+    force = make_force_model(eps=eps, G=1.0, backend="jnp", chunk=8)
+    kw = dict(force=force, eta=0.02, eta_init=0.01, dt_max=period / 8,
+              n_levels=14, n_buckets=0)
+    e0 = _soft_energy(state, eps, m * m)
+    t_end = 2.0 * period
+
+    errs = {}
+    for name, blk in {
+        "aarseth": BlockHermite(**kw),
+        "pair": BlockHermite(**kw, pair_dt=True, eta_pair=0.02),
+    }.items():
+        carry = blk.init(state)
+        carry = jax.jit(blk.advance_to)(carry, t_end)
+        errs[name] = abs(_soft_energy(carry.state, eps, m * m) - e0) / abs(e0)
+
+    # the pair criterion must hold the passage ~2 orders better than the
+    # force-only criterion, and to an absolute 1e-6-class bound
+    assert errs["pair"] < 1e-5, errs
+    assert errs["pair"] < errs["aarseth"] / 30.0, errs
+
+
+def test_pair_dt_loose_cap_is_inert():
+    # a huge eta_pair never binds -> bitwise-identical trajectory
+    state = _eccentric_pair(e=0.5)
+    force = make_force_model(eps=1e-3, G=1.0, backend="jnp", chunk=8)
+    kw = dict(force=force, eta=0.02, dt_max=1.0 / 256, n_levels=8,
+              n_buckets=0)
+    base = BlockHermite(**kw)
+    loose = BlockHermite(**kw, pair_dt=True, eta_pair=1e6)
+    cb = jax.jit(base.advance_to)(base.init(state), 1.0 / 256)
+    cl = jax.jit(loose.advance_to)(loose.init(state), 1.0 / 256)
+    np.testing.assert_array_equal(np.asarray(cb.state.pos),
+                                  np.asarray(cl.state.pos))
+    np.testing.assert_array_equal(np.asarray(cb.dt_i), np.asarray(cl.dt_i))
+
+
+def test_pair_dt_bucketed_matches_masked():
+    # the bucketed top_k compaction path must agree with the masked
+    # full-row path (n_buckets=0) bitwise — same contract as the force
+    # eval's test_bucketed_matches_masked
+    from oc_nbody_tpu.models.plummer import plummer
+    state = plummer(33, jax.random.PRNGKey(7))
+    force = make_force_model(eps=1e-3, G=1.0, backend="jnp", chunk=16)
+    kw = dict(force=force, eta=0.02, dt_max=1.0 / 64, n_levels=6,
+              pair_dt=True, eta_pair=0.02)
+    masked = BlockHermite(**kw, n_buckets=0)
+    bucketed = BlockHermite(**kw, n_buckets=3)
+    cm = jax.jit(masked.advance_to)(masked.init(state), 1.0 / 64)
+    cb = jax.jit(bucketed.advance_to)(bucketed.init(state), 1.0 / 64)
+    np.testing.assert_array_equal(np.asarray(cm.state.pos),
+                                  np.asarray(cb.state.pos))
+    np.testing.assert_array_equal(np.asarray(cm.dt_i), np.asarray(cb.dt_i))
