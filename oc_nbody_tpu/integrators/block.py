@@ -433,13 +433,29 @@ class BlockHermite:
     def restore(self, state: ParticleState, aux: dict) -> BlockCarry:
         # t_i/dt_i are integers in units of THIS stepper's dt_min: resuming
         # with a different dt_max or n_levels would silently rescale every
-        # per-particle time (ADVICE round-1) — refuse instead.
-        for k, want in (("dt_max", self.dt_max), ("n_levels", self.n_levels)):
-            if k in aux and float(aux[k]) != float(want):
+        # per-particle time (ADVICE round-1). Exception (round-5, flagship
+        # stepping studies): when the checkpoint grid embeds EXACTLY in the
+        # configured one — old dt_min an exact power-of-two multiple of the
+        # new — rescale t_i/dt_i by that integer factor (exact in int64;
+        # alignment and power-of-two rungs are preserved by construction,
+        # dt_i clamps at the new dt_max). Coarsening is still refused.
+        rescale = 1
+        if "dt_max" in aux and "n_levels" in aux:
+            old_dt_min = float(aux["dt_max"]) / (1 << (int(aux["n_levels"])
+                                                       - 1))
+            ratio = old_dt_min / self.dt_min
+            if abs(ratio - round(ratio)) < 1e-9 and round(ratio) >= 1 and (
+                    round(ratio) & (round(ratio) - 1)) == 0:
+                rescale = int(round(ratio))
+            else:
                 raise ValueError(
-                    f"checkpoint {k}={float(aux[k])} != configured {want}; "
-                    "block-timestep integer times are not portable across "
-                    "grid changes")
+                    f"checkpoint block grid (dt_max={float(aux['dt_max'])}, "
+                    f"n_levels={int(aux['n_levels'])}, dt_min={old_dt_min}) "
+                    f"does not embed in the configured grid (dt_max="
+                    f"{self.dt_max}, n_levels={self.n_levels}, dt_min="
+                    f"{self.dt_min}): old dt_min must be a power-of-two "
+                    "multiple of the new (refining is exact; coarsening "
+                    "would corrupt per-particle times)")
         if all(k in aux for k in ("acc", "jerk", "t_i", "dt_i", "t_origin")):
             acc = jnp.asarray(aux["acc"])
             if "a_ext" in aux and "j_ext" in aux:
@@ -450,12 +466,14 @@ class BlockHermite:
                 # (pos, vel), recompute exactly
                 a_ext, j_ext = self._ext_parts(state.pos, state.vel, acc,
                                                state.time)
+            dt_i = jnp.asarray(aux["dt_i"], jnp.int64) * rescale
+            dt_i = jnp.minimum(dt_i, self._dt_int_max)  # both powers of two
             return BlockCarry(
                 state=state,
                 acc=acc, jerk=jnp.asarray(aux["jerk"]),
                 a_ext=a_ext, j_ext=j_ext,
-                t_i=jnp.asarray(aux["t_i"], jnp.int64),
-                dt_i=jnp.asarray(aux["dt_i"], jnp.int64),
+                t_i=jnp.asarray(aux["t_i"], jnp.int64) * rescale,
+                dt_i=dt_i,
                 t_origin=jnp.asarray(aux["t_origin"], jnp.float64),
                 n_steps=jnp.asarray(aux.get("n_steps", 0), jnp.int64),
                 n_active_sum=jnp.asarray(aux.get("n_active_sum", 0), jnp.int64),

@@ -116,3 +116,37 @@ def test_block_pec2_runs_and_conserves():
         assert abs(e1 - e0) / abs(e0) < 1e-6
         ends[pec2] = np.asarray(c.state.pos)
     assert np.max(np.abs(ends[True] - ends[False])) > 0
+
+
+def test_block_resume_on_finer_grid(tmp_path):
+    """Round-5: a checkpoint may be resumed on a FINER block grid (old
+    dt_min an exact power-of-two multiple of the new) — the integer
+    times rescale exactly and the run continues healthy. This is the
+    mid-run stepping-refinement path the flagship dt study uses."""
+    from oc_nbody_tpu.diagnostics import energies
+    from oc_nbody_tpu.io.snapshot import read_snapshot, write_snapshot
+
+    state = plummer(64, jax.random.PRNGKey(31))
+    force = make_force_model(eps=1.0 / 32, backend="jnp")
+    coarse = BlockHermite(force=force, dt_max=1.0 / 32, n_levels=4)
+    mid = jax.jit(coarse.advance_to)(coarse.init(state), 1.0 / 32)
+
+    path = str(tmp_path / "blk.h5")
+    write_snapshot(path, mid.state, aux=coarse.checkpoint_aux(mid),
+                   integrator_kind="block")
+    snap = read_snapshot(path)
+
+    fine = BlockHermite(force=force, dt_max=1.0 / 64, n_levels=5)
+    c = fine.restore(snap.state, snap.aux)
+    # physical per-particle times and rung lengths preserved (up to the
+    # new dt_max clamp)
+    np.testing.assert_allclose(
+        np.asarray(c.t_i, dtype=np.float64) * fine.dt_min,
+        np.asarray(mid.t_i, dtype=np.float64) * coarse.dt_min, rtol=0)
+    assert np.asarray(c.dt_i).max() <= fine._dt_int_max
+    # continues and conserves on the refined grid
+    e0 = energies(mid.state, force)["E_tot"]
+    c = jax.jit(fine.advance_to)(c, 3.0 / 32)
+    np.testing.assert_allclose(float(c.state.time), 3.0 / 32, rtol=1e-12)
+    e1 = energies(c.state, force)["E_tot"]
+    assert abs((float(e1) - float(e0)) / float(e0)) < 1e-5

@@ -61,11 +61,25 @@ def test_block_restore_rejects_grid_change(key):
 
     # same grid: fine
     stepper.restore(state, aux)
-    # changed dt_max or n_levels: integer times would silently rescale
-    with pytest.raises(ValueError, match="dt_max"):
+    # COARSER grid: integer times would be corrupted — refused
+    with pytest.raises(ValueError, match="embed"):
         BlockHermite(force=force, dt_max=1.0 / 8, n_levels=6).restore(state, aux)
-    with pytest.raises(ValueError, match="n_levels"):
-        BlockHermite(force=force, dt_max=1.0 / 16, n_levels=8).restore(state, aux)
+    # FINER grid (round-5): embeds exactly — t_i/dt_i rescale by the
+    # integer dt_min ratio, physical times and rung lengths preserved
+    fine = BlockHermite(force=force, dt_max=1.0 / 16, n_levels=8)
+    c2 = fine.restore(state, aux)
+    np.testing.assert_array_equal(np.asarray(c2.t_i),
+                                  np.asarray(carry.t_i) * 4)
+    np.testing.assert_array_equal(
+        np.asarray(c2.dt_i, dtype=np.float64) * fine.dt_min,
+        np.asarray(carry.dt_i, dtype=np.float64) * stepper.dt_min)
+    # halved dt_max, same n_levels: embeds (ratio 2); rungs at the old
+    # dt_max clamp to the new one
+    half = BlockHermite(force=force, dt_max=1.0 / 32, n_levels=6)
+    c3 = half.restore(state, aux)
+    np.testing.assert_array_equal(np.asarray(c3.t_i),
+                                  np.asarray(carry.t_i) * 2)
+    assert np.asarray(c3.dt_i).max() <= half._dt_int_max
 
 
 def test_truncate_diagnostics(tmp_path):
