@@ -15,10 +15,15 @@ members step at 8.0x the serial single-run rate for E=16, 12.8x for E=64,
 Design constraints (v1, enforced):
 
 * kdk / yoshida4 (fixed dt: every member takes the same steps, one
-  fori_loop drives all of them) or hermite (round-4: the shared-adaptive
+  fori_loop drives all of them), hermite (round-4: the shared-adaptive
   dt is per-member carry state; the batched while_loop's per-lane cond
   select freezes finished members, so each lands exactly on every
-  diagnostics boundary) — block stays out (per-particle integer rungs);
+  diagnostics boundary), or block (round-5: the per-particle int64 rung
+  state is fixed-shape and vmaps the same way — each member micro-steps
+  its own rung hierarchy, synchronising on the shared dt_max grid; the
+  masked full-row eval n_buckets=0 is used since the bucketed
+  compaction's lax.switch would evaluate every branch under a batched
+  level index);
 * the jnp blocked force kernel (``backend="jnp"``) — it vmaps cleanly;
   Pallas kernels are written for single-realization shapes (their win is
   at large N, which is not the ensemble regime);
@@ -80,15 +85,19 @@ class EnsembleResult:
 
 
 def _validate(cfg: SimConfig):
-    if cfg.integrator.kind not in ("kdk", "yoshida4", "hermite"):
+    if cfg.integrator.kind not in ("kdk", "yoshida4", "hermite", "block"):
         # hermite (round-4): the shared-adaptive dt is PER-MEMBER state
         # under vmap — the batched while_loop freezes finished lanes via
         # its per-lane cond select, so members land on each diagnostics
         # boundary exactly (VERDICT round-3 Missing #1, third seam).
-        # block stays out: its per-particle integer rung grid would make
-        # every interval a different masked program per member.
-        raise ValueError("ensemble mode supports kdk | yoshida4 | hermite, "
-                         f"got {cfg.integrator.kind!r}")
+        # block (round-5): per-particle int64 rung state is fixed-shape,
+        # so it vmaps the same way — each member micro-steps its own
+        # rung hierarchy inside the batched while_loop; the shared dt_max
+        # grid means every member synchronises on the same diagnostics
+        # boundaries.
+        raise ValueError(
+            "ensemble mode supports kdk | yoshida4 | hermite | block, "
+            f"got {cfg.integrator.kind!r}")
     if cfg.integrator.macro_batches > 0:
         raise ValueError("ensemble mode has no macro_batches form")
     if cfg.mesh.n_devices != 1:
@@ -186,6 +195,23 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
     if cfg.integrator.kind == "kdk":
         from oc_nbody_tpu.integrators.leapfrog import LeapfrogKDK
         stepper = LeapfrogKDK(force=force, dt=cfg.integrator.dt)
+    elif cfg.integrator.kind == "block":
+        # n_buckets=0 (masked full-row eval): the bucketed compaction's
+        # lax.switch would evaluate EVERY branch under a batched level
+        # index, and per-member active sets diverge anyway; the masked
+        # form is the vmap-clean one and bitwise-equal to the bucketed
+        # single-run path (tests/physics/test_block.py
+        # test_bucketed_matches_masked). Small-N members are the ensemble
+        # regime, so the O(N^2)-per-micro-step cost is the same arithmetic
+        # the bucketed path would reach at these sizes.
+        from oc_nbody_tpu.integrators.block import BlockHermite
+        stepper = BlockHermite(
+            force=force, eta=cfg.integrator.eta,
+            eta_init=cfg.integrator.eta_init,
+            dt_max=cfg.integrator.dt_max,
+            n_levels=cfg.integrator.n_levels, n_buckets=0,
+            pec2=cfg.integrator.pec2, pair_dt=cfg.integrator.pair_dt,
+            eta_pair=(cfg.integrator.eta_pair or cfg.integrator.eta))
     elif cfg.integrator.kind == "hermite":
         from oc_nbody_tpu.integrators.hermite import Hermite4
         stepper = Hermite4(force=force, eta=cfg.integrator.eta,
@@ -197,7 +223,7 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
     else:
         from oc_nbody_tpu.integrators.leapfrog import Yoshida4
         stepper = Yoshida4(force=force, dt=cfg.integrator.dt)
-    adaptive = cfg.integrator.kind == "hermite"
+    adaptive = cfg.integrator.kind in ("hermite", "block")
 
     out = cfg.output
     if out.t_end_myr is not None:
@@ -206,6 +232,19 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
         out = dataclasses.replace(
             out, diag_every=out.diag_every_myr / us.time_myr)
     t0 = float(stacked.time[0])
+    if cfg.integrator.kind == "block":
+        # block integrators synchronise only on the dt_max grid: snap the
+        # cadence and t_end to it, exactly like the single-run driver
+        # (run.py), so members stay comparable with standalone runs
+        g = float(cfg.integrator.dt_max)
+        snapped = dict(
+            diag_every=max(g, round(out.diag_every / g) * g),
+            t_end=t0 + max(g, round((out.t_end - t0) / g) * g))
+        if any(abs(v - getattr(out, k)) > 1e-12 * max(1.0, abs(v))
+               for k, v in snapped.items()):
+            print(f"ensemble: block grid snapped output cadence to "
+                  f"{snapped} (dt_max = {g})", flush=True)
+            out = dataclasses.replace(out, **snapped)
     if adaptive:
         # per-member adaptive dt: every member lands EXACTLY on each
         # diagnostics boundary (advance_to clips the landing step); the
@@ -242,6 +281,16 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
     vinit = jax.jit(jax.vmap(stepper.init))
     vdiag = jax.jit(jax.vmap(lambda s: diag_mod.compute_all(
         s, force, out.fractions, core=out.core_diag)))
+    vocc = (jax.jit(jax.vmap(stepper.rung_occupancy))
+            if hasattr(stepper, "rung_occupancy") else None)
+
+    def occ_cols(row, carry):
+        """Per-member (E,) rung-occupancy columns (run.py names)."""
+        if vocc is not None:
+            occ = np.asarray(jax.device_get(vocc(carry)))   # (E, n_levels)
+            for k in range(occ.shape[1]):
+                row[f"rung_{k:02d}"] = occ[:, k].astype(np.float64)
+        return row
 
     if sev_on:
         from oc_nbody_tpu.models.stellar_evolution import (_count_pending,
@@ -281,6 +330,7 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
         return row
 
     row0 = jax.device_get(vdiag(carry.state))
+    row0 = occ_cols(row0, carry)
     if sev_on:
         row0 = sev_cols(row0, np.asarray(jax.device_get(carry.state.mass)))
     if friction is not None:
@@ -303,17 +353,21 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
 
     def _reinit_members(carry, new_state, mask):
         """Rebuild the carry for members whose schedule fired (stale
-        acc/jerk + hermite dt reset from the eta_init startup rule — the
-        run.py _reinit contract for SEV); untouched members keep their
-        carry BITWISE so they stay equal to their standalone runs."""
+        acc/jerk + dt reset — the run.py _reinit contract for SEV,
+        including the round-4 min-cap: re-derived startup rungs/dt are
+        capped by the pre-jump ones via run._merge_reinit_carry, so the
+        post-death transient never integrates coarser than the running
+        criterion); untouched members keep their carry BITWISE so they
+        stay equal to their standalone runs."""
+        from oc_nbody_tpu.run import _merge_reinit_carry
         fresh = vinit(new_state)
+        merged = _merge_reinit_carry(fresh, carry, keep_steps=False)
         m = jnp.asarray(mask)
 
         def sel(a, b):
             return jnp.where(m.reshape(m.shape + (1,) * (a.ndim - 1)), a, b)
 
-        rebuilt = jax.tree_util.tree_map(sel, fresh, carry)
-        return dataclasses.replace(rebuilt, n_steps=carry.n_steps)
+        return jax.tree_util.tree_map(sel, merged, carry)
 
     for i in range(1, n_diag + 1):
         t_target = min(t0 + i * realized, out.t_end) if adaptive \
@@ -334,6 +388,7 @@ def run_ensemble(cfg: SimConfig, seeds, out_path=None, sweep=None,
                 carry = _reinit_members(
                     carry, vupdate(carry.state, tables), mask)
         row = jax.device_get(vdiag(carry.state))
+        row = occ_cols(row, carry)
         if e_pre is not None:
             e_sev_cum[mask] += (np.asarray(row["E_tot"], np.float64)
                                 - e_pre)[mask]

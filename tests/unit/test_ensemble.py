@@ -80,10 +80,10 @@ def test_ensemble_scatter_is_real(ensemble_run):
 
 
 def test_ensemble_validation(tmp_path):
-    # hermite is supported since round 4; block (per-particle rungs) is
-    # the remaining refusal
-    cfg = _cfg(tmp_path / "v", **{"integrator.kind": "block"})
-    with pytest.raises(ValueError, match="kdk | yoshida4 | hermite"):
+    # every integrator family is supported since round 5; unknown kinds
+    # refuse with the supported list
+    cfg = _cfg(tmp_path / "v", **{"integrator.kind": "nbody6"})
+    with pytest.raises(ValueError, match="ensemble mode supports"):
         run_ensemble(cfg, [0])
     # sev kind="simple" is SUPPORTED since round 4; unknown kinds refuse
     cfg2 = _cfg(tmp_path / "v2")
@@ -363,3 +363,67 @@ def test_ensemble_sev_sweep_needs_sev_enabled(tmp_path):
     cfg = _cfg(tmp_path / "sneed")
     with pytest.raises(ValueError, match="sev"):
         run_ensemble(cfg, [1], sweep={"sev.kick_sigma_ns_kms": [0, 100]})
+
+
+def test_block_members_match_single_runs(tmp_path):
+    """Block-timestep ensembles (round-5 VERDICT item 3): each vmapped
+    member's per-particle rung hierarchy must reproduce the standalone
+    block run of its seed at every diagnostics boundary, including the
+    rung-occupancy columns."""
+    over = {"integrator.kind": "block", "integrator.eta": 0.02,
+            "integrator.dt_max": 0.25, "integrator.n_levels": 5,
+            "output.t_end": 1.0}
+    cfg = _cfg(tmp_path / "bens", **over)
+    res = run_ensemble(cfg, [3, 7])
+    assert res.states.pos.shape == (2, 64, 3)
+    assert "rung_00" in res.diagnostics
+    assert res.diagnostics["rung_00"].shape == (3, 2)  # t = 0, 0.5, 1.0
+    for i, seed in enumerate([3, 7]):
+        c1 = _cfg(tmp_path / f"bsingle{seed}", **over)
+        c1.ic.seed = seed
+        r1 = run(c1)
+        m = member(res.states, i)
+        # vmapped vs unvmapped XLA compilations reorder f32 force sums
+        # (the hermite-test rationale); rung decisions and occupancy are
+        # integer-exact
+        np.testing.assert_allclose(np.asarray(m.pos),
+                                   np.asarray(r1.state.pos),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(res.diagnostics["E_tot"][:, i],
+                                   r1.diagnostics["E_tot"], rtol=1e-9)
+        for k in range(cfg.integrator.n_levels):
+            np.testing.assert_array_equal(
+                res.diagnostics[f"rung_{k:02d}"][:, i],
+                r1.diagnostics[f"rung_{k:02d}"])
+    np.testing.assert_allclose(np.asarray(res.states.time), 1.0,
+                               rtol=1e-12)
+
+
+def test_block_sev_ensemble_runs(tmp_path):
+    """block × SEV × ensemble: the kick-survey composition the round-4
+    VERDICT asked to unlock — per-member death schedules, ledgers and the
+    min-cap carry rebuild all compose with vmapped block stepping."""
+    d = _sev_dict(tmp_path / "bsev", t_end=6.0)
+    d["integrator"] = {"kind": "block", "eta": 0.02, "dt_max": 0.5,
+                      "n_levels": 5, "eps": 0.125}
+    cfg = _mk(d)
+    res = run_ensemble(cfg, [11, 23])
+    dgn = res.diagnostics
+    assert dgn["N_rem"][-1].sum() > 0, "recipe must kill stars"
+    # ledger-corrected residual stays bounded for every member
+    assert np.abs(dgn["dE_cons_over_E_int"]).max() < 2e-3
+    # and matches the standalone block+SEV run of each seed
+    for i, seed in enumerate([11, 23]):
+        d1 = _sev_dict(tmp_path / f"bsev{seed}", t_end=6.0)
+        d1["integrator"] = dict(d["integrator"])
+        c1 = _mk(d1)
+        c1.ic.seed = seed
+        r1 = run(c1)
+        np.testing.assert_array_equal(np.asarray(member(res.states, i).mass),
+                                      np.asarray(r1.state.mass))
+        np.testing.assert_allclose(dgn["E_sev_cum"][:, i],
+                                   r1.diagnostics["E_sev_cum"],
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dgn["dE_cons_over_E_int"][:, i],
+                                   r1.diagnostics["dE_cons_over_E_int"],
+                                   rtol=1e-5, atol=1e-8)
