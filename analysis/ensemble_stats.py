@@ -43,7 +43,18 @@ def summarize(path, drift_warn=0.0):
         dead = np.nonzero(nb[:, i] == 0)[0]
         row = {
             "seed": int(seeds[i]),
+            # TWO bound-mass normalizations (round-4 VERDICT W4 — both are
+            # defensible, so both are emitted and named):
+            #   M_bound_final      = M_bound(T) / M_bound(0): fraction of
+            #                        the member's INITIALLY-BOUND mass
+            #                        (the survey-retention statistic);
+            #   M_bound_final_raw  = M_bound(T) as stored in the H5
+            #                        diagnostics column — absolute code
+            #                        units, i.e. fraction of the initial
+            #                        TOTAL mass in Hénon units (M_tot(0)=1).
+            # Re-deriving from the H5 directly gives the _raw numbers.
             "M_bound_final": float(mb[-1, i]),
+            "M_bound_final_raw": float(table["M_bound"][-1, i]),
             "r_half_final": float(table["r_lagr_50"][-1, i]),
             "max_drift": float(drift[:, i].max()),
             "t_dissolve": float(t[dead[0]]) if dead.size else None,
@@ -128,8 +139,11 @@ def main(argv=None):
             f"{('-' if r[k] is None else (f'{r[k]:.4g}' if isinstance(r[k], float) else str(r[k]))):>14s}"
             for k in keys))
     mbf = np.array([r["M_bound_final"] for r in rows])
+    mbr = np.array([r["M_bound_final_raw"] for r in rows])
     print(f"\nensemble: {len(rows)} members; M_bound_final = "
-          f"{mbf.mean():.3f} +- {mbf.std():.3f}")
+          f"{mbf.mean():.3f} +- {mbf.std():.3f} (of initially-bound mass; "
+          f"raw H5 column = {mbr.mean():.3f} +- {mbr.std():.3f} "
+          "of initial total mass)")
     td = [r["t_dissolve"] for r in rows if r["t_dissolve"] is not None]
     if td:
         print(f"dissolved: {len(td)}/{len(rows)}; t_dissolve = "

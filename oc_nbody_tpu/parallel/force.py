@@ -229,13 +229,14 @@ class ShardedForce:
 
     def with_sources(self, src_idx, src_wgt, src_mask) -> "ShardedForce":
         """Return a copy using the pruned source set (escape pruning).
-        f32 tier only on the mesh for now: the hi/lo pruned planes would
-        need the bucket split under the same global frame as the shards —
-        wire it when a mesh dissolution run needs the extended tier."""
-        if self.precision != "f32":
+        f32 and extended tiers (round-5: the hi/lo pruned planes split
+        rows AND bucket under one global frame — the bucket mean — the
+        same invariant the sharded extended tier keeps); df32 routes to
+        emulated f64 and stays single-chip, as everywhere on the mesh."""
+        if self.precision not in ("f32", "extended"):
             raise ValueError(
-                "escape pruning on a mesh supports the f32 tier only "
-                f"(got precision={self.precision!r})")
+                "escape pruning on a mesh supports the f32 and extended "
+                f"tiers only (got precision={self.precision!r})")
         return dataclasses.replace(self, src_idx=src_idx, src_wgt=src_wgt,
                                    src_mask=src_mask)
 
@@ -510,56 +511,117 @@ class ShardedForce:
         rows (src_idx ∈ [off, off+S) with positive weight; others route to
         a discarded overflow slot). Per chip: (N/D)·B + B·(N/D) pairs and
         ONE (B, ·)-sized collective — the full-source allgather/ring is
-        gone entirely, which is the sharded pruning win."""
-        k = self._rows_kernel()
+        gone entirely, which is the sharded pruning win.
+
+        Tiers (round-5): f32, and extended — hi/lo planes of ALL rows and
+        the bucket split under ONE global frame (the bucket mean, f64),
+        the same invariant the sharded extended tier keeps; both tiers
+        share this skeleton, only the kernel builders differ."""
         eps32 = jnp.asarray(self.eps, jnp.float32)
-        G32 = jnp.asarray(self.G, jnp.float32)
         n = pos.shape[0]
-        sp = pos[self.src_idx]
-        sm = (mass[self.src_idx]
-              * self.src_wgt.astype(mass.dtype)).astype(jnp.float32)
-        center = jnp.mean(sp.astype(jnp.float64), axis=0)
-        rows_c = (pos.astype(jnp.float64) - center).astype(jnp.float32)
-        bucket_c = (sp.astype(jnp.float64) - center).astype(jnp.float32)
-        amass_c = jnp.asarray(mass, jnp.float32)
-        args = [rows_c]
-        if vel is not None:
-            vcenter = jnp.mean(vel[self.src_idx].astype(jnp.float64),
-                               axis=0)
-            vrows_c = (vel.astype(jnp.float64) - vcenter).astype(jnp.float32)
-            vbucket_c = (vel[self.src_idx].astype(jnp.float64)
-                         - vcenter).astype(jnp.float32)
-            args.append(vrows_c)
-        args.append(amass_c)
-        padded = self._pad(args, n)
         ax = self.axis
         idx32 = self.src_idx.astype(jnp.int32)
         live = self.src_wgt > 0
+        sp = pos[self.src_idx]
+        sm = mass[self.src_idx] * self.src_wgt.astype(mass.dtype)
+        center = jnp.mean(sp.astype(jnp.float64), axis=0)
+
+        if self.precision == "extended":
+            m = self._hilo_kernels()
+
+            def split(a, c):
+                d = a.astype(jnp.float64) - c
+                hi = d.astype(jnp.float32)
+                return hi, (d - hi.astype(d.dtype)).astype(jnp.float32)
+
+            rhi, rlo = split(pos, center)
+            bhi, blo = split(sp, center)
+            gm_b = self._gm32(sm)
+            gm_all = self._gm32(mass)
+            args = [rhi, rlo]
+            if vel is not None:
+                sv = vel[self.src_idx]
+                vcenter = jnp.mean(sv.astype(jnp.float64), axis=0)
+                vrhi, vrlo = split(vel, vcenter)
+                vbhi, vblo = split(sv, vcenter)
+                args += [vrhi, vrlo]
+            args.append(gm_all)
+
+            def f1(loc):
+                if want == "accel":
+                    return (m.accel_rows_x_hilo(loc[0], loc[1], bhi, blo,
+                                                gm_b, eps32),)
+                if want == "phi":
+                    return m.accel_potential_rows_x_hilo(
+                        loc[0], loc[1], bhi, blo, gm_b, eps32)
+                return m.accel_jerk_rows_x_hilo(
+                    loc[0], loc[1], loc[2], loc[3], bhi, blo, vbhi, vblo,
+                    gm_b, eps32)
+
+            def f2(loc):
+                if want == "accel":
+                    return (m.accel_rows_x_hilo(bhi, blo, loc[0], loc[1],
+                                                loc[-1], eps32),)
+                if want == "phi":
+                    return m.accel_potential_rows_x_hilo(
+                        bhi, blo, loc[0], loc[1], loc[-1], eps32)
+                return m.accel_jerk_rows_x_hilo(
+                    bhi, blo, vbhi, vblo, loc[0], loc[1], loc[2], loc[3],
+                    loc[-1], eps32)
+
+            # gm = G·m, so self_phi with G = 1 gives exactly +G m/eps
+            phi_corr = gravity.self_phi(gm_all[self.src_idx], eps32,
+                                        jnp.float32(1.0))
+        else:
+            k = self._rows_kernel()
+            G32 = jnp.asarray(self.G, jnp.float32)
+            sm32 = sm.astype(jnp.float32)
+            bucket_c = (sp.astype(jnp.float64) - center).astype(jnp.float32)
+            rows_c = (pos.astype(jnp.float64) - center).astype(jnp.float32)
+            amass_c = jnp.asarray(mass, jnp.float32)
+            args = [rows_c]
+            if vel is not None:
+                vcenter = jnp.mean(vel[self.src_idx].astype(jnp.float64),
+                                   axis=0)
+                vrows_c = (vel.astype(jnp.float64)
+                           - vcenter).astype(jnp.float32)
+                vbucket_c = (vel[self.src_idx].astype(jnp.float64)
+                             - vcenter).astype(jnp.float32)
+                args.append(vrows_c)
+            args.append(amass_c)
+
+            def f1(loc):
+                if want == "accel":
+                    return (k.accel_rows(loc[0], bucket_c, sm32, eps32,
+                                         G32, self.chunk),)
+                if want == "phi":
+                    return k.accel_potential_rows(loc[0], bucket_c, sm32,
+                                                  eps32, G32, self.chunk)
+                return k.accel_jerk_rows(loc[0], loc[1], bucket_c,
+                                         vbucket_c, sm32, eps32, G32,
+                                         self.chunk)
+
+            def f2(loc):
+                if want == "accel":
+                    return (k.accel_rows(bucket_c, loc[0], loc[-1], eps32,
+                                         G32, self.chunk),)
+                if want == "phi":
+                    return k.accel_potential_rows(bucket_c, loc[0],
+                                                  loc[-1], eps32, G32,
+                                                  self.chunk)
+                return k.accel_jerk_rows(bucket_c, vbucket_c, loc[0],
+                                         loc[1], loc[-1], eps32, G32,
+                                         self.chunk)
+
+            phi_corr = gravity.self_phi(amass_c[self.src_idx], eps32, G32)
+
+        padded = self._pad(args, n)
 
         def shard_fn(*local):
-            if vel is None:
-                rows_l, amass_l = local
-            else:
-                rows_l, vrows_l, amass_l = local
-            S = rows_l.shape[0]
+            S = local[0].shape[0]
             off = lax.axis_index(ax) * S
-            if want == "accel":
-                t1 = (k.accel_rows(rows_l, bucket_c, sm, eps32, G32,
-                                   self.chunk),)
-                t2 = (k.accel_rows(bucket_c, rows_l, amass_l, eps32, G32,
-                                   self.chunk),)
-            elif want == "phi":
-                t1 = k.accel_potential_rows(rows_l, bucket_c, sm, eps32,
-                                            G32, self.chunk)
-                t2 = k.accel_potential_rows(bucket_c, rows_l, amass_l,
-                                            eps32, G32, self.chunk)
-            else:
-                t1 = k.accel_jerk_rows(rows_l, vrows_l, bucket_c,
-                                       vbucket_c, sm, eps32, G32,
-                                       self.chunk)
-                t2 = k.accel_jerk_rows(bucket_c, vbucket_c, rows_l,
-                                       vrows_l, amass_l, eps32, G32,
-                                       self.chunk)
+            t1 = f1(local)
+            t2 = f2(local)
             cl = tuple(lax.psum(p, ax) for p in t2)
             in_shard = (idx32 >= off) & (idx32 < off + S) & live
             idx_l = jnp.where(in_shard, idx32 - off, S)   # S = overflow
@@ -583,9 +645,8 @@ class ShardedForce:
             # sweep-2 rows are sources of their own shard's source set:
             # cancel the softened self term (live bucket entries only —
             # padding duplicates a real index with weight 0)
-            corr = gravity.self_phi(amass_c[self.src_idx], eps32, G32)
             out[1] = out[1].at[self.src_idx].add(
-                jnp.where(live, corr, 0.0).astype(out[1].dtype))
+                jnp.where(live, phi_corr, 0.0).astype(out[1].dtype))
         return tuple(out)
 
     # ---- public API (mirrors ForceModel) ------------------------------
@@ -844,11 +905,54 @@ class ShardedForce:
         (accel, jerk) is psum-reduced over ICI — the BASELINE.json:11
         allreduce applied to the active subset (SURVEY.md §2 EP analog).
 
-        ``rows_mask`` is the escape-pruning membership hook (accepted for
-        call-site symmetry with ForceModel; pruning is rejected on a mesh
-        at run() validation, so it is always None here)."""
+        ``rows_mask`` (round-5: escape pruning composes with the sharded
+        block path) selects per row between two evaluations, the same
+        Hamiltonian contract as ForceModel._accel_jerk_on_rows: cluster
+        rows × ALL sources (the sharded psum eval below) and tail rows ×
+        the replicated cluster bucket (a LOCAL rows×B eval — B is small,
+        so it is computed replicated on every chip with no collective).
+        The lax.switch on the rows' actual membership pays only what this
+        micro-step needs: all-cluster steps (deep rungs) cost exactly the
+        unpruned sharded eval, all-tail steps cost rows×B with ZERO
+        collectives — the sharded block-pruning win — and only mixed
+        steps (block-grid sync boundaries) pay both. The switch predicate
+        is replicated (derived from the replicated rows_mask), so every
+        device takes the same branch and the collectives inside stay
+        SPMD-consistent."""
+        if rows_mask is not None and self.pruned:
+            sp = src_pos[self.src_idx]
+            sv = src_vel[self.src_idx]
+            sm = (jnp.asarray(src_mass)[self.src_idx]
+                  * self.src_wgt.astype(jnp.asarray(src_mass).dtype))
+            base = dataclasses.replace(self, src_idx=None, src_wgt=None,
+                                       src_mask=None)
+
+            def eval_cluster(_):
+                return base.accel_jerk_on_rows(pos_rows, vel_rows,
+                                               src_pos, src_vel, src_mass)
+
+            def eval_tail(_):
+                return self._rows_vs_bucket_jerk(pos_rows, vel_rows,
+                                                 sp, sv, sm,
+                                                 src_pos, src_vel,
+                                                 jnp.asarray(src_mass))
+
+            def eval_mixed(_):
+                a_cl, j_cl = eval_cluster(None)
+                a_tail, j_tail = eval_tail(None)
+                mb = (rows_mask >= 0.5)[:, None]
+                return (jnp.where(mb, a_cl, a_tail),
+                        jnp.where(mb, j_cl, j_tail))
+
+            any_tail = jnp.any(rows_mask == 0.0)
+            any_cl = jnp.any(rows_mask == 1.0)
+            which = jnp.where(any_tail & any_cl, 2,
+                              jnp.where(any_tail, 1, 0)).astype(jnp.int32)
+            return jax.lax.switch(
+                which, [eval_cluster, eval_tail, eval_mixed], 0)
         if rows_mask is not None:
-            raise ValueError("escape pruning is not supported on a mesh")
+            raise ValueError("rows_mask given but this ShardedForce "
+                             "carries no pruned source set")
         if self.precision == "extended":
             acc, jerk = self._accel_jerk_on_rows_extended(
                 pos_rows, vel_rows, src_pos, src_vel, src_mass)
@@ -894,6 +998,53 @@ class ShardedForce:
             # exact contract (uniform => cancels in pairwise separations)
             acc = acc + self.friction.accel_df(
                 src_pos, src_vel, jnp.asarray(src_mass)).astype(acc.dtype)
+        return acc, jerk
+
+    def _rows_vs_bucket_jerk(self, pos_rows, vel_rows, sp, sv, sm,
+                             src_pos, src_vel, src_mass):
+        """Tail-rows (accel, jerk): rows × the gathered cluster bucket,
+        computed REPLICATED on every chip (B is small — a collective
+        would cost more than the redundant flops). External field and
+        friction are added exactly like the sharded cluster eval so the
+        pruned switch's branches stay interchangeable per row."""
+        eps32 = jnp.asarray(self.eps, jnp.float32)
+        if self.precision == "extended":
+            m = self._hilo_kernels()
+            center = jnp.mean(sp.astype(jnp.float64), axis=0)
+            vcenter = jnp.mean(sv.astype(jnp.float64), axis=0)
+
+            def split(a, c):
+                d = a.astype(jnp.float64) - c
+                hi = d.astype(jnp.float32)
+                return hi, (d - hi.astype(d.dtype)).astype(jnp.float32)
+
+            rhi, rlo = split(pos_rows, center)
+            vrhi, vrlo = split(vel_rows, vcenter)
+            bhi, blo = split(sp, center)
+            vbhi, vblo = split(sv, vcenter)
+            acc, jerk = m.accel_jerk_rows_x_hilo(
+                rhi, rlo, vrhi, vrlo, bhi, blo, vbhi, vblo,
+                self._gm32(sm), eps32)
+        else:
+            k = self._rows_kernel()
+            G32 = jnp.asarray(self.G, jnp.float32)
+            center = jnp.mean(sp, axis=0)
+            vcenter = jnp.mean(sv, axis=0)
+            acc, jerk = k.accel_jerk_rows(
+                (pos_rows - center).astype(jnp.float32),
+                (vel_rows - vcenter).astype(jnp.float32),
+                (sp - center).astype(jnp.float32),
+                (sv - vcenter).astype(jnp.float32),
+                sm.astype(jnp.float32), eps32, G32, self.chunk)
+        acc = acc.astype(pos_rows.dtype)
+        jerk = jerk.astype(pos_rows.dtype)
+        if self.external is not None:
+            a_ext, da_ext = self.external.accel_jerk_ext(pos_rows, vel_rows)
+            acc = acc + a_ext
+            jerk = jerk + da_ext
+        if self.friction is not None:
+            acc = acc + self.friction.accel_df(
+                src_pos, src_vel, src_mass).astype(acc.dtype)
         return acc, jerk
 
     def _accel_jerk_on_rows_extended(self, pos_rows, vel_rows, src_pos,

@@ -145,21 +145,10 @@ def _run(cfg: SimConfig, resume: bool = False,
               "n_cluster": scene.state.pos.shape[0], "warned_inf": False}
     if pruning:
         from oc_nbody_tpu import escape as escape_mod
-        from oc_nbody_tpu.forces import ForceModel as _FM
-        if not isinstance(scene.force, _FM):
-            # sharded force (round-4: pruning composes with the mesh —
-            # ShardedForce.with_sources): f32 tier, shared-dt integrators
-            # (the block integrator's active-row eval is not pruned-wired
-            # on a mesh)
-            if scene.force.precision != "f32":
-                raise ValueError(
-                    "escape.prune on a mesh supports the f32 tier only "
-                    f"(got {scene.force.precision!r})")
-            if kind == "block":
-                raise ValueError(
-                    "escape.prune is not wired through the block "
-                    "integrator's active-row evaluation on a mesh — use "
-                    "kdk/yoshida4/hermite, or mesh.n_devices = 1")
+        # sharded force (round-4: pruning composes with the mesh —
+        # ShardedForce.with_sources; round-5: both tiers and the block
+        # active-row eval are pruned-wired, so no mesh-specific refusals
+        # remain — the tier check below applies to both force kinds)
         if scene.force.external is None:
             raise ValueError("escape.prune needs an external potential "
                              "(the cut is in tidal radii)")
