@@ -260,7 +260,11 @@ class OutputConfig:
     # ensemble mode: warn when any member's |dE/E_int| exceeds this bound
     # (0 = off). A survey containing one mis-stepped member would
     # otherwise report integrator error as physics (VERDICT round-3 W3).
-    drift_warn: float = 0.0
+    # Default 3e-4 (round-5, VERDICT W5): ~2x the worst member measured
+    # in the 48-run kick-survey grid (1.5e-4) — a gate that enforces the
+    # observed health envelope instead of documenting it. Set 0 to
+    # disable, or higher for deliberately coarse exploratory surveys.
+    drift_warn: float = 3e-4
 
 
 @dataclasses.dataclass

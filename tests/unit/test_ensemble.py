@@ -210,6 +210,20 @@ def test_ensemble_drift_gate_warns(tmp_path, capsys):
     assert "drift gate" in out and "seed" in out
 
 
+def test_ensemble_drift_gate_default_trips(tmp_path, capsys):
+    """The DEFAULT gate (3e-4, round-5 W5: ~2x the measured 48-member
+    survey worst) must fire for a mis-stepped member without any config
+    opt-in — enforcing the health envelope, not documenting it."""
+    from oc_nbody_tpu.config import OutputConfig
+    assert OutputConfig().drift_warn == pytest.approx(3e-4)
+    cfg = _cfg(tmp_path / "gated", **{"integrator.dt": 0.25,
+                                      "output.t_end": 4.0,
+                                      "output.diag_every": 1.0})
+    run_ensemble(cfg, [3])
+    out = capsys.readouterr().out
+    assert "drift gate (0.0003)" in out
+
+
 def test_ensemble_stats_drift_flag(ensemble_run):
     import importlib.util
     import os
