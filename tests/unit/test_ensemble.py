@@ -366,10 +366,13 @@ def test_ensemble_friction_members_match_single_runs(tmp_path):
                                    r1.diagnostics["E_tot"], rtol=1e-11)
 
 
-def test_ensemble_prune_still_refused(tmp_path):
+def test_ensemble_prune_without_potential_refused(tmp_path):
+    # pruning is supported since round 5; the remaining refusal without a
+    # potential (no tidal radius to cut at) stays
     cfg = _cfg(tmp_path / "pref")
     cfg.escape.prune = True
-    with pytest.raises(ValueError, match="pruning"):
+    cfg.potential.kind = "none"
+    with pytest.raises(ValueError, match="external potential"):
         run_ensemble(cfg, [1])
 
 
@@ -441,3 +444,90 @@ def test_block_sev_ensemble_runs(tmp_path):
         np.testing.assert_allclose(dgn["dE_cons_over_E_int"][:, i],
                                    r1.diagnostics["dE_cons_over_E_int"],
                                    rtol=1e-5, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# round-5: ensemble × escape pruning (the last survey seam)
+# --------------------------------------------------------------------------
+
+def _prune_dict(out_dir, t_end=6.0, kind="kdk"):
+    # the tests/distributed/test_sharded_prune.py dissolution recipe:
+    # a super-tidal Plummer at 4 kpc that strips within a few crossings
+    d = {
+        "units": {"kind": "henon", "mass_msun": 500.0, "length_pc": 8.0},
+        "ic": {"kind": "plummer", "n": 256, "seed": 3},
+        "potential": {"kind": "milky_way"},
+        "orbit": {"kind": "circular", "R0_pc": 4000.0},
+        "escape": {"prune": True, "r_cut": 1.5, "min_bucket": 32},
+        "integrator": {"kind": kind, "dt": 1.0 / 256, "eps": 1.0 / 64,
+                       "eta": 0.02},
+        "output": {"out_dir": str(out_dir), "t_end": t_end,
+                   "diag_every": 1.0, "snap_every": 100.0,
+                   "stdout": False},
+    }
+    return _mk(d)
+
+
+def test_ensemble_prune_members_match_single_runs(tmp_path):
+    """Pruned ensembles: a member must reproduce its standalone pruned
+    run — partition history, E_prune_cum ledger and trajectory. Both
+    members share a seed here so the ALL-OR-NONE activation boundary (the
+    ensemble prunes when every member has a buildable bucket) coincides
+    with the standalone run's activation; mixed-seed surveys deviate only
+    in activation timing (documented), not in retained-pair physics."""
+    cfg = _prune_dict(tmp_path / "pens", t_end=7.0)
+    res = run_ensemble(cfg, [3, 3])
+    d = res.diagnostics
+    assert "N_cluster" in d and "E_prune_cum" in d
+    assert d["N_cluster"].min() < 256, "membership never shrank"
+    assert np.abs(d["E_prune_cum"]).max() > 0, "pruning never activated"
+    assert np.abs(d["dE_cons_over_E_int"]).max() < 5e-3
+    c1 = _prune_dict(tmp_path / "psingle3", t_end=7.0)
+    c1.ic.seed = 3
+    r1 = run(c1)
+    for i in range(2):
+        np.testing.assert_allclose(d["N_cluster"][:, i],
+                                   r1.diagnostics["N_cluster"])
+        np.testing.assert_allclose(d["E_prune_cum"][:, i],
+                                   r1.diagnostics["E_prune_cum"],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(member(res.states, i).pos),
+                                   np.asarray(r1.state.pos), atol=2e-5)
+        np.testing.assert_allclose(d["dE_cons_over_E_int"][:, i],
+                                   r1.diagnostics["dE_cons_over_E_int"],
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_ensemble_prune_mixed_seeds_conserves(tmp_path):
+    """Mixed seeds: activation waits for the last member's buildable
+    bucket; every member's ledger-corrected residual must stay bounded
+    and N_cluster reports true membership even before activation."""
+    cfg = _prune_dict(tmp_path / "pmix", t_end=7.0)
+    res = run_ensemble(cfg, [3, 9])
+    d = res.diagnostics
+    assert d["N_cluster"].min() < 256
+    assert (d["N_cluster"][1] < 256).all(), \
+        "membership must be reported while inactive"
+    assert np.abs(d["dE_cons_over_E_int"]).max() < 5e-3
+
+
+def test_ensemble_prune_hermite_runs(tmp_path):
+    """Pruning × per-member adaptive hermite dt × ensemble."""
+    cfg = _prune_dict(tmp_path / "pherm", t_end=3.0, kind="hermite")
+    cfg.integrator.dt_max = 0.25
+    res = run_ensemble(cfg, [3, 9])
+    d = res.diagnostics
+    assert d["N_cluster"].min() < 256
+    assert np.abs(d["dE_cons_over_E_int"]).max() < 5e-3
+
+
+def test_ensemble_prune_refusals(tmp_path):
+    cfg = _prune_dict(tmp_path / "pref", kind="block")
+    cfg.integrator.dt_max = 0.25
+    with pytest.raises(ValueError, match="shared-dt"):
+        run_ensemble(cfg, [0])
+    cfg2 = _prune_dict(tmp_path / "pref2")
+    cfg2 = dataclasses.replace(
+        cfg2, sev=dataclasses.replace(cfg2.sev, kind="simple"))
+    with pytest.raises(ValueError, match="not.*both|OR"):
+        run_ensemble(cfg2, [0])
