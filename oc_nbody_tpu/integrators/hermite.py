@@ -122,6 +122,16 @@ class Hermite4:
     # the post-collapse mitigation knob (VERDICT round-3 Missing #4).
     # Composes with pec2 (then 3 evals/step).
     symmetrized: bool = False
+    # Pair-aware dt cap (round-5, shared-dt form of the block pair_dt):
+    # the shared dt is additionally capped at eta_pair × the GLOBAL
+    # minimum softened two-body encounter timescale. The Aarseth
+    # criterion is force-derived and the softened force vanishes through
+    # the core, so an eccentric pair diving inside eps gets the shared
+    # dt *grown* right at pericentre; the fly-by term (~eps/v) stays
+    # finite there. Costs one O(N²) min-sweep per step (~1/4 the jerk
+    # eval's flops).
+    pair_dt: bool = False
+    eta_pair: float = 0.02
 
     def __post_init__(self):
         import math
@@ -145,6 +155,9 @@ class Hermite4:
         )
         dt0 = jnp.minimum(dt0, self.dt_max)
         dt0 = jnp.where(jnp.isfinite(dt0), dt0, jnp.asarray(self.dt_max))
+        if self.pair_dt:
+            dt0 = jnp.minimum(dt0, self.eta_pair * self._pair_tau_min(
+                state.pos, state.vel, state.mass))
         return HermiteCarry(state=state, acc=acc, jerk=jerk,
                             dt=self._shape_dt(dt0),
                             n_steps=jnp.asarray(0, jnp.int64))
@@ -152,6 +165,22 @@ class Hermite4:
     # ---- helpers ------------------------------------------------------
     def _shape_dt(self, dt):
         return _shape_dt_fn(dt, self.dt_min, self.dt_max, self.quantize)
+
+    def _pair_tau_min(self, pos, vel, mass):
+        """Global minimum softened encounter timescale (f32 sweep — the
+        timescale only picks dt; centred like the force kernels)."""
+        from oc_nbody_tpu.ops import gravity
+        center = jnp.mean(pos, axis=0)
+        vcenter = jnp.mean(vel, axis=0)
+        pos_c = (pos - center).astype(jnp.float32)
+        vel_c = (vel - vcenter).astype(jnp.float32)
+        mass_c = jnp.asarray(mass, jnp.float32)
+        f = self.force
+        tau = gravity.pair_timescale_rows(
+            pos_c, vel_c, mass_c, pos_c, vel_c, mass_c,
+            jnp.asarray(f.eps, jnp.float32), jnp.asarray(f.G, jnp.float32),
+            f.chunk)
+        return jnp.min(tau).astype(pos.dtype)
 
     def _aarseth_dt(self, a1, j1, a2_1, a3):
         return _aarseth_shared_dt(a1, j1, a2_1, a3, self.eta)
@@ -192,6 +221,10 @@ class Hermite4:
         dt_new = self._aarseth_dt(a1, j1, a2_1, a3)
         dt_new = jnp.minimum(dt_new, 2.0 * carry.dt)
         dt_new = jnp.where(dt >= 0.25 * carry.dt, dt_new, carry.dt)
+        if self.pair_dt:
+            # cap by the encounter timescale at the step's END state
+            dt_new = jnp.minimum(dt_new, self.eta_pair * self._pair_tau_min(
+                x1, v1, s.mass))
         dt_new = self._shape_dt(dt_new)
 
         state_new = s.replace(pos=x1, vel=v1, time=s.time + dt)

@@ -386,6 +386,12 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
         return Yoshida4(force=force, dt=ic.dt), "yoshida4"
     if ic.kind == "hermite":
         if ic.macro_batches > 0:
+            if ic.pair_dt:
+                raise ValueError(
+                    "integrator.pair_dt has no macro (host-stepped) "
+                    "Hermite form — the encounter min-sweep has no "
+                    "oversized batched kernel; use the in-jit stepper "
+                    "(macro_batches = 0) or block timesteps")
             # oversized-N path: host-stepped Hermite over the batched
             # chunked jerk kernels; same aux/kind as the in-jit stepper
             from oc_nbody_tpu.integrators.hermite import MacroHermite
@@ -397,7 +403,9 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
         from oc_nbody_tpu.integrators.hermite import Hermite4
         return Hermite4(force=force, eta=ic.eta, eta_init=ic.eta_init,
                         dt_max=ic.dt_max, quantize=ic.quantize,
-                        pec2=ic.pec2, symmetrized=ic.symmetrized), "hermite"
+                        pec2=ic.pec2, symmetrized=ic.symmetrized,
+                        pair_dt=ic.pair_dt,
+                        eta_pair=(ic.eta_pair or ic.eta)), "hermite"
     if ic.kind == "block":
         from oc_nbody_tpu.integrators.block import BlockHermite
         return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,

@@ -127,3 +127,43 @@ def test_pair_dt_bucketed_matches_masked():
     np.testing.assert_array_equal(np.asarray(cm.state.pos),
                                   np.asarray(cb.state.pos))
     np.testing.assert_array_equal(np.asarray(cm.dt_i), np.asarray(cb.dt_i))
+
+
+def test_hermite_pair_dt_caps_shared_dt():
+    """Shared-adaptive Hermite form: the pair cap must bind through a
+    softened pericentre passage and improve energy conservation on the
+    same designed-failure fixture."""
+    from oc_nbody_tpu.integrators.hermite import Hermite4
+    a, e, m, eps = 0.01, 0.97, 0.5, 1.5e-3
+    state = _eccentric_pair(a, e, m)
+    period = 2.0 * np.pi * np.sqrt(a ** 3 / (2 * m))
+    force = make_force_model(eps=eps, G=1.0, backend="jnp", chunk=8)
+    kw = dict(force=force, eta=0.02, eta_init=0.01, dt_max=period / 8)
+    e0 = _soft_energy(state, eps, m * m)
+    t_end = 2.0 * period
+    errs = {}
+    for name, st in {
+        "aarseth": Hermite4(**kw),
+        "pair": Hermite4(**kw, pair_dt=True, eta_pair=0.02),
+    }.items():
+        c = st.init(state)
+        c = jax.jit(st.advance_to)(c, t_end)
+        errs[name] = abs(_soft_energy(c.state, eps, m * m) - e0) / abs(e0)
+    assert errs["pair"] < 2e-5, errs
+    assert errs["pair"] < errs["aarseth"] / 10.0, errs
+
+
+def test_hermite_macro_pair_dt_refused():
+    from oc_nbody_tpu.config import SimConfig
+    from oc_nbody_tpu.scene import build_scene, make_stepper
+    import pytest
+    cfg = SimConfig.from_dict({
+        "ic": {"kind": "plummer", "n": 64, "seed": 0},
+        "integrator": {"kind": "hermite", "macro_batches": 2,
+                       "pair_dt": True, "eps": 0.01},
+        "output": {"out_dir": "/tmp/x", "t_end": 0.1},
+    })
+    cfg.backend = "jnp"
+    scene = build_scene(cfg)
+    with pytest.raises(ValueError, match="macro"):
+        make_stepper(cfg, scene.force)
