@@ -10,9 +10,37 @@ import os
 
 import jax
 
+def host_tag() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    Cache entries (and the repo-local test cache) persist across
+    sessions, but sessions land on DIFFERENT machines: XLA:CPU AOT
+    executables compiled with another host's feature flags load anyway
+    and then SIGILL/segfault (measured: a full test run died at 85% in
+    ``compilation_cache.get_executable_and_time`` loading an entry whose
+    compile features included ``prefer-no-scatter`` this host lacks).
+    Keying the cache directory by the feature set makes a foreign host
+    start a fresh cache instead of loading incompatible machine code."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(f"{platform.machine()}|{flags}".encode()).hexdigest()
+    return h[:12]
+
+
 _DEFAULT = os.environ.get(
     "OC_NBODY_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "oc_nbody_tpu", "xla"),
+    os.path.join(os.path.expanduser("~"), ".cache", "oc_nbody_tpu",
+                 f"xla-{host_tag()}"),
 )
 
 

@@ -16,9 +16,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 # Compiles are slow in this environment (remote-compile relay) even on CPU;
-# a persistent on-disk cache makes repeated test runs fast.
+# a persistent on-disk cache makes repeated test runs fast. The directory
+# is keyed by a host CPU-feature fingerprint (utils/cache.host_tag):
+# sessions land on different machines, and XLA:CPU AOT entries compiled
+# with a foreign feature set segfault on load (measured at 85% of a full
+# run; see utils/cache.py).
+from oc_nbody_tpu.utils.cache import host_tag  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".jax_cache-{host_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
