@@ -41,6 +41,16 @@ VARIANTS = {
     "pair12": {"integrator.pair_dt": "true"},
     "pair13": {"integrator.pair_dt": "true", "integrator.n_levels": "13"},
     "pair14": {"integrator.pair_dt": "true", "integrator.n_levels": "14"},
+    # f32-noise hypothesis (round-5, after the pair variants measured
+    # within the same ~1e-3 envelope): a binary at separation ~eps in
+    # unit-scale cluster coordinates carries ~2e-4 RELATIVE f32 error on
+    # its internal force — per-eval random kicks on each pair's binding
+    # energy, random-walking E_int over ~1e5 micro-steps. The extended
+    # (hi/lo) tier cuts pairwise force error ~5-10x at ~2x cost and the
+    # block active-row eval supports it (accel_jerk_rows_x).
+    "xt": {"integrator.precision": "extended"},
+    "pair13xt": {"integrator.pair_dt": "true", "integrator.n_levels": "13",
+                 "integrator.precision": "extended"},
 }
 
 
