@@ -198,6 +198,7 @@ class IntegratorConfig:
     # |dE/E_int| random walk on configs/binaries_8k.toml without it).
     pair_dt: bool = False
     eta_pair: float = 0.0        # 0 → use eta
+    pair_r_max: float = 4.0      # near-field window, eps units (0 = none)
     precision: str = "f32"       # pairwise tier: f32 | extended | df32
     # kdk + hermite: > 0 switches to the host-stepped Macro stepper
     # (MacroKDK / MacroHermite) with this many dispatches per force

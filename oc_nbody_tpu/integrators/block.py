@@ -92,6 +92,12 @@ class BlockHermite:
     # force-only criterion random-walks |dE/E_int| to ~3.5e-3 by t=6.5.
     pair_dt: bool = False
     eta_pair: float = 0.02
+    # near-field window for the pair criterion, in units of eps (0 = no
+    # window). The Aarseth criterion is blind only where softening bends
+    # the force (r ≲ few eps); unwindowed, the nearest-neighbour fly-by
+    # cap drags ~half the cluster 5+ rungs deeper for no accuracy gain
+    # (measured on configs/binaries_8k.toml, bench/binaries_pairdt.json).
+    pair_r_max: float = 4.0
 
     @property
     def dt_min(self) -> float:
@@ -339,7 +345,9 @@ class BlockHermite:
             (src_vel - vcenter).astype(jnp.float32),
             jnp.asarray(src_mass, jnp.float32),
             jnp.asarray(f.eps, jnp.float32), jnp.asarray(f.G, jnp.float32),
-            f.chunk)
+            f.chunk,
+            r_max=jnp.asarray(self.pair_r_max, jnp.float32)
+            * jnp.asarray(f.eps, jnp.float32))
         return tau.astype(pos_rows.dtype)
 
     def _pair_tau_active(self, xp, vp, mass, active, n):

@@ -132,6 +132,8 @@ class Hermite4:
     # eval's flops).
     pair_dt: bool = False
     eta_pair: float = 0.02
+    # near-field window in eps units (0 = none) — see BlockHermite
+    pair_r_max: float = 4.0
 
     def __post_init__(self):
         import math
@@ -179,7 +181,9 @@ class Hermite4:
         tau = gravity.pair_timescale_rows(
             pos_c, vel_c, mass_c, pos_c, vel_c, mass_c,
             jnp.asarray(f.eps, jnp.float32), jnp.asarray(f.G, jnp.float32),
-            f.chunk)
+            f.chunk,
+            r_max=jnp.asarray(self.pair_r_max, jnp.float32)
+            * jnp.asarray(f.eps, jnp.float32))
         return jnp.min(tau).astype(pos.dtype)
 
     def _aarseth_dt(self, a1, j1, a2_1, a3):

@@ -237,7 +237,7 @@ def accel_jerk_rows(pos_rows, vel_rows, src_pos, src_vel, src_mass, eps,
 # --------------------------------------------------------------------------
 
 def _block_pair_tau2(src_x, src_y, src_z, svx, svy, svz, gm_src, pi, vi,
-                     gm_rows, eps2):
+                     gm_rows, eps2, rmax2):
     dx = src_x - pi[:, 0:1]
     dy = src_y - pi[:, 1:2]
     dz = src_z - pi[:, 2:3]
@@ -262,11 +262,19 @@ def _block_pair_tau2(src_x, src_y, src_z, svx, svy, svz, gm_src, pi, vi,
     # or the softened self free-fall time sqrt(eps³/2Gm_i) would cap
     # EVERY row at the encounter floor
     tau2 = jnp.where(r2 > 0, tau2, big)
+    # optional near-field window (rmax2 > 0): only pairs INSIDE it
+    # contribute. The Aarseth criterion is blind exactly where softening
+    # bends the force (r ≲ few eps); outside that the force-derived dt is
+    # already correct, and an unwindowed nearest-neighbour cap drags the
+    # whole cluster onto deep rungs (measured on configs/binaries_8k:
+    # ~half the stars moved 5+ rungs deeper for no accuracy gain)
+    tau2 = jnp.where((rmax2 > 0) & (r2 > rmax2), big, tau2)
     return jnp.min(tau2, axis=1)
 
 
 def pair_timescale_rows(pos_rows, vel_rows, mass_rows, src_pos, src_vel,
-                        src_mass, eps, G=1.0, chunk: int = 1024):
+                        src_mass, eps, G=1.0, chunk: int = 1024,
+                        r_max=0.0):
     """Per-row minimum softened two-body encounter timescale against the
     source set: tau_i = min_j min( sqrt(u)/|v_ij|, u^{3/4}/sqrt(G m_pair) )
     with u = r_ij² + eps². The fly-by term is the criterion the aggregate
@@ -274,7 +282,9 @@ def pair_timescale_rows(pos_rows, vel_rows, mass_rows, src_pos, src_vel,
     force-derived dt grows exactly where the encounter is fastest —
     measured on configs/binaries_8k.toml as a ~3e-3 |dE/E_int| random
     walk, round-4 VERDICT Missing #1). Inputs centred/f32 like the other
-    rows kernels; self pairs are excluded by r² > 0."""
+    rows kernels; self pairs are excluded by r² > 0. ``r_max`` > 0
+    restricts the criterion to pairs with r < r_max (the near-field
+    window where the force-derived criterion is actually blind)."""
     nr = pos_rows.shape[0]
     chunk = min(chunk, _round_up(nr, 8))
     n_pad = _round_up(nr, chunk)
@@ -283,6 +293,7 @@ def pair_timescale_rows(pos_rows, vel_rows, mass_rows, src_pos, src_vel,
         vel_rows = jnp.pad(vel_rows, ((0, n_pad - nr), (0, 0)))
         mass_rows = jnp.pad(mass_rows, ((0, n_pad - nr),))
     eps2 = jnp.asarray(eps, pos_rows.dtype) ** 2
+    rmax2 = jnp.asarray(r_max, pos_rows.dtype) ** 2
     G_ = jnp.asarray(G, pos_rows.dtype)
     gm_src = (G_ * src_mass)[None, :]
     gm_rows = G_ * mass_rows
@@ -295,7 +306,7 @@ def pair_timescale_rows(pos_rows, vel_rows, mass_rows, src_pos, src_vel,
             sx, sy, sz, svx, svy, svz, gm_src,
             lax.dynamic_slice(pos_rows, (i0, 0), (chunk, 3)),
             lax.dynamic_slice(vel_rows, (i0, 0), (chunk, 3)),
-            lax.dynamic_slice(gm_rows, (i0,), (chunk,)), eps2),
+            lax.dynamic_slice(gm_rows, (i0,), (chunk,)), eps2, rmax2),
         starts,
     )
     return jnp.sqrt(tau2.reshape(-1)[:nr])

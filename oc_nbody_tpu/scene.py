@@ -405,11 +405,13 @@ def make_stepper(cfg: SimConfig, force: ForceModel):
                         dt_max=ic.dt_max, quantize=ic.quantize,
                         pec2=ic.pec2, symmetrized=ic.symmetrized,
                         pair_dt=ic.pair_dt,
-                        eta_pair=(ic.eta_pair or ic.eta)), "hermite"
+                        eta_pair=(ic.eta_pair or ic.eta),
+                        pair_r_max=ic.pair_r_max), "hermite"
     if ic.kind == "block":
         from oc_nbody_tpu.integrators.block import BlockHermite
         return BlockHermite(force=force, eta=ic.eta, eta_init=ic.eta_init,
                             dt_max=ic.dt_max, n_levels=ic.n_levels,
                             pec2=ic.pec2, pair_dt=ic.pair_dt,
-                            eta_pair=(ic.eta_pair or ic.eta)), "block"
+                            eta_pair=(ic.eta_pair or ic.eta),
+                            pair_r_max=ic.pair_r_max), "block"
     raise ValueError(f"unknown integrator kind {ic.kind!r}")
