@@ -51,6 +51,11 @@ VARIANTS = {
     "xt": {"integrator.precision": "extended"},
     "pair13xt": {"integrator.pair_dt": "true", "integrator.n_levels": "13",
                  "integrator.precision": "extended"},
+    # windowed (pair_r_max = 4 eps, the post-pair12 default) + the depth
+    # that worked: the criterion focuses on core transits only
+    "pair14w": {"integrator.pair_dt": "true", "integrator.n_levels": "14"},
+    "pair14xt": {"integrator.pair_dt": "true", "integrator.n_levels": "14",
+                 "integrator.precision": "extended"},
 }
 
 
