@@ -6,7 +6,7 @@ The round-4 attribution closed the SEV-boundary term; the remaining
 (r4 series: -5.3e-5 at t=20->21, -4.9e-5 at t=0->1, +3.3e-5 at
 t=15->16) — exactly the term bench/postcollapse_envelope.json measured
 PEC² cutting ~4x at sub-linear cost. This driver runs controlled
-t = 0 -> 30 segments of configs/flagship_32k.toml (cold start, same
+t = 0 -> 21 segments (budget: covers all three top-r4 windows) of configs/flagship_32k.toml (cold start, same
 seed — the window contains 3 of the top-4 r4 jumps) under single-knob
 stepping variants:
 
@@ -42,7 +42,7 @@ VARIANTS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
-    ap.add_argument("--t-end", type=float, default=30.0)
+    ap.add_argument("--t-end", type=float, default=21.0)
     args = ap.parse_args()
 
     import jax
