@@ -15,19 +15,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-# Compiles are slow in this environment (remote-compile relay) even on CPU;
-# a persistent on-disk cache makes repeated test runs fast. The directory
-# is keyed by a host CPU-feature fingerprint (utils/cache.host_tag):
-# sessions land on different machines, and XLA:CPU AOT entries compiled
-# with a foreign feature set segfault on load (measured at 85% of a full
-# run; see utils/cache.py).
-from oc_nbody_tpu.utils.cache import host_tag  # noqa: E402
+# Persistent compilation cache for the tests: OPT-IN ONLY
+# (OCN_TEST_CACHE=1). Two measured failure modes made the default unsafe
+# for a full-suite run (round 5): (a) entries compiled on a previous
+# session's machine with a different CPU feature set segfault on load —
+# mitigated by keying the directory with utils/cache.host_tag — and (b)
+# XLA:CPU executable (de)serialization itself segfaulted twice at ~85%
+# of a full run (once in get_executable_and_time on a fresh host-keyed
+# cache, once in put_executable_and_time), a flaky native crash under
+# long-process load that passes in isolation. Iterating on a single test
+# file? export OCN_TEST_CACHE=1 for fast repeats.
+if os.environ.get("OCN_TEST_CACHE") == "1":
+    from oc_nbody_tpu.utils.cache import host_tag
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    f".jax_cache-{host_tag()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f".jax_cache-{host_tag()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
