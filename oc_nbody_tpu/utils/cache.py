@@ -45,6 +45,14 @@ _DEFAULT = os.environ.get(
 
 
 def enable_compile_cache(path: str | None = None) -> None:
+    # OCN_DISABLE_COMPILE_CACHE=1 makes this a no-op. The test harness
+    # sets it: CLI tests call __main__.main() IN-PROCESS, and the cache
+    # dir it installs is process-global — a later unrelated test's
+    # compile then writes a cache entry through XLA:CPU executable
+    # serialization, which segfaulted full-suite runs twice at ~85%
+    # (see tests/conftest.py).
+    if os.environ.get("OCN_DISABLE_COMPILE_CACHE") == "1":
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", path or _DEFAULT)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

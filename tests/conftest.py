@@ -33,6 +33,13 @@ if os.environ.get("OCN_TEST_CACHE") == "1":
         f".jax_cache-{host_tag()}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+else:
+    # the CLI tests call __main__.main() in-process, whose
+    # enable_compile_cache() would otherwise install the cache
+    # PROCESS-GLOBALLY mid-suite (the third ~85% segfault's cause —
+    # cache writes crash in XLA:CPU executable serialization under
+    # long-run load); this env makes it a no-op inside the tests
+    os.environ["OCN_DISABLE_COMPILE_CACHE"] = "1"
 
 import pytest  # noqa: E402
 
